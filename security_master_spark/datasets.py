@@ -1,0 +1,65 @@
+"""Fixture-table loading with schema normalization.
+
+The ten graded tables (TESTDATA.md / FIXTURES.md) live as one parquet
+file per table under a scale-factor directory. ``load_table`` is the
+single choke point for reading them so the events nanos-timestamp fix
+is applied exactly once, identically, everywhere.
+
+Scale notes: a parquet *file* here stands in for a parquet *dataset*
+(directory of part-files, possibly hive-partitioned) in production;
+``spark.read.parquet`` handles both transparently, and predicate
+pushdown / column pruning reach the scan either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.session import configure_session
+
+#: The graded fixture tables, in FK-dependency order.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with
+    ``nanosAsLong=true`` it arrives as long nanos and is converted to a
+    proper timestamp via *integer* division (``ts div 1000`` — float
+    division drifts ±1µs through the double mantissa and breaks
+    value-equality with engines that read nanos natively; FIXTURES.md
+    gotcha #2).
+    """
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables and register them as temp views.
+
+    Registering views gives the SQL surface (``spark.sql``) the same
+    table names the DuckDB oracle uses, so queries can be authored in
+    either API against identical names.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,59 @@
+"""Central registry mapping query names → (Spark callable, oracle SQL).
+
+Contract (driver, ``__spark_entry__.py``): each callable takes
+``(spark, sf_dir)`` and returns a lazy DataFrame; the driver collects
+it at sf=0.01 and hash-compares against the oracle SQL run by DuckDB
+on the same parquet (row-count + schema + order-insensitive
+value-hash). Column names must match between both sides — alias
+everything, both in the DataFrame code and the SQL.
+
+Queries registered with ``oracle=None`` get the driver's weaker
+rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def _load_all_plan_modules() -> None:
+    # Import for registration side effects; order is cosmetic only.
+    from security_master_spark.plans import (  # noqa: F401
+        relational,
+        windows,
+        domain,
+        llm,
+        streaming_batch,
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all_plan_modules()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all_plan_modules()
+    return dict(_ORACLES)

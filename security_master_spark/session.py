@@ -1,0 +1,74 @@
+"""SparkSession factory and mandatory runtime configuration.
+
+Two entry paths:
+- ``get_spark()``        — build our own session (tests, bench).
+- ``configure_session`` — apply the runtime-settable confs to an
+  externally-provided session (the driver passes its own session to
+  ``entry()`` / ``queries()``), so every code path goes through it.
+
+Mandatory confs (FIXTURES.md gotchas):
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
+  TIMESTAMP(NANOS); Spark 4.x refuses it otherwise. The column then
+  arrives as ``long`` nanos and is converted in datasets.load_table.
+- UTC session timezone — keeps collected timestamp values canonical and
+  matching DuckDB's naive-timestamp reads.
+- AQE on — runtime partition coalescing + skew-join handling is the
+  scale story for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs applied to *every* session we touch.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / toPandas interchange (the fast path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        spark.conf.set(key, value)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(
+    app_name: str = "security-master-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster is configured — on a real cluster the master comes
+    from spark-submit and this argument is left None.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    # getOrCreate may have returned a pre-existing session — re-apply.
+    return configure_session(spark, shuffle_partitions)
