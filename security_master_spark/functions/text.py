@@ -1,0 +1,84 @@
+"""Text-analysis column expressions (SURVEY.md §2.12): tokenization,
+shingling, quality scoring, language-ID heuristic, fingerprints.
+
+Everything here is a *column expression builder* (JVM-side built-ins,
+whole-stage-codegen friendly) — no Python UDFs in these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lexicon for the n-gram/stopword language
+#: heuristic. Deliberately small + public-knowledge words; the point is
+#: the *operator shape* (token ⋈ lexicon → argmax), not lexical
+#: coverage.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "de", "des", "un", "une", "dans"),
+    "es": ("el", "la", "los", "las", "es", "de", "un", "una", "que", "con"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the fixtures are space-separated
+    synthetic tokens)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization for natural text: word pieces,
+    numbers, or single non-space symbols."""
+    return F.regexp_extract_all(
+        text, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as 'w1 w2 w3' strings — the MinHash input
+    unit. Built from slice over the token array via transform (no UDF)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize extreme length,
+    high punctuation density, and low alphabetic ratio — the standard
+    pretraining-corpus filter shape."""
+    n = F.length(text) + F.lit(1)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")) / n
+    punct = F.length(F.regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")) / n
+    len_ok = F.when((F.length(text) >= 20) & (F.length(text) <= 20000), 1.0).otherwise(0.5)
+    score = len_ok * (F.lit(0.7) * alpha + F.lit(0.3) * (1 - F.least(punct * 5, F.lit(1.0))))
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def rolling_hash_fingerprint(text: Column, width: int = 64) -> Column:
+    """Deterministic document fingerprint: xxhash64 over fixed-width
+    character windows, min-pooled — a winnowing-style content hash
+    robust to local edits at the ends."""
+    n_windows = F.greatest((F.length(text) - width) / 32 + 1, F.lit(1)).cast("int")
+    window_hashes = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.xxhash64(F.substring(text, (i * 32 + 1).cast("int"), width)),
+    )
+    return F.array_min(window_hashes)

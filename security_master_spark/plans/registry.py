@@ -43,6 +43,8 @@ def _load_all_plan_modules() -> None:
     from security_master_spark.plans import (  # noqa: F401
         relational,
         windows,
+        aggregates,
+        scalars,
         domain,
         llm,
         streaming_batch,

@@ -36,14 +36,16 @@ def _canon(v):
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         r = round(v, FLOAT_DP)
-        return 0.0 if r == 0 else r  # -0.0 → 0.0
+        return ("f", 0.0 if r == 0 else r)  # -0.0 → 0.0
     if isinstance(v, int):
-        return v
+        # type-tagged: int vs float outputs must not silently compare
+        # equal — engines returning 1 vs 1.0 is a real schema mismatch.
+        return ("i", v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
