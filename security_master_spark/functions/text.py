@@ -62,13 +62,19 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: penalize extreme length,
-    high punctuation density, and low alphabetic ratio — the standard
-    pretraining-corpus filter shape."""
-    n = F.length(text) + F.lit(1)
+    symbol density, and low alphabetic ratio — the standard
+    pretraining-corpus filter shape. Formula kept to portable SQL
+    primitives (length/regexp_replace in the common RE2 subset) so the
+    DuckDB oracle can mirror it term by term."""
+    n = (F.length(text) + F.lit(1)).cast("double")
     alpha = F.length(F.regexp_replace(text, "[^a-zA-Z ]", "")) / n
-    punct = F.length(F.regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")) / n
-    len_ok = F.when((F.length(text) >= 20) & (F.length(text) <= 20000), 1.0).otherwise(0.5)
-    score = len_ok * (F.lit(0.7) * alpha + F.lit(0.3) * (1 - F.least(punct * 5, F.lit(1.0))))
+    symbol = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", "")) / n
+    len_ok = F.when(
+        (F.length(text) >= 20) & (F.length(text) <= 20000), 1.0
+    ).otherwise(0.5)
+    score = len_ok * (
+        F.lit(0.7) * alpha + F.lit(0.3) * (1 - F.least(symbol * 5, F.lit(1.0)))
+    )
     return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
 
 

@@ -88,21 +88,28 @@ def asof_join_bucketed(
     on: Sequence[str],
     left_ts: str,
     right_ts: str,
-    bucket: str = "7 days",
+    bucket_seconds: int = 7 * 86400,
 ) -> DataFrame:
     """Scale variant: restrict the as-of search to the left row's time
     bucket and the immediately preceding one, bounding join fan-out to
     ~2 buckets of right rows per left row instead of the full history.
+    The bucket id becomes part of the equi-join key, so shuffle
+    partitioning co-locates by (key, time-range) — the pattern that
+    keeps a 100 TB as-of join's per-task working set bounded.
 
-    Correct whenever right-side gaps never exceed ``bucket`` (i.e. every
-    key has at least one right row in any window of that width);
+    Correct whenever right-side gaps never exceed the bucket width
+    (every key has at least one right row in any window of that size);
     otherwise rows whose true match is older fall out — use the exact
     :func:`asof_join` when that guarantee doesn't hold.
     """
-    interval = F.expr(f"INTERVAL {bucket}")
-    lb = left.withColumn("__b", F.window(F.col(left_ts), bucket).start)
-    rb = right.withColumn("__rb", F.window(F.col(right_ts), bucket).start)
+
+    def bucket_of(ts: str) -> Column:
+        return F.floor(F.col(ts).cast("double") / F.lit(float(bucket_seconds)))
+
+    lb = left.withColumn("__b", bucket_of(left_ts))
     # Each right row serves its own bucket and the following one.
-    rb2 = rb.withColumn("__b", F.explode(F.array(F.col("__rb"), F.col("__rb") + interval))).drop("__rb")
-    out = asof_join(lb, rb2, [*on, "__b"], left_ts, right_ts, how="inner")
+    rb = right.withColumn(
+        "__b", F.explode(F.array(bucket_of(right_ts), bucket_of(right_ts) + 1))
+    )
+    out = asof_join(lb, rb, [*on, "__b"], left_ts, right_ts, how="inner")
     return out.drop("__b")

@@ -47,12 +47,16 @@ def minhash_signature(
     """MinHash signature as array<bigint>: per permutation i, the min
     over shingles of ``xxhash64(shingle, seed=i)``. Fixed seeds →
     deterministic signatures across runs/partitionings."""
+    # Arity trap: `lambda s, i=i:` would be read by PySpark as the
+    # 2-arg (element, index) transform form, making the array index —
+    # not the permutation number — the hash seed and every permutation
+    # identical. Bind the seed via a closure factory.
+    def perm_hash(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sh = shingles(text, shingle_n)
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_hashes)]
     )
 
 
@@ -165,24 +169,25 @@ def simhash(text: Column, bits: int = 64) -> Column:
     is a bigint bit-pattern."""
     toks = distinct_tokens(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # For each bit position, count +1/-1 votes; set bit if positive.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+    # Per bit position: count +1/-1 votes across token hashes, set the
+    # bit when positive. Bit positions are Python ints (shift amounts
+    # must be literals), so this unrolls into `bits` aggregate exprs —
+    # all JVM-side, one pass over the array each.
+    # NB: PySpark derives higher-order-function arity from the lambda's
+    # *signature*, so `lambda acc, h, mask=mask:` would be treated as a
+    # 3-arg lambda — close over the mask via a factory instead.
+    def vote_merge(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # top bit = long sign bit
+        vote = F.aggregate(hashes, F.lit(0), vote_merge(mask))
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
                 F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+            )
+        )
+    return out

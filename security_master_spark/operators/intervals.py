@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,22 +56,21 @@ def interval_join_bucketed(
     ts: str,
     valid_from: str,
     valid_to: str,
-    bucket: str = "30 days",
+    bucket_seconds: int = 30 * 86400,
 ) -> DataFrame:
     """Range-only interval join at scale: explode each dim interval into
-    the time buckets it overlaps, join on the bucket (equi-key → hash
-    join), then apply the exact range residual. Shuffle volume is
+    the time buckets it overlaps, join on the bucket id (equi-key →
+    hash join), then apply the exact range residual. Shuffle volume is
     O(facts + dim·buckets_per_interval) instead of a nested loop."""
-    b_fact = fact.withColumn("__b", F.window(F.col(ts), bucket).start)
+    sec = F.lit(float(bucket_seconds))
+
+    def bucket_of(col: str) -> Column:
+        return F.floor(F.col(col).cast("double") / sec)
+
+    b_fact = fact.withColumn("__b", bucket_of(ts))
     b_dim = dim.withColumn(
         "__b",
-        F.explode(
-            F.sequence(
-                F.window(F.col(valid_from), bucket).start,
-                F.window(F.col(valid_to), bucket).start,
-                F.expr(f"INTERVAL {bucket}"),
-            )
-        ),
+        F.explode(F.sequence(bucket_of(valid_from), bucket_of(valid_to))),
     )
     out = b_fact.join(b_dim, on="__b", how="inner").filter(
         (F.col(valid_from) <= F.col(ts)) & (F.col(ts) < F.col(valid_to))

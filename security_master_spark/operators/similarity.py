@@ -86,19 +86,20 @@ def random_hyperplane_cells(
         # map hash → {-1, +1}
         return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
+    # closure factory — a default-arg lambda would change the apparent
+    # arity PySpark uses to build the higher-order function.
+    def project(b: int):
+        return lambda x, i: x.cast("double") * plane_component(b, i)
+
     bits = [
         F.when(
             F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda x, i, b=b: x.cast("double") * plane_component(b, i),
-                ),
+                F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), project(b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             > 0,
-            F.shiftleft(F.lit(1), b),
+            F.lit(1 << b),
         ).otherwise(F.lit(0))
         for b in range(n_planes)
     ]

@@ -1,1 +1,304 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Securities-master domain operators (SURVEY.md §2.11) over the
+events table (the fixtures' only time-continuous series): as-of join,
+interval/validity join, forward-fill, corporate-action adjustment,
+resample/OHLC, returns + rolling vol, SCD latest, sessionization.
+
+The orders/lineitem 1990s dates are disjoint from events' 2024 range
+(FIXTURES.md), so point-in-time joins are events-to-events: 'purchase'
+rows play the fact quotes, 'view'/'signup' rows play the reference
+series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.operators.asof import asof_join
+from security_master_spark.operators.intervals import interval_join
+from security_master_spark.operators.sessionize import session_stats
+from security_master_spark.operators.timeseries import (
+    cumulative_product,
+    forward_fill,
+    latest_per_key,
+    ohlc,
+    pct_change,
+    rolling_stats,
+)
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "d1_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.view_ts, v.view_value
+    FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts AS view_ts, value AS view_value
+               FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def d1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for each purchase, the latest prior (or
+    simultaneous) view by the same user — the securities-master 'price
+    as of date' pattern. Window-recipe as-of join == DuckDB ASOF JOIN.
+    Cites SURVEY.md §2.3 (recipe verified exact vs DuckDB)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts"
+    )
+
+
+@register(
+    "d2_interval_join",
+    oracle="""
+    WITH intervals AS (
+        SELECT user_id, ts AS valid_from,
+               COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                        TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+               value AS session_value
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           i.valid_from, i.valid_to, i.session_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+    JOIN intervals i
+      ON e.user_id = i.user_id
+     AND i.valid_from <= e.ts AND e.ts < i.valid_to
+    """,
+)
+def d2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval (symbol-mapping) join: signup events define
+    per-user validity windows [ts, next_ts); clicks map to the window
+    containing them. Equi-key hash join + range residual — never a
+    nested loop."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    intervals = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("2100-01-01 00:00:00").cast("timestamp"),
+            ).alias("valid_to"),
+            F.col("value").alias("session_value"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join(
+        clicks,
+        intervals,
+        on=["user_id"],
+        ts="ts",
+        valid_from="valid_from",
+        valid_to="valid_to",
+    ).select(
+        "event_id", "user_id", "ts", "valid_from", "valid_to", "session_value"
+    )
+
+
+@register(
+    "d3_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(value_gapped IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_gapped
+        FROM events
+    )
+    """,
+)
+def d3_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote carry-forward: error events have no valid quote (NULL);
+    carry the last observed value per user. last(ignorenulls) over a
+    running frame == LAST_VALUE IGNORE NULLS."""
+    events = load_table(spark, sf_dir, "events")
+    gapped = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("value_gapped"),
+    )
+    filled = forward_fill(
+        gapped, keys=["user_id"], ts="ts", cols=["value_gapped"]
+    )
+    # forward_fill orders by ts only; event_id tiebreak for exactness:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return gapped.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("value_gapped", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@register(
+    "d4_adjustment_factor",
+    oracle=f"""
+    SELECT user_id, ts, event_id,
+           {sql_dround("EXP(SUM(LN(1.0 + value / 1000.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS cum_factor
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def d4_adjustment_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corporate-action style cumulative adjustment: running product of
+    per-event factors (1 + value/1000) per user in time order, as
+    exp(sum(ln)) — a built-in windowed agg, no UDF. SURVEY.md §2.11."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", (1.0 + F.col("value") / 1000.0).alias("factor")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return purchases.select(
+        "user_id",
+        "ts",
+        "event_id",
+        dround(F.exp(F.sum(F.log("factor")).over(w)), 6).alias("cum_factor"),
+    )
+
+
+@register(
+    "d5_daily_ohlc",
+    oracle=f"""
+    SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket,
+           ARG_MIN(value, ts) AS open,
+           MAX(value)         AS high,
+           MIN(value)         AS low,
+           ARG_MAX(value, ts) AS close,
+           COUNT(*)           AS n_obs
+    FROM events
+    GROUP BY user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+    """,
+)
+def d5_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to daily OHLC bars per user: single-pass min_by/max_by
+    (no self-joins), the canonical EOD-bar construction. (user_id, ts)
+    is unique in the fixtures, so open/close are deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    return ohlc(events, keys=["user_id"], ts="ts", price="value", every="day")
+
+
+@register(
+    "d6_returns_rolling_vol",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               ARG_MAX(value, ts) AS close
+        FROM events GROUP BY 1, 2
+    ), ret AS (
+        SELECT user_id, d, close,
+               close / LAG(close) OVER (PARTITION BY user_id ORDER BY d) - 1.0 AS ret
+        FROM daily
+    )
+    SELECT user_id, d, {sql_dround("close", 4)} AS close,
+           {sql_dround("ret", 6)} AS ret,
+           {sql_dround("STDDEV_SAMP(ret) OVER (PARTITION BY user_id ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 6)} AS vol5
+    FROM ret
+    """,
+)
+def d6_returns_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily close → simple returns → 5-bar rolling volatility. The
+    lag/stddev window stack every quant pipeline runs."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    ret = daily.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1.0
+    )
+    wv = w.rowsBetween(-4, 0)
+    return ret.select(
+        "user_id",
+        "d",
+        dround(F.col("close"), 4).alias("close"),
+        dround(F.col("ret"), 6).alias("ret"),
+        dround(F.stddev_samp("ret").over(wv), 6).alias("vol5"),
+    )
+
+
+@register(
+    "d7_scd_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def d7_scd_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD 'current record': newest event per user — the upsert-view
+    over an append-only log (reference pattern: latest vendor record
+    per symbol)."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        events.select("user_id", "event_id", "ts", "event_type", "value"),
+        keys=["user_id"],
+        order=[F.desc("ts"), F.desc("event_id")],
+    )
+
+
+@register(
+    "d8_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           EPOCH(MAX(ts)) - EPOCH(MIN(ts)) AS span_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def d8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via the lag/cumsum recipe;
+    the native session_window twin is cross-checked in tests
+    (SURVEY.md §2.10: both yielded identical session counts)."""
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, keys=["user_id"], ts="ts", gap_seconds=1800)

@@ -1,1 +1,422 @@
-"""Placeholder — filled in subsequent milestones."""
+"""LLM training-data pipeline operators (SURVEY.md §2.12) over the
+documents/embeddings fixtures: dedup (exact, fingerprint, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search (cosine top-k, kNN),
+text analysis (token stats, language-ID, quality scoring).
+
+Oracle strategy: everything built from md5/relational primitives gets
+a full DuckDB oracle; xxhash64-based sketches (MinHash/SimHash) are
+engine-specific → weak checks here + property tests in
+tests/test_operators.py (candidate-containment vs exact Jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.functions.text import (
+    STOPWORDS,
+    distinct_tokens,
+    quality_score,
+    tokens,
+)
+from security_master_spark.operators.dedup import (
+    fingerprint_dedup,
+    lsh_candidate_pairs,
+    simhash,
+)
+from security_master_spark.operators.similarity import knn_per_group
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "l1_exact_dedup_groups",
+    oracle="""
+    SELECT MD5(text) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def l1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups keyed by content fingerprint: the shuffle
+    key is 16-byte md5, not the document bytes — the 100 TB-safe form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "l2_fingerprint_dedup",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM documents GROUP BY MD5(text)
+    )
+    """,
+)
+def l2_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows surviving fingerprint dedup (keep smallest doc_id per md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs).select("doc_id", "lang", "source")
+
+
+@register(
+    "l3_token_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    )
+    SELECT token,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM tok
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def l3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies, top-50 terms. explode → two
+    aggregations; at scale tf and df come from one shuffle each with
+    partial aggregation map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "l4_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        WHERE doc_id <= 30
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           {sql_dround("n_common * 1.0 / (sa.n + sb.n - n_common)", 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    """,
+)
+def l4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over all pairs of a 30-doc slice.
+    Spark side uses array set ops on token arrays; oracle recomputes
+    relationally — two independent formulations of the same measure."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 30)
+    toks = docs.select("doc_id", distinct_tokens(F.col("text")).alias("toks"))
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        dround(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+    ).filter(inter > 0)
+
+
+@register(
+    "l5_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+             SELECT vec_id,
+                    list_dot_product(embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))) AS cs
+             FROM embeddings, q
+             WHERE vec_id != 0
+         )
+    SELECT vec_id, {sql_dround("cs", 6)} AS cos_sim
+    FROM scored
+    ORDER BY cs DESC, vec_id
+    LIMIT 10
+    """,
+)
+def l5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    the exactness baseline for ANN. Query vector joined as a broadcast
+    (1 row), dot products fold JVM-side, TakeOrderedAndProject top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.filter(F.col("vec_id") == 0).select(vec.alias("qv"))
+    dot_qv = F.aggregate(
+        F.zip_with(vec, F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", dround(dot_qv / (norm_v * norm_q), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "l6_knn_per_label",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cs
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id != b.vec_id
+        WHERE a.vec_id <= 200
+    ), ranked AS (
+        SELECT label, id_a, id_b, cs,
+               ROW_NUMBER() OVER (PARTITION BY label, id_a ORDER BY cs DESC, id_b) AS rn
+        FROM pairs
+    )
+    SELECT label, id_a, id_b, {sql_dround("cs", 6)} AS cos_sim
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def l6_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-NN per vector blocked by label (trivial IVF cell): crossJoin
+    confined within groups, window top-k on (label, id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_per_group(
+        emb.filter(F.col("vec_id") <= 200).unionByName(
+            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 200)
+        ),
+        group_col="label",
+        k=3,
+    )
+    # restrict query side to vec_id <= 200 but keep full candidate pool
+    return out.filter(F.col("id_a") <= 200).select(
+        "label", "id_a", "id_b", dround(F.col("cos_sim"), 6).alias("cos_sim")
+    )
+
+
+@register("l7_minhash_lsh_candidates")  # xxhash64 sketch → engine-specific, weak
+def l7_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding candidate pairs (32 hashes, 8 bands). Containment
+    within high-Jaccard ground truth is property-tested in
+    tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, num_hashes=32, bands=8)
+
+
+@register("l8_simhash_fingerprints")  # xxhash64-based, weak
+def l8_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + Hamming distance to the corpus-min
+    fingerprint as a clustering signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    ref = sh.agg(F.min("simhash").alias("ref")).withColumn("__one", F.lit(1))
+    return (
+        sh.withColumn("__one", F.lit(1))
+        .join(F.broadcast(ref), "__one")
+        .select(
+            "doc_id",
+            "simhash",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("ref"))).alias(
+                "hamming_to_ref"
+            ),
+        )
+    )
+
+
+def _stopword_rows() -> list[tuple[str, str]]:
+    return [(lang, w) for lang, words in STOPWORDS.items() for w in words]
+
+
+@register(
+    "l9_language_id",
+    oracle="""
+    WITH lex(lex_lang, word) AS (VALUES {values}),
+    tok AS (
+        SELECT doc_id, lang AS true_lang, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ),
+    scores AS (
+        SELECT doc_id, true_lang, lex_lang, COUNT(*) AS hits
+        FROM tok JOIN lex ON token = word
+        GROUP BY doc_id, true_lang, lex_lang
+    ),
+    best AS (
+        SELECT doc_id, true_lang, lex_lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lex_lang) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id, d.lang AS true_lang,
+           COALESCE(b.pred_lang, 'unknown') AS pred_lang
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b
+      ON d.doc_id = b.doc_id
+    """.format(
+        values=", ".join(f"('{lang}', '{w}')" for lang, w in _stopword_rows())
+    ),
+)
+def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: tokens ⋈ broadcast lexicon →
+    argmax hits per doc (deterministic tiebreak on language code).
+    The fixtures' synthetic vocabulary rarely hits the lexicon — the
+    operator shape (broadcast dictionary join + argmax) is the point."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_stopword_rows(), "lex_lang string, word string")
+    tok = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    scores = (
+        tok.join(F.broadcast(lex), F.col("token") == F.col("word"))
+        .groupBy("doc_id", "true_lang", "lex_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lex_lang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lex_lang").alias("pred_lang"))
+    )
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+    )
+
+
+@register(
+    "l10_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           {sql_dround(
+        "LEAST(GREATEST((CASE WHEN LENGTH(text) >= 20 AND LENGTH(text) <= 20000 "
+        "THEN 1.0 ELSE 0.5 END) * (0.7 * (LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g')) "
+        "/ CAST(LENGTH(text) + 1 AS DOUBLE)) + 0.3 * (1 - LEAST((LENGTH(REGEXP_REPLACE(text, "
+        "'[a-zA-Z0-9 ]', '', 'g')) / CAST(LENGTH(text) + 1 AS DOUBLE)) * 5, 1.0))), 0.0), 1.0)",
+        6,
+    )} AS quality
+    FROM documents
+    """,
+)
+def l10_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring + token counting — the pretraining
+    filter columns, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        dround(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "l11_multimodal_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, e.label,
+           {sql_dround("sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))", 6)} AS vec_norm,
+           d.n_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def l11_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-row shape: text + metadata + embedding in one
+    row (documents ⋈ embeddings on doc_id = vec_id), with a derived
+    vector feature."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "label",
+        dround(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(vec, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("vec_norm"),
+        "n_chars",
+    )
+
+
+@register(
+    "l12_ngram_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id <= 50
+    ), shingle AS (
+        SELECT doc_id, array_to_string(t[g.i:g.i+2], ' ') AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT sh) AS n_shingles,
+           MIN(MD5(sh)) AS min_fp,
+           MAX(MD5(sh)) AS max_fp
+    FROM shingle
+    GROUP BY doc_id
+    """,
+)
+def l12_ngram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingling + md5 min/max fingerprints per doc — the
+    portable (non-xxhash) fingerprint pair; MinHash generalizes this
+    with per-permutation seeds."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    toks = tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("sh"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shingles"),
+            F.min(F.md5("sh")).alias("min_fp"),
+            F.max(F.md5("sh")).alias("max_fp"),
+        )
+    )

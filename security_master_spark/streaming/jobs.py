@@ -1,0 +1,138 @@
+"""Structured Streaming jobs (SURVEY.md §2.10): the streaming forms of
+the batch window operators, plus watermarked dedup and an arbitrary
+stateful aggregation.
+
+The fixtures are static parquet, so live tests drive these with the
+rate source (tests/test_streaming.py); against a real feed the same
+builders accept a Kafka-source DataFrame unchanged — every builder
+takes an input streaming DataFrame and returns the transformed
+streaming DataFrame, leaving source/sink wiring to the caller.
+
+Design for scale: state stores are keyed by the groupBy key; watermarks
+bound state size (late data beyond the watermark is dropped);
+``transformWithStateInPandas``/``applyInPandasWithState`` shard state
+by key across executors — no global state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def tumbling_counts(stream: DataFrame, ts_col: str = "timestamp",
+                    width: str = "10 seconds", watermark: str = "10 seconds") -> DataFrame:
+    """Watermarked tumbling-window counts — the canonical streaming agg."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("bucket"), "n")
+    )
+
+
+def sliding_avg(stream: DataFrame, value_col: str, ts_col: str = "timestamp",
+                width: str = "20 seconds", slide: str = "5 seconds",
+                watermark: str = "10 seconds") -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width, slide))
+        .agg(F.avg(value_col).alias("avg_value"), F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w_start"), "avg_value", "n")
+    )
+
+
+def session_counts(stream: DataFrame, key_col: str, ts_col: str = "timestamp",
+                   gap: str = "10 seconds", watermark: str = "10 seconds") -> DataFrame:
+    """Streaming session windows — state per (key, open session), closed
+    and emitted once the watermark passes the gap."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str],
+                           ts_col: str = "timestamp",
+                           watermark: str = "10 seconds") -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates of a key
+    arriving within the watermark horizon are dropped; state for older
+    keys is evicted — the streaming form of fingerprint_dedup."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+#: output schema for running_max_state
+_RUN_MAX_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("max_value", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _running_max_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key running max + count — the minimal arbitrary-stateful
+    operator shape (applyInPandasWithState): state is (max, count)."""
+    if state.hasTimedOut:
+        mx, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"key": [key[0]], "max_value": [mx], "n_seen": [n], "last_ts": [None]}
+        )
+        return
+    mx, n = state.get if state.exists else (None, 0)
+    last_ts = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        batch_max = int(pdf["value"].max())
+        mx = batch_max if mx is None else max(mx, batch_max)
+        n += len(pdf)
+        last_ts = pdf["timestamp"].max()
+    state.update((mx, n))
+    yield pd.DataFrame(
+        {"key": [key[0]], "max_value": [mx], "n_seen": [n], "last_ts": [last_ts]}
+    )
+
+
+def running_max_state(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Arbitrary stateful aggregation via applyInPandasWithState:
+    per-key running max/count with update-mode emission."""
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        _running_max_fn,
+        outputStructType=_RUN_MAX_SCHEMA,
+        stateStructType="max_value LONG, n_seen LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def replay_events_as_stream(spark, sf_dir: str, events_schema) -> DataFrame:
+    """File-source streaming over the events fixture directory — reads
+    the static parquet as a bounded stream (one file = one microbatch),
+    demonstrating the batch/streaming unification on the graded data."""
+    return (
+        spark.readStream.schema(events_schema)
+        .format("parquet")
+        .load(f"{sf_dir}")
+    )

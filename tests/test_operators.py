@@ -1,0 +1,231 @@
+"""Property and cross-check tests for the operator library
+(SURVEY.md §5): internal-consistency pairs (session_window vs
+lag-cumsum, LSH candidates vs exact Jaccard, bucketed vs exact
+variants) and plan-shape assertions (pushdown, broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.operators.asof import asof_join, asof_join_bucketed
+from security_master_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash,
+)
+from security_master_spark.operators.intervals import (
+    interval_join,
+    interval_join_bucketed,
+)
+from security_master_spark.operators.sessionize import (
+    session_stats,
+    session_window_agg,
+)
+from security_master_spark.operators.similarity import cosine_topk
+
+
+def test_sessionize_matches_native_session_window(spark, sf_dir):
+    """The lag/cumsum recipe and Spark's native session_window must
+    produce identical session counts and (start, end) sets."""
+    events = load_table(spark, sf_dir, "events")
+    recipe = session_stats(events, ["user_id"], "ts", 1800)
+    native = session_window_agg(
+        events,
+        ["user_id"],
+        "ts",
+        "30 minutes",
+        [F.count("*").alias("n_events")],
+    )
+    assert recipe.count() == native.count()
+    r = {
+        (x.user_id, x.session_start, x.session_end, x.n_events)
+        for x in recipe.collect()
+    }
+    n = {
+        (x.user_id, x.session_window.start, x.session_window.end, x.n_events)
+        for x in native.select("user_id", "session_window", "n_events").collect()
+    }
+    # native windows end at last_event + gap; align by (user, start, count)
+    assert {(a, b, d) for a, b, _, d in r} == {(a, b, d) for a, b, _, d in n}
+
+
+def test_lsh_candidates_contain_high_jaccard_pairs(spark, sf_dir):
+    """Recall property: every pair with TOKEN Jaccard >= 0.9 must be an
+    LSH candidate when minhash runs on 1-token shingles (so both sides
+    estimate the same measure; the fixtures are random token soup, so
+    3-gram shingle similarity is ~0 even when token overlap is high).
+    Miss probability per pair with 32 perms / 8 bands (r=4) at j=0.9 is
+    (1 - 0.9^4)^8 ≈ 2e-4."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 120)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            docs, num_hashes=32, bands=8, shingle_n=1
+        ).collect()
+    }
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    exact = jaccard_pairs(docs, pairs)
+    high = exact.filter(F.col("jaccard") >= 0.9).collect()
+    missed = [(r.id_a, r.id_b) for r in high if (r.id_a, r.id_b) not in cand]
+    # allow ≤1% straggler misses (probabilistic guarantee, tiny corpus)
+    assert len(missed) <= max(1, len(high) // 100), (
+        f"LSH missed {len(missed)}/{len(high)} high-similarity pairs: {missed[:5]}"
+    )
+
+
+def test_lsh_candidates_are_actually_similar(spark, sf_dir):
+    """Precision sanity: candidate pairs skew more similar than the
+    average pair (relative, because this corpus's baseline Jaccard is
+    unusually high ~0.63)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 120)
+    cand = lsh_candidate_pairs(docs, num_hashes=32, bands=8, shingle_n=1)
+    if cand.count() == 0:
+        return  # corpus may have no near-dups at tiny sf
+    avg_cand = (
+        jaccard_pairs(docs, cand).agg(F.avg("jaccard").alias("a")).collect()[0].a
+    )
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    allp = ids.crossJoin(docs.select(F.col("doc_id").alias("id_b"))).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    avg_all = (
+        jaccard_pairs(docs, allp).agg(F.avg("jaccard").alias("a")).collect()[0].a
+    )
+    assert avg_cand > avg_all, (
+        f"candidates not above baseline: {avg_cand} <= {avg_all}"
+    )
+
+
+def test_exact_and_fingerprint_dedup_agree(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r.doc_id for r in exact_dedup(docs).select("doc_id").collect())
+    b = sorted(r.doc_id for r in fingerprint_dedup(docs).select("doc_id").collect())
+    assert a == b
+
+
+def test_simhash_deterministic_and_discriminative(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    h1 = {r.doc_id: r.sh for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    h2 = {r.doc_id: r.sh for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    assert h1 == h2  # stable across runs
+    assert len(set(h1.values())) > 1  # not constant
+
+
+def test_asof_left_join_keeps_unmatched(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("v_val")
+    )
+    inner = asof_join(purchases, views, ["user_id"], "ts", "v_ts", how="inner")
+    left = asof_join(purchases, views, ["user_id"], "ts", "v_ts", how="left")
+    assert left.count() == purchases.count()
+    assert inner.count() <= left.count()
+    assert left.filter(F.col("v_ts").isNull()).count() == left.count() - inner.count()
+
+
+def test_asof_tolerance_bounds_match_age(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    tol = F.expr("INTERVAL 1 HOUR")
+    out = asof_join(purchases, views, ["user_id"], "ts", "v_ts", tolerance=tol)
+    bad = out.filter(
+        F.col("v_ts") < F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    ).count()
+    assert bad == 0
+    # tolerance result ⊆ untolerated result rows (by left id)
+    full = asof_join(purchases, views, ["user_id"], "ts", "v_ts")
+    assert out.count() <= full.count()
+
+
+def test_asof_bucketed_matches_exact_when_dense(spark, sf_dir):
+    """With a bucket far wider than any per-user view gap, the bucketed
+    as-of must equal the exact one on matched rows."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    exact = asof_join(purchases, views, ["user_id"], "ts", "v_ts")
+    bucketed = asof_join_bucketed(
+        purchases, views, ["user_id"], "ts", "v_ts", bucket_seconds=30 * 86400
+    )
+    e = {(r.event_id, r.v_ts) for r in exact.collect()}
+    b = {(r.event_id, r.v_ts) for r in bucketed.collect()}
+    assert b <= e
+    # 30-day bucket covers the whole fixture range → must be equal
+    assert b == e
+
+
+def test_interval_bucketed_matches_exact(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("user_id").orderBy("ts")
+    intervals = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(win),
+                F.lit("2100-01-01 00:00:00").cast("timestamp"),
+            ).alias("valid_to"),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    exact = interval_join(clicks, intervals, ["user_id"], "ts", "valid_from", "valid_to")
+    # bucketed variant is range-only (no key) — compare on a keyless slice
+    one_user = clicks.filter(F.col("user_id") == clicks.first().user_id)
+    iv_one = intervals.filter(F.col("user_id") == clicks.first().user_id).drop("user_id")
+    b = interval_join_bucketed(
+        one_user, iv_one, "ts", "valid_from", "valid_to", bucket_seconds=30 * 86400
+    )
+    e = exact.filter(F.col("user_id") == clicks.first().user_id)
+    assert b.count() == e.count()
+
+
+def test_cosine_topk_self_query_is_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0].embedding
+    top = cosine_topk(emb, list(qv), k=1).collect()
+    assert top[0].vec_id == 1
+    assert abs(top[0].cos_sim - 1.0) < 1e-9
+
+
+def test_q1_plan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """Scale guard: the flagship scan must show predicate pushdown and
+    column pruning in the physical plan."""
+    from security_master_spark.plans.registry import queries
+
+    df = queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned: only the 7 needed columns in ReadSchema
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from security_master_spark.plans.registry import queries
+
+    df = queries()["q2_star_join_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

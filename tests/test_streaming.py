@@ -1,0 +1,107 @@
+"""Live Structured Streaming smoke tests: rate source → memory sink.
+These verify the streaming operators actually run in streaming mode
+(weak checks — streaming output is inherently timing-dependent; the
+oracle-checked semantics live in the batch twins, plans/streaming_batch).
+
+Termination discipline: the rate source is unbounded, so we never call
+``processAllAvailable()`` (it can chase continuously-arriving data
+forever). Instead: start, poll the memory table until the readiness
+predicate holds or a hard deadline passes, stop.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from security_master_spark.streaming.jobs import (
+    dedup_within_watermark,
+    running_max_state,
+    session_counts,
+    tumbling_counts,
+)
+
+_DEADLINE_S = 60.0
+
+
+def _rate(spark, rows_per_sec: int = 50):
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+    )
+
+
+def _run_until(spark, df, name: str, mode: str, ready):
+    """Start df → memory sink, poll ``ready(spark)`` until true or
+    deadline, stop the query, return the final snapshot rows."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + _DEADLINE_S
+        while time.time() < deadline:
+            if ready(spark):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(f"{name}: readiness not reached in {_DEADLINE_S}s")
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _has_rows(table):
+    return lambda spark: spark.sql(f"SELECT 1 FROM {table} LIMIT 1").count() > 0
+
+
+def test_tumbling_counts_stream(spark):
+    out = tumbling_counts(_rate(spark), width="2 seconds", watermark="2 seconds")
+    rows = _run_until(spark, out, "t_tumbling", "update", _has_rows("t_tumbling"))
+    assert len(rows) > 0
+    assert all(r.n > 0 for r in rows)
+
+
+def test_dedup_within_watermark_stream(spark):
+    src = _rate(spark).withColumn("dup_key", F.col("value") % 10)
+    out = dedup_within_watermark(src, ["dup_key"], watermark="10 seconds")
+
+    def three_keys(s):
+        return s.sql("SELECT COUNT(DISTINCT dup_key) c FROM t_dedup").first().c >= 3
+
+    _run_until(spark, out, "t_dedup", "append", three_keys)
+    rows = spark.sql(
+        "SELECT dup_key, COUNT(*) c FROM t_dedup GROUP BY dup_key"
+    ).collect()
+    # within one watermark horizon each key appears exactly once
+    assert 3 <= len(rows) <= 10
+    assert all(r.c == 1 for r in rows)
+
+
+def test_session_counts_stream(spark):
+    src = _rate(spark).withColumn("user", F.col("value") % 3)
+    out = session_counts(src, "user", gap="2 seconds", watermark="2 seconds")
+    rows = _run_until(spark, out, "t_sessions", "complete", _has_rows("t_sessions"))
+    assert len(rows) > 0
+    assert all(r.n_events > 0 for r in rows)
+
+
+def test_running_max_state_stream(spark):
+    src = _rate(spark).withColumn("key", F.col("value") % 5)
+    out = running_max_state(src, "key")
+
+    def all_keys(s):
+        return s.sql("SELECT COUNT(DISTINCT key) c FROM t_state").first().c >= 5
+
+    _run_until(spark, out, "t_state", "update", all_keys)
+    rows = spark.sql(
+        "SELECT key, MAX(max_value) mx, MAX(n_seen) n FROM t_state GROUP BY key"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mx is not None and r.n >= 1
