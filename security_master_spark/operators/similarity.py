@@ -109,29 +109,58 @@ def random_hyperplane_cells(
     return out
 
 
+def _multi_table_cells(
+    vec: Column, n_planes: int, n_tables: int, dim: int
+) -> Column:
+    """Array of (table_id << 32) | cell_id — one sign-LSH cell per hash
+    table, each table with independent hyperplanes (seed = table id)."""
+    return F.array(
+        *[
+            F.shiftleft(F.lit(t).cast("long"), 32).bitwiseOR(
+                random_hyperplane_cells(vec, n_planes, seed=101 + t, dim=dim)
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     query_vec_col: str = "q_vec",
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus and queries by sign-LSH cell,
-    join on cell id (equi-join — no corpus crossJoin), exact-rank within
-    the bucket. Recall is tunable via ``n_planes`` (fewer planes →
-    bigger cells → higher recall, more compute); multi-probe extension:
-    explode queries to neighboring cells (1-bit flips)."""
+    """Approximate top-k: corpus and queries bucketed by sign-LSH cell
+    in ``n_tables`` independent hash tables, equi-joined on cell id (no
+    corpus crossJoin), candidates deduped across tables, exact cosine
+    rank within the candidate set.
+
+    Recall/cost dial: P(candidate) = 1 − (1 − p^planes)^tables with
+    p = 1 − θ/π per plane — more tables buys recall linearly in shuffle
+    volume, more planes cuts candidates exponentially. Shuffle is
+    O((corpus + queries) · tables) cell-id pairs, never vectors²;
+    per-bucket exact ranking keeps the whole thing one window + filter.
+    """
     corpus = embeddings.withColumn(
-        "__cell", random_hyperplane_cells(F.col(vec_col), n_planes, dim=dim)
+        "__cell",
+        F.explode(_multi_table_cells(F.col(vec_col), n_planes, n_tables, dim)),
     )
     qs = queries.withColumn(
-        "__cell", random_hyperplane_cells(F.col(query_vec_col), n_planes, dim=dim)
+        "__cell",
+        F.explode(_multi_table_cells(F.col(query_vec_col), n_planes, n_tables, dim)),
     )
-    scored = qs.join(corpus, "__cell").select(
+    candidates = (
+        qs.join(corpus, "__cell")
+        .select(query_id_col, query_vec_col, id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = candidates.select(
         query_id_col,
         F.col(id_col),
         cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos_sim"),

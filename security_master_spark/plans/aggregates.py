@@ -232,3 +232,55 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.min("c_acctbal"), R).alias("min_bal"),
         dround(F.max("c_acctbal"), R).alias("max_bal"),
     )
+
+
+@register(
+    "a11_column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderstatus) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def a11_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the exact, SQL-expressible core of
+    df.summary()/describe()): per column — row count, null count,
+    distinct count, min/max. One row per profiled column via union of
+    single-pass aggregates; at scale Catalyst shares the scan via
+    cache or the profile runs as one pass with conditional aggs."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile(col: str, stringify: bool) -> DataFrame:
+        mn, mx = F.min(col), F.max(col)
+        if stringify:
+            # float→string via the JVM would give Java's formatting;
+            # cast on the *collected doubles* side instead: format in
+            # SQL-compatible shortest-roundtrip form
+            mn, mx = mn.cast("string"), mx.cast("string")
+        return orders.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_s"),
+            mx.alias("max_s"),
+        )
+
+    return (
+        profile("o_orderstatus", False)
+        .unionByName(profile("o_orderpriority", False))
+        .unionByName(profile("o_totalprice", True))
+    )

@@ -420,3 +420,89 @@ def l12_ngram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.md5("sh")).alias("max_fp"),
         )
     )
+
+
+@register("l13_ann_lsh_topk")  # weak: sign-LSH cells use xxhash64-derived
+# hyperplanes (engine-specific); recall vs brute force is asserted in
+# tests/test_operators.py instead of a SQL oracle
+def l13_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: corpus and queries bucketed by random-hyperplane
+    sign cells, equi-joined on cell id, exact cosine rank inside the
+    bucket — candidate generation never crossJoins the corpus. Results
+    are deterministic (fixed-seed hyperplanes, id tie-breaks)."""
+    from security_master_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_topk_lsh(emb, queries_df, k=5, n_planes=5, n_tables=8).select(
+        "q_id", "vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim")
+    )
+
+
+@register(
+    "l14_winnow_fingerprint",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               GREATEST(CAST(FLOOR((LENGTH(text) - 64) / 32.0) AS BIGINT), 0)
+                   AS max_i,
+               text
+        FROM documents
+    )
+    SELECT w.doc_id,
+           MIN(MD5(SUBSTRING(w.text, CAST(t.i * 32 + 1 AS INT), 64))) AS fingerprint,
+           MAX(t.i) + 1 AS n_windows
+    FROM w, UNNEST(generate_series(0, w.max_i)) AS t(i)
+    GROUP BY w.doc_id
+    """,
+)
+def l14_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-window fingerprint: md5 over 64-char
+    windows at stride 32, min-pooled per document — robust to edits
+    near document ends, and portable (md5) so the oracle checks every
+    hash. The xxhash64 twin (functions/text.py:rolling_hash_fingerprint)
+    is the cheaper production form."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_i = F.greatest(
+        F.floor((F.length("text") - 64) / F.lit(32.0)), F.lit(0)
+    ).cast("long")
+    hashes = F.transform(
+        F.sequence(F.lit(0).cast("long"), max_i),
+        lambda i: F.md5(F.substring(F.col("text"), (i * 32 + 1).cast("int"), 64)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        (max_i + 1).alias("n_windows"),
+    )
+
+
+@register(
+    "l15_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           LEN(string_split(text, ' ')) AS n_ws_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def l15_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (SURVEY.md §2.12 text analysis):
+    whitespace split and a BPE-ish pre-tokenizer regex (alnum runs |
+    single non-alnum-non-space), the standard fertility estimate for
+    LLM corpus sizing. Regex kept to the ASCII class subset both
+    engines' dialects (Java regex / RE2) interpret identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), F.lit(0)
+            )
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
+        "n_chars",
+    )

@@ -48,6 +48,9 @@ def _load_all_plan_modules() -> None:
         domain,
         llm,
         streaming_batch,
+        udfs,
+        sources_io,
+        multimodal,
     )
 
 

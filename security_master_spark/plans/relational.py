@@ -337,3 +337,97 @@ def q10_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("order_count") >= 12)
     )
+
+
+@register(
+    "q11_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q11_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via SQL — Catalyst decorrelates it into a left
+    semi join (SURVEY.md §4: RewriteCorrelatedScalarSubquery family),
+    so the physical plan is the same shuffle as q6_semi_join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
+@register(
+    "q12_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_partkey IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+    )
+      AND p_retailprice > 1200
+    """,
+)
+def q12_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated to semi join) stacked with a plain
+    pushed-down predicate."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+        )
+          AND p_retailprice > 1200
+        """
+    )
+
+
+@register(
+    "q13_lateral_topn",
+    oracle="""
+    SELECT n.n_name, o.o_orderkey, o.o_totalprice
+    FROM nation n,
+         LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders, customer
+            WHERE o_custkey = c_custkey AND c_nationkey = n.n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+         ) o
+    """,
+)
+def q13_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 orders per nation. Both
+    engines support SQL LATERAL; Spark plans it as the same
+    window-rank pattern as w5_topk_per_group."""
+    for t in ("nation", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, o.o_orderkey, o.o_totalprice
+        FROM nation n,
+             LATERAL (
+                SELECT o_orderkey, o_totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_nationkey = n.n_nationkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                LIMIT 2
+             ) o
+    """
+    )

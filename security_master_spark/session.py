@@ -19,6 +19,9 @@ Mandatory confs (FIXTURES.md gotchas):
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -34,12 +37,48 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_PKG_ZIP_PATH: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per process for shipping to executors."""
+    global _PKG_ZIP_PATH
+    if _PKG_ZIP_PATH is None or not os.path.exists(_PKG_ZIP_PATH):
+        pkg_dir = pathlib.Path(__file__).resolve().parent
+        fd, path = tempfile.mkstemp(prefix="security_master_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+        _PKG_ZIP_PATH = path
+    return _PKG_ZIP_PATH
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on Python *workers*.
+
+    Module-level UDF/UDTF functions are cloudpickled **by reference**
+    (module + qualname), so executors must be able to import
+    ``security_master_spark`` — the driver having it on ``sys.path`` is
+    not enough (workers inherit the JVM's PYTHONPATH, not the driver's
+    ``sys.path``). ``addPyFile`` is the runtime equivalent of
+    ``spark-submit --py-files``: it distributes the zip and prepends it
+    to every worker's import path, locally and on a real cluster alike.
+    """
+    sc = spark.sparkContext
+    zip_path = _package_zip()
+    shipped = {os.path.basename(p) for p in getattr(sc, "_python_includes", [])}
+    if os.path.basename(zip_path) not in shipped:
+        sc.addPyFile(zip_path)
+
+
 def configure_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for key, value in RUNTIME_CONFS.items():
         spark.conf.set(key, value)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    _ship_package(spark)
     return spark
 
 

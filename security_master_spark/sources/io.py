@@ -1,0 +1,52 @@
+"""Batch source/sink helpers (SURVEY.md §2.1): CSV / JSON / Parquet.
+
+Readers take an explicit schema — schema inference is a full extra
+pass over the data (prohibitive at 100 TB) and can silently drift
+between runs; a declared schema also lets the scan prune columns and
+push predicates from the first byte.
+
+The parquet sink is the engine's canonical output: ``partitionBy`` on
+the query-predicate columns turns future reads' filters into partition
+pruning (directories skipped at planning time, no file I/O at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partitioned parquet sink — the ETL landing pattern. One output
+    directory per distinct partition-column tuple; keep partition
+    cardinality ≤ O(10^4) and files ≥ ~100 MB at scale (tiny files are
+    the classic 100 TB failure mode — compact with coalesce/AQE)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
