@@ -35,6 +35,13 @@ def main() -> None:
     qs = registry.queries()
     # Warm up: JVM + parquet footer reads, one tiny action.
     qs["q1_pricing_summary"](spark, sf_dir).count()
+    # Warm up the Python-worker pool + Arrow serialization path too, so
+    # the first pandas-UDF query isn't billed the one-time worker
+    # spawn (reused afterwards; on a cluster this is per-executor
+    # startup cost, not per-query).
+    spark.range(0, 1000, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

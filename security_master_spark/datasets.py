@@ -63,3 +63,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to restore map-side parallelism when a
+    scan collapses to fewer partitions than cores (single-row-group
+    files here; few-file or skewed layouts at scale — parquet can't be
+    split below row-group granularity).
+
+    Use immediately before per-row-expensive stages (hashing, n-gram
+    expansion, Python batch UDFs): the shuffle of the narrow input is
+    cheap relative to the compute it spreads across the cluster. Not
+    for cheap scans — there the extra exchange only costs."""
+    spark = df.sparkSession
+    target = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

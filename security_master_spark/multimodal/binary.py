@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from security_master_spark.datasets import fan_out
+
 #: fixed fake-frame width for the video-sampling demo (bytes per frame)
 FRAME_BYTES = 32
 
@@ -88,7 +90,7 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     """Byte-level feature extraction over the payload column via
     mapInPandas (size, header magic, passthrough metadata). Where
     ``decode_image`` is the seam for real pixel features."""
-    return multimodal.select("doc_id", "payload", "media_meta").mapInPandas(
+    return fan_out(multimodal.select("doc_id", "payload", "media_meta")).mapInPandas(
         _features_batches, schema=FEATURE_SCHEMA
     )
 
@@ -123,6 +125,6 @@ def sample_frames(multimodal: DataFrame, stride: int = 3) -> DataFrame:
     is emitted (1 row in → ceil(n_frames/stride) rows out). With a real
     container format this is the same mapInPandas with a demuxer at the
     ``decode_image`` seam."""
-    return multimodal.select("doc_id", "payload").mapInPandas(
+    return fan_out(multimodal.select("doc_id", "payload")).mapInPandas(
         _frame_batches(stride), schema=FRAME_SCHEMA
     )

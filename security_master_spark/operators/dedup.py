@@ -10,10 +10,36 @@ pairs are verified with exact Jaccard only within buckets.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_master_spark.datasets import fan_out
 from security_master_spark.functions.text import distinct_tokens, shingles
+
+#: Mersenne prime 2^31-1: the universal-hash modulus. a·h31 + b stays
+#: under 2^62, so the arithmetic never overflows int64 (ANSI mode
+#: throws on long overflow — wraparound tricks are not available).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    h_i(x) = (a_i·x + b_i) mod (2^31-1), a_i ≠ 0 — the classic
+    universal-hashing MinHash: one real string hash per shingle plus
+    num_hashes multiply-add-mods replaces num_hashes full string
+    hashes."""
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE31), rnd.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def _shingle_hash31(s: Column) -> Column:
+    """xxhash64 folded into [0, 2^31-1) — the permutation input."""
+    return F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,20 +70,35 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def minhash_signature(
     text: Column, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
-    """MinHash signature as array<bigint>: per permutation i, the min
-    over shingles of ``xxhash64(shingle, seed=i)``. Fixed seeds →
-    deterministic signatures across runs/partitionings."""
-    # Arity trap: `lambda s, i=i:` would be read by PySpark as the
-    # 2-arg (element, index) transform form, making the array index —
-    # not the permutation number — the hash seed and every permutation
-    # identical. Bind the seed via a closure factory.
-    def perm_hash(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    """MinHash signature as array<bigint>: min over shingles of the
+    i-th affine permutation of the shingle's xxhash64. Fixed seeds →
+    deterministic signatures across runs/partitionings.
 
-    sh = shingles(text, shingle_n)
-    return F.array(
-        *[F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_hashes)]
-    )
+    Single pass: the shingle array is hashed once and folded once via
+    ``aggregate`` with an array accumulator (one slot per permutation)
+    — expressing this as num_hashes separate ``transform``s would
+    re-tokenize and re-hash the document once per permutation (no CSE
+    across higher-order functions; measured 30× slower)."""
+    consts = _perm_constants(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in consts])
+    b_arr = F.array(*[F.lit(b) for _, b in consts])
+    hashed = F.transform(shingles(text, shingle_n), _shingle_hash31)
+    init = F.array(*[F.lit(_MERSENNE31).cast("long")] * num_hashes)
+
+    def step(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda m, i: F.least(
+                m,
+                F.pmod(
+                    F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1),
+                    F.lit(_MERSENNE31),
+                ),
+            ),
+        )
+
+    return F.aggregate(hashed, init, step)
 
 
 def lsh_candidate_pairs(
@@ -78,22 +119,35 @@ def lsh_candidate_pairs(
     Follow with exact-Jaccard verification on this candidate set.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    banded = df.select(
-        F.col(id_col).alias("doc"), sig.alias("sig")
-    ).select(
+    consts = _perm_constants(num_hashes)
+    df = fan_out(df)  # n-gram expansion + hashing is per-row-expensive
+    # Signature via explode → one codegen'd groupBy pass: each shingle
+    # is hashed exactly once, the num_hashes permutation minima are
+    # num_hashes MIN aggregates over the exploded rows, and map-side
+    # partial aggregation collapses them to one row per doc before the
+    # shuffle — shuffle volume is O(docs · num_hashes) longs, never the
+    # shingle stream.
+    shingle_hashes = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_n), _shingle_hash31)
+        ).alias("h"),
+    )
+    sig = shingle_hashes.groupBy("doc").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE31))
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    banded = sig.select(
         "doc",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
                     )
                     for b in range(bands)
                 ]

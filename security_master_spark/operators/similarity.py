@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_master_spark.datasets import fan_out
 from security_master_spark.functions.vector import cosine, dot, norm
 
 
@@ -48,6 +49,7 @@ def knn_per_group(
     (label/partition blocking = the trivial IVF: candidates only within
     the same cell). CrossJoin is confined within groups; the window
     top-k shuffles on (group, left id)."""
+    embeddings = fan_out(embeddings)  # per-pair cosine folds are the cost
     a = embeddings.select(
         F.col(group_col).alias("__g"),
         F.col(id_col).alias("id_a"),
@@ -147,7 +149,7 @@ def ann_topk_lsh(
     O((corpus + queries) · tables) cell-id pairs, never vectors²;
     per-bucket exact ranking keeps the whole thing one window + filter.
     """
-    corpus = embeddings.withColumn(
+    corpus = fan_out(embeddings).withColumn(
         "__cell",
         F.explode(_multi_table_cells(F.col(vec_col), n_planes, n_tables, dim)),
     )

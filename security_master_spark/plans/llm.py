@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import load_table
+from security_master_spark.datasets import fan_out, load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.functions.text import (
     STOPWORDS,
@@ -244,7 +244,7 @@ def l7_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l8_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + Hamming distance to the corpus-min
     fingerprint as a clustering signal."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
     ref = sh.agg(F.min("simhash").alias("ref")).withColumn("__one", F.lit(1))
     return (
@@ -296,7 +296,7 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax hits per doc (deterministic tiebreak on language code).
     The fixtures' synthetic vocabulary rarely hits the lexicon — the
     operator shape (broadcast dictionary join + argmax) is the point."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     lex = spark.createDataFrame(_stopword_rows(), "lex_lang string, word string")
     tok = docs.select(
         "doc_id",
@@ -464,7 +464,7 @@ def l14_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near document ends, and portable (md5) so the oracle checks every
     hash. The xxhash64 twin (functions/text.py:rolling_hash_fingerprint)
     is the cheaper production form."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     max_i = F.greatest(
         F.floor((F.length("text") - 64) / F.lit(32.0)), F.lit(0)
     ).cast("long")
