@@ -431,3 +431,46 @@ def q13_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) o
     """
     )
+
+
+@register(
+    "q14_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           r.r_regionkey = n.n_regionkey AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q14_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (5×25) — crossJoin is
+    legitimate only when one side is tiny; Spark plans it as
+    BroadcastNestedLoopJoin."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+    )
+
+
+@register(
+    "q15_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q15_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination: total order (price, then unique key)
+    makes OFFSET deterministic. At scale prefer keyset pagination
+    (WHERE (price, key) < last_seen) — OFFSET must sort-and-skip."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -334,3 +334,33 @@ def s12_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor0"),
         F.least(F.col("s_acctbal"), F.lit(9999.0)).alias("bal_cap"),
     )
+
+
+@register(
+    "s13_map_functions",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal AS bal_value,
+           c_mktsegment AS seg_value,
+           2 AS n_keys,
+           'bal' AS first_key
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def s13_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map, then read it back via element_at /
+    map_keys — the oracle supplies the ground-truth values the map
+    round-trip must reproduce."""
+    customer = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("bal"), F.col("c_acctbal").cast("string"),
+        F.lit("seg"), F.col("c_mktsegment"),
+    )
+    return customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey",
+        F.element_at(m, "bal").cast("double").alias("bal_value"),
+        F.element_at(m, "seg").alias("seg_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_min(F.map_keys(m)).alias("first_key"),
+    )

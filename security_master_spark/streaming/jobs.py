@@ -136,3 +136,56 @@ def replay_events_as_stream(spark, sf_dir: str, events_schema) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}")
     )
+
+
+#: output schema for event_type_totals_tws
+_TWS_SCHEMA = StructType(
+    [
+        StructField("event_type", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", LongType()),
+    ]
+)
+
+
+class _RunningTotalsProcessor:
+    """transformWithStateInPandas processor (Spark 4 TWS): per-key
+    running count + sum held in a ValueState, emitted every microbatch.
+    State lives in the per-key state store (RocksDB on a cluster) —
+    sharded by the groupBy key, so no global coordination."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "n LONG, total LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            total += int(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Arbitrary stateful aggregation via the Spark 4
+    transformWithStateInPandas API (the successor to
+    applyInPandasWithState, with typed state + timers)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Processor(_RunningTotalsProcessor, StatefulProcessor):
+        pass
+
+    return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=_TWS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
