@@ -364,3 +364,95 @@ def s13_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_min(F.map_keys(m)).alias("first_key"),
     )
+
+
+@register(
+    "s14_date_formatting",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d')           AS iso_day,
+           STRFTIME(o_orderdate, '%Y/%m')              AS ym,
+           CAST(LAST_DAY(o_orderdate) AS DATE)         AS month_end,
+           QUARTER(o_orderdate)                        AS qtr,
+           WEEKOFYEAR(o_orderdate)                     AS iso_week,
+           CAST(EPOCH(o_orderdate) AS BIGINT)          AS epoch_sec,
+           MAKE_DATE(1995, 6, 15)                      AS fixed_date
+    FROM orders
+    WHERE o_orderkey <= 3000
+    """,
+)
+def s14_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime formatting/derivation battery — Spark's SimpleDateFormat
+    patterns vs DuckDB strftime produce the same strings for the shared
+    subset used here (zero-padded numeric fields)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 3000).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_format("o_orderdate", "yyyy/MM").alias("ym"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        F.make_date(F.lit(1995), F.lit(6), F.lit(15)).alias("fixed_date"),
+    )
+
+
+@register(
+    "s15_array_functions_2",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id <= 100
+    )
+    SELECT doc_id,
+           LIST_POSITION(toks, 'the')                   AS pos_the,
+           LIST_CONTAINS(toks, 'data')                  AS has_data,
+           LIST_HAS_ANY(toks, ['data', 'scan', 'the'])  AS overlaps_lex,
+           FLATTEN([toks[1:2], toks[3:4]])              AS first_four,
+           LIST_REVERSE(toks)[1]                        AS last_tok
+    FROM t
+    """,
+)
+def s15_array_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array battery: position (1-based; 0 = absent in both
+    engines), membership, overlap, flatten, reverse."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.filter(F.col("doc_id") <= 100).select(
+        "doc_id",
+        F.array_position(toks, "the").alias("pos_the"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.arrays_overlap(toks, F.array(F.lit("data"), F.lit("scan"), F.lit("the"))).alias(
+            "overlaps_lex"
+        ),
+        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias(
+            "first_four"
+        ),
+        F.element_at(F.reverse(toks), 1).alias("last_tok"),
+    )
+
+
+@register(
+    "s16_bitwise",
+    oracle="""
+    SELECT event_type,
+           BIT_AND(user_id)                  AS band,
+           BIT_OR(user_id)                   AS bor,
+           BIT_XOR(user_id)                  AS bxor,
+           MAX(user_id << 2)                 AS shifted,
+           MAX(user_id & 255)                AS masked
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s16_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates + scalar shifts/masks on int64 keys."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+        F.max(F.shiftleft(F.col("user_id"), 2)).alias("shifted"),
+        F.max(F.col("user_id").bitwiseAND(F.lit(255))).alias("masked"),
+    )

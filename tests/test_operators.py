@@ -257,3 +257,54 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     # (deterministic — fixed-seed hyperplanes); 0.45 leaves margin for
     # a different sf only
     assert hits / total >= 0.45, f"recall {hits}/{total} too low"
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting changes placement, never matching: salted fact⋈dim must
+    equal the plain join exactly."""
+    from security_master_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    plain = {
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name")
+        .collect()
+    }
+    salted = {
+        (r.o_orderkey, r.c_name)
+        for r in salted_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            customer,
+            on=["c_custkey"],
+            salt=8,
+        )
+        .select("o_orderkey", "c_name")
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_skewed_agg_matches_plain_agg(spark, sf_dir):
+    from security_master_spark.operators.skew import skewed_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag, r.n, round(r.s, 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("l_quantity").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    two_phase = {
+        (r.l_returnflag, r.count_l_quantity, round(r.sum_l_quantity, 4))
+        for r in skewed_agg(
+            li, ["l_returnflag"], {"l_quantity": "count"}, salt=16
+        )
+        .join(
+            skewed_agg(li, ["l_returnflag"], {"l_quantity": "sum"}, salt=16),
+            "l_returnflag",
+        )
+        .collect()
+    }
+    assert two_phase == plain
