@@ -506,3 +506,60 @@ def l15_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
         "n_chars",
     )
+
+
+@register(
+    "l16_dedup_clusters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        WHERE doc_id <= 120
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.55
+    ), sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    )
+    SELECT node, MIN(d) AS component
+    FROM (
+        WITH RECURSIVE reach(node, d) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+            UNION
+            SELECT r.node, e.d FROM reach r JOIN sym e ON r.d = e.s
+        )
+        SELECT node, d FROM reach
+    )
+    GROUP BY node
+    """,
+)
+def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters: token-Jaccard ≥ 0.55 edges over a 120-doc
+    slice, closed into connected components by iterative min-label
+    propagation (operators/clustering.py). The oracle computes the same
+    fixed point with a recursive CTE — two entirely different closure
+    algorithms must land on identical (node, component) rows."""
+    from security_master_spark.operators.clustering import connected_components
+    from security_master_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 120)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cand = ids.join(
+        docs.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    edges = (
+        jaccard_pairs(docs, cand)
+        .filter(F.col("jaccard") >= 0.55)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return connected_components(edges)

@@ -120,3 +120,99 @@ def io3_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dround(F.sum("l_quantity"), 4).alias("sum_qty"),
     )
+
+
+@register(
+    "io4_bucketed_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dround("SUM(o_totalprice)", 4)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def io4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketed by
+    the join key (8 buckets), so the join itself plans with NO shuffle
+    on either side (asserted in tests/test_operators.py) — the layout
+    investment that amortizes across every downstream join at scale.
+    The oracle joins the original unbucketed tables."""
+    from security_master_spark.sources.io import write_bucketed_table
+
+    tag = "".join(
+        ch if ch.isalnum() else "_"
+        for ch in (os.path.basename(os.path.normpath(sf_dir)) or "sf")
+    )
+    orders_t, cust_t = f"sms_orders_b_{tag}", f"sms_customer_b_{tag}"
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"),
+        orders_t,
+        "o_custkey",
+        8,
+        path=_scratch(sf_dir, "orders_bucketed"),
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "customer"),
+        cust_t,
+        "c_custkey",
+        8,
+        path=_scratch(sf_dir, "customer_bucketed"),
+    )
+    orders_b = spark.table(orders_t)
+    cust_b = spark.table(cust_t)
+    return (
+        orders_b.join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dround(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "io5_api_ingest",
+    oracle=f"""
+    SELECT p.p_partkey AS symbol_id,
+           t.day AS day,
+           p.p_retailprice AS open,
+           {sql_dround("p.p_retailprice * (1 + t.day / CAST(100 AS DOUBLE))", 6)}
+               AS close,
+           CAST(p.p_partkey % 1000 + t.day * 10 AS BIGINT) AS volume
+    FROM part p, UNNEST(generate_series(1, 5)) AS t(day)
+    WHERE p.p_partkey <= 500
+    """,
+)
+def io5_api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor-API ingestion seam (the reference's core job, SURVEY.md
+    §1.2/§2.1): a mapInPandas fetcher turns each 'symbol' row into its
+    EOD price series — one Arrow batch of symbols in, a frame of price
+    rows out, fetch parallelized across partitions. The HTTP call is
+    stubbed with a deterministic generator so the oracle can replay it;
+    a real client swaps into ``fetch`` unchanged."""
+    import pandas as pd
+
+    def fetch_batches(batches):
+        def fetch(symbol_id: int, retail: float) -> pd.DataFrame:
+            days = list(range(1, 6))
+            return pd.DataFrame(
+                {
+                    "symbol_id": symbol_id,
+                    "day": days,
+                    "open": retail,
+                    "close": [retail * (1 + d / 100.0) for d in days],
+                    "volume": [symbol_id % 1000 + d * 10 for d in days],
+                }
+            )
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                yield fetch(row.p_partkey, row.p_retailprice)
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    out = part.select("p_partkey", "p_retailprice").mapInPandas(
+        fetch_batches,
+        schema="symbol_id long, day long, open double, close double, volume long",
+    )
+    return out.withColumn("close", dround(F.col("close"), 6))

@@ -50,3 +50,28 @@ def write_parquet_partitioned(
     cardinality ≤ O(10^4) and files ≥ ~100 MB at scale (tiny files are
     the classic 100 TB failure mode — compact with coalesce/AQE)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Bucketed+sorted table sink: pre-shuffles by ``bucket_col`` into
+    ``n_buckets`` files so future equi-joins/aggregations on that key
+    read co-located data and skip their Exchange entirely — the
+    pay-once-shuffle-never-again layout for repeatedly-joined 100 TB
+    facts. (Bucketing metadata lives in the catalog, hence
+    ``saveAsTable`` rather than a bare path write.)"""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

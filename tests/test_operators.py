@@ -308,3 +308,44 @@ def test_skewed_agg_matches_plain_agg(spark, sf_dir):
         .collect()
     }
     assert two_phase == plain
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of bucketing: a sort-merge join of two tables
+    bucketed on the join key needs no Exchange on either input (forced
+    to SMJ with a merge hint — at fixture sizes Catalyst would rather
+    broadcast, which is equally shuffle-free but proves nothing about
+    the layout)."""
+    from security_master_spark.plans.registry import queries
+
+    # materialize the bucketed tables via the registered query
+    queries()["io4_bucketed_join"](spark, sf_dir).collect()
+    tag = "sf0_001"
+    orders_b = spark.table(f"sms_orders_b_{tag}").hint("merge")
+    cust_b = spark.table(f"sms_customer_b_{tag}")
+    joined = orders_b.join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, f"merge hint ignored:\n{plan}"
+    assert "Exchange" not in plan, (
+        f"bucketed join still shuffles its inputs:\n{plan}"
+    )
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must close a 5-node chain (diameter > 1
+    iteration) and keep separate islands separate."""
+    from security_master_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(edges).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+    assert got == want

@@ -1,0 +1,38 @@
+"""Physical-plan quality gate over the whole query registry: the scale
+guarantees (SURVEY.md §4) must be visible in the executed plan, not
+just intended. Any nested-loop or cartesian strategy outside the
+explicit allowlist fails the build.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from security_master_spark.plans import registry
+
+#: queries where a nested-loop/cartesian strategy is the *correct* plan
+#: (tiny broadcast side), with the reason recorded
+_NESTED_LOOP_OK = {
+    "q14_cross_join": "intentional 5x25 cartesian demo",
+    "l4_jaccard_pairs": "all-pairs over a 30-doc slice, broadcast side <= 30 rows",
+    "l5_cosine_topk": "1-row query vector broadcast to the corpus scan",
+    "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
+}
+
+_QUERIES = registry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_unintended_nested_loop_or_cartesian(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nested = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if nested:
+        assert name in _NESTED_LOOP_OK, (
+            f"{name}: nested-loop/cartesian join appeared in the physical plan "
+            "— add an equi-key or broadcast, or allowlist with a reason"
+        )
+
+
+def test_allowlist_entries_still_exist():
+    assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
