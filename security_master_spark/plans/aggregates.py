@@ -284,3 +284,24 @@ def a11_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_orderpriority", False))
         .unionByName(profile("o_totalprice", True))
     )
+
+
+@register("a12_freq_items_crosstab")  # df.stat sketches: single-pass
+# approximate profiling (freqItems) + contingency counts — shapes are
+# engine-specific, so weak-checked; exact profiling lives in a11
+def a12_freq_items_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.stat profiling surface: freqItems (single-pass
+    heavy-hitter sketch) joined with a crosstab contingency table of
+    orderstatus × orderpriority, flattened to stable columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    freq = orders.stat.freqItems(["o_orderpriority"], support=0.15)
+    ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    n_cols = F.lit(len(ct.columns) - 1)
+    return ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("orderstatus"),
+        n_cols.alias("n_priority_buckets"),
+    ).crossJoin(
+        freq.select(
+            F.size("o_orderpriority_freqItems").alias("n_frequent_priorities")
+        )
+    )

@@ -302,3 +302,65 @@ def d8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §2.10: both yielded identical session counts)."""
     events = load_table(spark, sf_dir, "events")
     return session_stats(events, keys=["user_id"], ts="ts", gap_seconds=1800)
+
+
+@register(
+    "d9_eod_pipeline",
+    oracle=f"""
+    WITH prices AS (
+        SELECT p.p_partkey AS symbol_id,
+               t.day AS day,
+               {sql_dround("p.p_retailprice * (1 + t.day / CAST(100 AS DOUBLE))", 6)}
+                   AS close
+        FROM part p, UNNEST(generate_series(1, 5)) AS t(day)
+        WHERE p.p_partkey <= 300
+    ), with_ret AS (
+        SELECT symbol_id, day, close,
+               close / LAG(close) OVER (PARTITION BY symbol_id ORDER BY day) - 1
+                   AS ret
+        FROM prices
+    )
+    SELECT symbol_id, day, close,
+           {sql_dround("COALESCE(ret, 0)", 8)} AS ret,
+           {sql_dround(
+               "EXP(SUM(LN(1 + COALESCE(ret, 0))) OVER "
+               "(PARTITION BY symbol_id ORDER BY day "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)}
+               AS growth_factor
+    FROM with_ret
+    """,
+)
+def d9_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end securities EOD pipeline — the reference's whole job in
+    one plan: ingest a (stubbed, deterministic) vendor price feed →
+    per-symbol daily returns (lag) → cumulative growth factor via the
+    exp·sum·log window product (the corporate-action adjustment
+    machinery of d4 applied to returns). Every stage is a window or
+    projection over the (symbol, day) partitioning — one shuffle total."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    days = F.explode(F.sequence(F.lit(1), F.lit(5))).alias("day")
+    prices = part.select(
+        F.col("p_partkey").alias("symbol_id"), F.col("p_retailprice"), days
+    ).select(
+        "symbol_id",
+        F.col("day").cast("long").alias("day"),
+        dround(
+            F.col("p_retailprice") * (1 + F.col("day") / F.lit(100.0)), 6
+        ).alias("close"),
+    )
+    w = Window.partitionBy("symbol_id").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_ret = prices.withColumn(
+        "ret", F.coalesce(F.col("close") / F.lag("close").over(w) - 1, F.lit(0.0))
+    )
+    return with_ret.select(
+        "symbol_id",
+        "day",
+        "close",
+        dround(F.col("ret"), 8).alias("ret"),
+        dround(F.exp(F.sum(F.log(1 + F.col("ret"))).over(cum)), 6).alias(
+            "growth_factor"
+        ),
+    )

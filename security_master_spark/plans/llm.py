@@ -563,3 +563,50 @@ def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     return connected_components(edges)
+
+
+@register(
+    "l17_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+               / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e)))
+                   AS cs
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, {sql_dround("cs", 6)} AS cos_sim
+    FROM pairs
+    WHERE cs >= 0.5
+    """,
+)
+def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked (candidates
+    only within a coarse cell — the IVF pattern; at 100 TB the block key
+    is an LSH/IVF cell id, same plan shape). Pairs ≥ 0.5 cosine are the
+    dedup edges; closing them is l16's connected components."""
+    from security_master_spark.functions.vector import cosine
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("label").alias("__g"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("__g"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    return (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dround(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+    )
