@@ -29,6 +29,11 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # NB: SPARK_GRAFT_CACHE=1 (datasets.load_table) was measured SLOWER
+    # here — the ~10 MB fixtures re-decode faster than the cached
+    # columnar copy materializes and scans; the knob pays off only when
+    # scan cost dominates (real table sizes), so it stays off for the
+    # battery.
     spark = get_spark(app_name="sms-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
