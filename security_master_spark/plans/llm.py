@@ -587,18 +587,20 @@ def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within a coarse cell — the IVF pattern; at 100 TB the block key
     is an LSH/IVF cell id, same plan shape). Pairs ≥ 0.5 cosine are the
     dedup edges; closing them is l16's connected components."""
-    from security_master_spark.functions.vector import cosine
+    from security_master_spark.functions.vector import dot, normalize
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # normalize per vector, dot per pair — the quadratic stage does one
+    # fold per pair instead of three (see operators/similarity.py)
     a = emb.select(
         F.col("label").alias("__g"),
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("vec_a"),
+        normalize(F.col("embedding")).alias("vec_a"),
     )
     b = emb.select(
         F.col("label").alias("__g"),
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vec_b"),
+        normalize(F.col("embedding")).alias("vec_b"),
     )
     return (
         a.join(b, "__g")
@@ -606,7 +608,7 @@ def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            dround(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            dround(dot(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.5)
     )
