@@ -364,3 +364,65 @@ def d9_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_factor"
         ),
     )
+
+
+@register(
+    "d10_calendar_align",
+    oracle=f"""
+    WITH cal AS (
+        SELECT CAST(d.d AS TIMESTAMP) AS day
+        FROM UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30',
+                                    INTERVAL 1 DAY)) AS d(d)
+    ), daily AS (
+        SELECT DATE_TRUNC('day', ts) AS day,
+               COUNT(*) AS n_events,
+               {sql_dround("SUM(value)", 4)} AS total_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT cal.day,
+           COALESCE(daily.n_events, 0) AS n_events,
+           COALESCE(daily.total_value,
+                    LAST_VALUE(daily.total_value IGNORE NULLS)
+                        OVER (ORDER BY cal.day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS total_value
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+    """,
+)
+def d10_calendar_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-calendar alignment: a generated complete calendar dim
+    left-joined against observed daily aggregates — missing sessions
+    get count 0 and a forward-filled value (the quote-carry rule).
+    The calendar is a broadcastable generated dim; at scale the join
+    partitions by date like any fact⋈date-dim."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = cal.join(daily, "day", "left")
+    return joined.select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce(
+            "total_value", F.last("total_value", ignorenulls=True).over(w)
+        ).alias("total_value"),
+    )

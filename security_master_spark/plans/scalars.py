@@ -456,3 +456,57 @@ def s16_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.shiftleft(F.col("user_id"), 2)).alias("shifted"),
         F.max(F.col("user_id").bitwiseAND(F.lit(255))).alias("masked"),
     )
+
+
+@register(
+    "s17_null_handling",
+    oracle="""
+    WITH flagged AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT c_custkey,
+           COALESCE(bal, -1.0)                       AS bal_filled,
+           COALESCE(seg, 'UNKNOWN')                  AS seg_filled,
+           bal IS NULL                               AS bal_was_null,
+           NULLIF(seg, 'BUILDING')                   AS seg_nullif,
+           TRY_CAST(seg AS DOUBLE)                   AS seg_as_num,
+           IFNULL(bal, 0.0) + COALESCE(bal, 0.0)     AS bal_doubled
+    FROM flagged
+    WHERE bal IS NOT NULL OR seg IS NOT NULL
+    """,
+)
+def s17_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery: synthesized nulls → na.fill (the
+    DataFrame API form of COALESCE), IS NULL flags, NULLIF, try_cast
+    (NULL on failure, never an exception), IFNULL."""
+    customer = load_table(spark, sf_dir, "customer")
+    flagged = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    filled = flagged.na.fill({"bal": -1.0, "seg": "UNKNOWN"})
+    return (
+        flagged.filter(F.col("bal").isNotNull() | F.col("seg").isNotNull())
+        .join(filled.select(
+            "c_custkey",
+            F.col("bal").alias("bal_filled"),
+            F.col("seg").alias("seg_filled"),
+        ), "c_custkey")
+        .select(
+            "c_custkey",
+            "bal_filled",
+            "seg_filled",
+            F.col("bal").isNull().alias("bal_was_null"),
+            F.nullif(F.col("seg"), F.lit("BUILDING")).alias("seg_nullif"),
+            F.col("seg").try_cast("double").alias("seg_as_num"),
+            (F.ifnull(F.col("bal"), F.lit(0.0)) + F.coalesce(F.col("bal"), F.lit(0.0))).alias("bal_doubled"),
+        )
+    )
