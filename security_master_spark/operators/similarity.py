@@ -90,10 +90,12 @@ def _plane_signs(spark, seed: int, n_planes: int, dim: int) -> list[list[float]]
     The components are pure constants (xxhash64 of seed/plane/index),
     but written as expressions inside the per-row lambda they were
     re-hashed for every row × plane × component — higher-order
-    functions are interpreted, so nothing folded them. One tiny driver
-    job evaluates the exact same hash expressions (identical int32
-    argument types → identical cells as the inline form) and the
-    operators embed the results as literal arrays."""
+    functions are interpreted, so nothing folded them. They are now
+    computed in-process by a bit-exact Python port of Spark's
+    ``xxhash64`` over int columns (functions/xxh64.py; equality with
+    ``F.xxhash64`` is pinned in tests), so the first ANN call pays no
+    driver-side Spark job. ``spark`` is kept for API compatibility and
+    unused."""
     key = (seed, n_planes, dim)
     if key not in _SIGN_CACHE:
         _populate_sign_cache(spark, [seed], n_planes, dim)
@@ -101,35 +103,19 @@ def _plane_signs(spark, seed: int, n_planes: int, dim: int) -> list[list[float]]
 
 
 def _populate_sign_cache(spark, seeds: list[int], n_planes: int, dim: int) -> None:
-    """Evaluate the sign matrices for all ``seeds`` in ONE driver job
-    (a per-seed job each would serialize several Spark round-trips into
-    the first ANN call)."""
-    todo = [s for s in seeds if (s, n_planes, dim) not in _SIGN_CACHE]
-    if not todo:
-        return
-    pairs = spark.createDataFrame(
-        [(s, b, i) for s in todo for b in range(n_planes) for i in range(dim)],
-        "seed int, b int, i int",
-    )
-    rows = pairs.select(
-        "seed",
-        "b",
-        "i",
-        F.when(
-            F.xxhash64(F.col("seed"), F.col("b"), F.col("i")).bitwiseAND(F.lit(1))
-            == 1,
-            F.lit(1.0),
-        )
-        .otherwise(F.lit(-1.0))
-        .alias("s"),
-    ).collect()
-    mats: dict[int, list[list[float]]] = {
-        s: [[0.0] * dim for _ in range(n_planes)] for s in todo
-    }
-    for r in rows:
-        mats[r.seed][r.b][r.i] = r.s
-    for s in todo:
-        _SIGN_CACHE[(s, n_planes, dim)] = mats[s]
+    """Fill the cache for all ``seeds`` — pure in-process arithmetic."""
+    from security_master_spark.functions.xxh64 import xxhash64_ints
+
+    for s in seeds:
+        if (s, n_planes, dim) in _SIGN_CACHE:
+            continue
+        _SIGN_CACHE[(s, n_planes, dim)] = [
+            [
+                1.0 if xxhash64_ints(s, b, i) & 1 else -1.0
+                for i in range(dim)
+            ]
+            for b in range(n_planes)
+        ]
 
 
 def random_hyperplane_cells(
@@ -230,6 +216,28 @@ def _multi_table_cells_pandas(spark, n_planes: int, n_tables: int, dim: int):
     return pandas_udf(cells, "array<long>")
 
 
+def _dot_pandas():
+    """Arrow-batched row-wise dot product: one ``einsum`` per batch.
+    The per-candidate scoring loop is dense linear algebra — the same
+    argument as :func:`_multi_table_cells_pandas`: interpreted
+    higher-order folds cost ~µs/element, BLAS costs ~ns. Float-sum
+    order differs from the sequential ``vector.dot`` fold, so use this
+    only where results are rank-consumed (ANN top-k), not
+    hash-compared."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pdot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pandas_udf(pdot, "double")
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -272,15 +280,24 @@ def ann_topk_lsh(
         normalize(F.col(query_vec_col)).alias(query_vec_col),
         F.explode(cells_udf(F.col(query_vec_col))).alias("__cell"),
     )
-    candidates = (
-        qs.join(corpus, "__cell")
-        .select(query_id_col, query_vec_col, id_col, vec_col)
-        .dropDuplicates([query_id_col, id_col])
-    )
-    scored = candidates.select(
-        query_id_col,
-        F.col(id_col),
-        dot(F.col(query_vec_col), F.col(vec_col)).alias("cos_sim"),
+    # Score AT the cell join and drop the vectors immediately: the
+    # cross-table dedup then shuffles narrow (q_id, id, score) rows
+    # instead of two 64-float arrays per candidate, and the duplicate
+    # scores (same pair found in several tables) collapse with MAX —
+    # identical values, so MAX == any-of. One fewer wide shuffle.
+    # Queries ≪ corpus by construction — pin the build side rather than
+    # letting size estimation (blind behind the UDF + explode) pick the
+    # corpus as the broadcast side.
+    pdot = _dot_pandas()
+    scored = (
+        F.broadcast(qs).join(corpus, "__cell")
+        .select(
+            query_id_col,
+            F.col(id_col),
+            pdot(F.col(query_vec_col), F.col(vec_col)).alias("cos_sim"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (

@@ -349,3 +349,41 @@ def test_connected_components_chain_and_islands(spark):
         (20, 20), (21, 20),
     }
     assert got == want
+
+
+def test_python_xxh64_matches_spark_xxhash64(spark):
+    """The in-process hyperplane hash (functions/xxh64.py) must be
+    bit-exact with the JVM expression it replaces — otherwise the
+    literal sign matrices silently diverge from the inline
+    ``random_hyperplane_cells`` form."""
+    from security_master_spark.functions.xxh64 import xxhash64_ints
+
+    rows = [
+        (s, b, i)
+        for s in (0, 7, 101, 108, -3)
+        for b in range(3)
+        for i in (0, 1, 63, 2**31 - 1, -(2**31))
+    ]
+    df = spark.createDataFrame(rows, "s int, b int, i int")
+    got = df.select("s", "b", "i", F.xxhash64("s", "b", "i").alias("h")).collect()
+    for r in got:
+        assert r.h == xxhash64_ints(r.s, r.b, r.i), (r.s, r.b, r.i)
+
+
+def test_simhash_agg_equals_column_form(spark, sf_dir):
+    """The codegen-friendly explode→groupBy SimHash must be
+    value-identical to the column-expression form, including for an
+    empty document (all-zero fingerprint)."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.dedup import simhash_agg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.union(
+        spark.createDataFrame([(999_999, "")], "doc_id long, text string")
+    )
+    col_form = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+    }
+    agg_form = {r.doc_id: r.simhash for r in simhash_agg(docs).collect()}
+    assert agg_form == col_form
