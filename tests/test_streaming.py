@@ -22,6 +22,7 @@ from security_master_spark.streaming.jobs import (
     dedup_within_watermark,
     running_max_state,
     session_counts,
+    sliding_avg,
     tumbling_counts,
 )
 
@@ -195,3 +196,29 @@ def test_tws_plan_builds(spark):
     out = running_totals_tws(src, "key")
     assert out.isStreaming
     assert set(out.columns) == {"event_type", "n_events", "total_value"}
+
+
+def test_sliding_avg_stream(spark):
+    """Sliding windows overlap: with width 4s / slide 1s every event
+    belongs to 4 windows, so once a few seconds of data have arrived
+    the sink must hold several distinct overlapping window starts."""
+    out = sliding_avg(
+        _rate(spark), "value",
+        width="4 seconds", slide="1 second", watermark="2 seconds",
+    )
+
+    def overlapping(s):
+        return (
+            s.sql("SELECT COUNT(DISTINCT w_start) c FROM t_sliding").first().c >= 3
+        )
+
+    rows = _run_until(spark, out, "t_sliding", "update", overlapping)
+    assert all(r.n > 0 for r in rows)
+    assert all(r.avg_value is not None for r in rows)
+    starts = sorted({r.w_start for r in rows})
+    # consecutive window starts are 1 slide (= 1 s) apart somewhere in
+    # the set — proof the windows genuinely overlap rather than tumble
+    deltas = {
+        (b - a).total_seconds() for a, b in zip(starts, starts[1:])
+    }
+    assert 1.0 in deltas, deltas
