@@ -616,3 +616,105 @@ def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.5)
     )
+
+
+@register(
+    "l18_hash_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def l18_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (md5 prefix mod 100 → 80/10/10). The property that matters
+    for training pipelines: the split is a pure function of the id —
+    stable across reruns, engines, partitionings, and dataset growth
+    (a doc never migrates between splits when new data arrives), unlike
+    ``df.sample``/``sampleBy`` whose assignment depends on partition
+    iteration order. Embarrassingly parallel: no shuffle at all — the
+    split column is computed in the scan's projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "l19_concat_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           cum_tokens - n_tokens AS start_offset,
+           CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((cum_tokens - 1) / 512.0) AS BIGINT) AS last_chunk,
+           CAST(FLOOR((cum_tokens - 1) / 512.0)
+                - FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) + 1
+               AS n_chunks
+    FROM c
+    """,
+)
+def l19_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language stream, documents
+    are concatenated in stable doc_id order and cut every 512 tokens —
+    the standard GPT-style pretraining packer. Output is the token-offset
+    index (per doc: global start offset, first/last chunk id, chunk
+    count) from which fixed-length training sequences are assembled.
+
+    Scale: the cumulative sum partitions by ``lang`` (the corpus
+    stream), so each partition's window is independent; at 100 TB the
+    stream key is (corpus shard, lang) to bound any single window's
+    data. One shuffle (window partitioning), no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    first_chunk = F.floor(start / F.lit(512.0)).cast("long")
+    last_chunk = F.floor((F.col("cum_tokens") - 1) / F.lit(512.0)).cast("long")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.alias("start_offset"),
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        (last_chunk - first_chunk + 1).alias("n_chunks"),
+    )

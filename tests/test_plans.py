@@ -17,6 +17,9 @@ _NESTED_LOOP_OK = {
     "l4_jaccard_pairs": "all-pairs over a 30-doc slice, broadcast side <= 30 rows",
     "l5_cosine_topk": "1-row query vector broadcast to the corpus scan",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
+    "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
+    "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
+    "the planned shape; build side is a single row)",
 }
 
 _QUERIES = registry.queries()
