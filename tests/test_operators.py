@@ -387,3 +387,28 @@ def test_simhash_agg_equals_column_form(spark, sf_dir):
     }
     agg_form = {r.doc_id: r.simhash for r in simhash_agg(docs).collect()}
     assert agg_form == col_form
+
+
+def test_dot_pandas_matches_hof_dot(spark, sf_dir):
+    """The Arrow-batched dot (the documented ≫10⁶-pair scoring path)
+    must agree with the sequential JVM fold to float tolerance."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.functions.vector import dot
+    from security_master_spark.operators.similarity import _dot_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    pairs = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).crossJoin(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    )
+    pdot = _dot_pandas()
+    rows = pairs.select(
+        "id_a",
+        "id_b",
+        pdot(F.col("va"), F.col("vb")).alias("p"),
+        dot(F.col("va"), F.col("vb")).alias("h"),
+    ).collect()
+    assert len(rows) == 2500
+    for r in rows:
+        assert abs(r.p - r.h) < 1e-9, (r.id_a, r.id_b, r.p, r.h)
