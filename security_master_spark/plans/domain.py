@@ -235,7 +235,11 @@ def d6_returns_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max_by("value", "ts").alias("close"))
     w = Window.partitionBy("user_id").orderBy("d")
     ret = daily.withColumn(
-        "ret", F.col("close") / F.lag("close").over(w) - 1.0
+        # try_divide: a zero prior close yields NULL, matching DuckDB's
+        # x/0 → NULL — ANSI `/` would instead throw, and zero closes
+        # do occur from sf0.1 up (column pruning hides this from
+        # count()-only checks, so keep the full-collect sim honest).
+        "ret", F.try_divide(F.col("close"), F.lag("close").over(w)) - 1.0
     )
     wv = w.rowsBetween(-4, 0)
     return ret.select(
@@ -353,7 +357,10 @@ def d9_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("symbol_id").orderBy("day")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_ret = prices.withColumn(
-        "ret", F.coalesce(F.col("close") / F.lag("close").over(w) - 1, F.lit(0.0))
+        "ret",
+        F.coalesce(
+            F.try_divide(F.col("close"), F.lag("close").over(w)) - 1, F.lit(0.0)
+        ),
     )
     return with_ret.select(
         "symbol_id",
