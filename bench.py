@@ -65,18 +65,46 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    # Round-1 lesson: the full ~100-query timing map (~3 KB) defeated
+    # the driver's stdout parse (BENCH_r01 recorded "parsed": null, tail
+    # captured mid-JSON). The official line stays COMPACT (<1 KB: total
+    # + top-10 slowest) and is printed LAST with an explicit flush; the
+    # full per-query map goes to BENCH_DETAIL.json next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
-            }
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            f,
+            indent=2,
+            sort_keys=True,
         )
-    )
     spark.stop()
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": top10,
+            "sf": _sf_from_dir(sf_dir),
+            "n_queries": len(timings),
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
+    )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

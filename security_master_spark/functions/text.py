@@ -51,13 +51,23 @@ def char_count(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as 'w1 w2 w3' strings — the MinHash input
-    unit. Built from slice over the token array via transform (no UDF)."""
+    unit. Built from slice over the token array via transform (no UDF).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array: the
+    sequence is guarded behind ``k >= 1`` because Spark's default
+    sequence step is -1 when start > stop, so ``sequence(1, 0)`` is the
+    DESCENDING [1, 0] and ``slice(toks, 0, n)`` then throws
+    INVALID_PARAMETER_VALUE.START — short/empty docs certainly occur at
+    corpus scale."""
     toks = tokens(text)
     k = F.size(toks) - (n - 1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def quality_score(text: Column) -> Column:

@@ -33,9 +33,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; null-safe only insofar as zero-norm vectors
-    yield NULL (division by zero → NULL in Spark SQL semantics)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; zero-norm vectors yield NULL via try_divide —
+    under the session's ANSI mode (Spark 4 default) a raw ``/`` would
+    instead abort the whole job with DIVIDE_BY_ZERO on the first zero
+    vector."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -64,11 +66,15 @@ def normalize(a: Column) -> Column:
     common-subexpression elimination — the norm was re-folded for every
     component (64× redundant work per row, measured as the dominant
     cost of every pre-normalizing operator). Fold order is unchanged,
-    so results are bit-identical to the naive form."""
+    so results are bit-identical to the naive form.
+
+    Zero vectors normalize to NULL components (try_divide) rather than
+    aborting under ANSI mode; callers treat a NULL-component vector as
+    un-scorable."""
     ad = _as_double(a)
     return F.aggregate(
         ad,
         F.lit(0.0),
         lambda acc, x: acc + x * x,
-        lambda acc: F.transform(ad, lambda x: x / F.sqrt(acc)),
+        lambda acc: F.transform(ad, lambda x: F.try_divide(x, F.sqrt(acc))),
     )

@@ -25,6 +25,8 @@ oracle in plans/llm.py:l16_dedup_clusters.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,4 +78,15 @@ def connected_components(
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    else:
+        # Loop exhausted max_iterations without hitting the Σlabel fixed
+        # point — labels may span multiple rounds of un-propagated
+        # merges; silent wrong components are worse than a loud signal.
+        warnings.warn(
+            f"connected_components: no convergence after {max_iterations} "
+            "iterations — returned labels may split true components; "
+            "raise max_iterations (rounds needed ≈ log2(graph diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))

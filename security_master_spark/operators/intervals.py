@@ -46,7 +46,14 @@ def interval_join(
         cond = in_range
         for k in on:
             cond = cond & (fact[k] == dim[k])
-        return fact.join(dim, cond, "left")
+        # Drop the dim-side key columns so both `how` modes return the
+        # same shape — with a condition join both sides' keys survive
+        # under identical names and any downstream reference would hit
+        # AMBIGUOUS_REFERENCE.
+        out = fact.join(dim, cond, "left")
+        for k in on:
+            out = out.drop(dim[k])
+        return out
     raise ValueError(f"how must be inner|left, got {how}")
 
 

@@ -38,10 +38,13 @@ def forward_fill(
 def pct_change(
     df: DataFrame, keys: Sequence[str], ts: str, col: str, out_col: str = "pct_change"
 ) -> DataFrame:
-    """Per-key period-over-period relative change (simple returns)."""
+    """Per-key period-over-period relative change (simple returns).
+    try_divide: a zero prior value yields NULL instead of aborting under
+    ANSI mode — zero closes occur in the data from sf0.1 up (same fix
+    as the plans/domain.py return computations)."""
     w = _series_window(keys, ts)
     prev = F.lag(col).over(w)
-    return df.withColumn(out_col, (F.col(col) - prev) / prev)
+    return df.withColumn(out_col, F.try_divide(F.col(col) - prev, prev))
 
 
 def rolling_stats(

@@ -192,20 +192,21 @@ def a8_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a9_collect_sorted",
     oracle="""
-    SELECT r_regionkey, list_sort(list(n_name)) AS nations
+    SELECT r_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_regionkey
     """,
 )
 def a9_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list order is partition-dependent → always sort the array
-    # before emitting (FIXTURES.md hazard list).
+    # before emitting (FIXTURES.md hazard list). CSV-serialized on both
+    # sides: the driver canonicalizer can't hash array-typed cells.
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
         nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
     )
 
 
@@ -229,6 +230,21 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.groupBy("c_mktsegment").agg(
         dround(F.median("c_acctbal"), R).alias("median_bal"),
         dround(F.percentile("c_acctbal", 0.95), R).alias("p95_bal"),
+        dround(F.min("c_acctbal"), R).alias("min_bal"),
+        dround(F.max("c_acctbal"), R).alias("max_bal"),
+    )
+
+
+@register("a13_approx_percentile")  # t-digest sketch params differ across engines → weak
+def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (SURVEY.md §2.4): the sketch-based scale path —
+    at 100 TB the exact interpolated percentile needs a full sort per
+    group, while the t-digest sketch is one map-side-combinable pass.
+    Exact bounds emitted alongside so the weak check still has anchors."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        dround(F.approx_percentile("c_acctbal", 0.5, 10000), R).alias("approx_median"),
+        dround(F.approx_percentile("c_acctbal", 0.95, 10000), R).alias("approx_p95"),
         dround(F.min("c_acctbal"), R).alias("min_bal"),
         dround(F.max("c_acctbal"), R).alias("max_bal"),
     )

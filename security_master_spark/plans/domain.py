@@ -24,7 +24,6 @@ from security_master_spark.operators.timeseries import (
     forward_fill,
     latest_per_key,
     ohlc,
-    pct_change,
     rolling_stats,
 )
 from security_master_spark.plans.registry import register
@@ -287,8 +286,8 @@ def d7_scd_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,

@@ -667,10 +667,10 @@ def l18_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), c AS (
         SELECT doc_id, lang, n_tokens,
-               SUM(n_tokens) OVER (
+               CAST(SUM(n_tokens) OVER (
                    PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum_tokens
+               ) AS BIGINT) AS cum_tokens
         FROM t
     )
     SELECT doc_id, lang, n_tokens,

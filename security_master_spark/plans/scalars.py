@@ -151,7 +151,7 @@ def s4_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' '))                       AS n_tokens,
            len(list_distinct(string_split(text, ' ')))        AS n_distinct,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_tokens,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first_tokens,
            list_contains(string_split(text, ' '), 'scan')     AS has_scan,
            array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3_csv
     FROM documents
@@ -166,7 +166,9 @@ def s5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.slice(dtoks, 1, 5).alias("first_tokens"),
+        # CSV-serialized (not array-typed): the driver's canonicalizer
+        # sorts result cells with pandas and crashes on ndarray cells.
+        F.concat_ws(",", F.slice(dtoks, 1, 5)).alias("first_tokens"),
         F.array_contains(toks, "scan").alias("has_scan"),
         F.concat_ws(",", F.slice(dtoks, 1, 3)).alias("top3_csv"),
     )
@@ -228,7 +230,7 @@ def s7_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s8_json_aggregate",
     oracle="""
     SELECT event_type,
-           SUM(CAST(props->>'$.k' AS INT)) AS k_total,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_total,
            MAX(CAST(props->>'$.k' AS INT)) AS k_max,
            COUNT(*) AS n
     FROM events
@@ -409,7 +411,7 @@ def s14_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
            LIST_POSITION(toks, 'the')                   AS pos_the,
            LIST_CONTAINS(toks, 'data')                  AS has_data,
            LIST_HAS_ANY(toks, ['data', 'scan', 'the'])  AS overlaps_lex,
-           FLATTEN([toks[1:2], toks[3:4]])              AS first_four,
+           array_to_string(FLATTEN([toks[1:2], toks[3:4]]), ',') AS first_four,
            LIST_REVERSE(toks)[1]                        AS last_tok
     FROM t
     """,
@@ -426,7 +428,8 @@ def s15_array_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.arrays_overlap(toks, F.array(F.lit("data"), F.lit("scan"), F.lit("the"))).alias(
             "overlaps_lex"
         ),
-        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias(
+        # CSV-serialized: array cells crash the driver's pandas canonicalizer.
+        F.concat_ws(",", F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2)))).alias(
             "first_four"
         ),
         F.element_at(F.reverse(toks), 1).alias("last_tok"),

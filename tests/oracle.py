@@ -2,17 +2,30 @@
 
 Runs a registered query on Spark and its oracle SQL on DuckDB against
 the same parquet fixtures, then compares row count, column names, and
-order-insensitive values. Stricter locally than the driver (exact
-value comparison after canonicalization) so driver failures are caught
-before they cost a round.
+order-insensitive values.
+
+Round-2 hardening: both result sets are routed THROUGH PANDAS, exactly
+like the driver's harness, before canonicalization. Round 1 proved the
+fetchall() path hides two real failure classes the driver catches:
+
+- dtype drift: DuckDB ``SUM(INT)`` returns HUGEINT, which pandas
+  renders as float64 while Spark returns int64 — ``fetchall()`` yields
+  plain Python ints on both sides and the drift vanishes locally but
+  hash-mismatches at the driver (round-1 s8).
+- array-typed cells: pandas sorting crashes on ndarray cells
+  (``unhashable type``) — the driver's canonicalizer did exactly that
+  on a9/s5/s15. The mirror now raises a targeted error telling the
+  query author to serialize (concat_ws / to_json) on both sides.
 """
 
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from security_master_spark.datasets import TABLES
 
@@ -31,62 +44,129 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _col_kind(series: pd.Series) -> str:
+    """Canonical type kind for one result column, from the pandas dtype
+    the driver would see. int vs float is the distinction that burned
+    round 1 (HUGEINT→float64 vs int64): kinds must MATCH across engines."""
+    k = series.dtype.kind
+    if k in "iu":
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    if k == "M":
+        return "ts"
+    if k == "m":
+        return "td"
+    # object column: infer from the first non-null cell
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, (np.ndarray, list, tuple)):
+            raise AssertionError(
+                f"array-typed cell in column {series.name!r}: the driver's "
+                "pandas canonicalizer cannot hash ndarray cells — serialize "
+                "the array on BOTH sides (concat_ws/to_json in Spark, "
+                "array_to_string/to_json in DuckDB)"
+            )
+        if isinstance(v, (bool, np.bool_)):
+            return "b"
+        if isinstance(v, (int, np.integer)):
+            return "i"
+        if isinstance(v, (float, np.floating, Decimal)):
+            return "f"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if hasattr(v, "isoformat"):
+            return "ts"
+        return "s"
+    return "null"
+
+
+def _date_norm(iso: str) -> str:
+    """DATE columns arrive as ``datetime.date`` from Spark but as
+    midnight datetime64 from DuckDB's ``.df()``; the driver accepts
+    that pairing (round-1 s3/s14 passed), so midnight timestamps
+    normalize to the bare date string."""
+    return iso[:-9] if iso.endswith("T00:00:00") else iso
+
+
 def _canon(v):
-    """Canonicalize one value for cross-engine comparison."""
-    if v is None:
+    """Canonicalize one pandas-sourced value for cross-engine comparison."""
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "NaN")
-        r = round(v, FLOAT_DP)
-        return ("f", 0.0 if r == 0 else r)  # -0.0 → 0.0
-    if isinstance(v, int):
-        # type-tagged: int vs float outputs must not silently compare
-        # equal — engines returning 1 vs 1.0 is a real schema mismatch.
-        return ("i", v)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    if hasattr(v, "isoformat"):  # date
-        return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        raise AssertionError(
+            "array-typed result cell — the driver's canonicalizer crashes on "
+            "these; serialize with concat_ws/to_json on both sides"
+        )
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return None
+        r = round(f, FLOAT_DP)
+        return 0.0 if r == 0 else r  # -0.0 → 0.0
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.tz_localize(None) if v.tzinfo is not None else v
+        return _date_norm(v.isoformat())
+    if hasattr(v, "isoformat"):  # datetime / date
+        if hasattr(v, "tzinfo") and v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return _date_norm(v.isoformat())
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return str(v)
 
 
-def _rowset(cols, rows):
-    """Order-insensitive canonical form: sort cols by name, then rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = [tuple(_canon(r[i]) for i in order) for r in rows]
-    return sorted(canon, key=repr)
+def _canon_frame(df: pd.DataFrame):
+    """(kinds, sorted canonical rows) — column order normalized by name."""
+    cols = sorted(df.columns)
+    kinds = {c: _col_kind(df[c]) for c in cols}
+    rows = [
+        tuple(_canon(df[c].iloc[i]) for c in cols) for i in range(len(df))
+    ]
+    return kinds, sorted(rows, key=repr)
 
 
 def compare(spark, query_fn, sql: str, sf_dir: str) -> None:
     """Assert the Spark query and DuckDB oracle agree. Raises on mismatch."""
     sdf = query_fn(spark, sf_dir)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = list(sdf.columns)
+    spark_pd = sdf.toPandas()
 
     con = duckdb_connection(sf_dir)
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pd = con.execute(sql).df()
     con.close()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    assert sorted(spark_pd.columns) == sorted(duck_pd.columns), (
+        f"column mismatch: spark={sorted(spark_pd.columns)} "
+        f"duck={sorted(duck_pd.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pd) == len(duck_pd), (
+        f"row count mismatch: spark={len(spark_pd)} duck={len(duck_pd)}"
     )
-    a = _rowset(spark_cols, spark_rows)
-    b = _rowset(duck_cols, duck_rows)
-    if a != b:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    s_kinds, s_rows = _canon_frame(spark_pd)
+    d_kinds, d_rows = _canon_frame(duck_pd)
+    kind_diffs = {
+        c: (s_kinds[c], d_kinds[c])
+        for c in s_kinds
+        if s_kinds[c] != d_kinds[c]
+        and "null" not in (s_kinds[c], d_kinds[c])
+    }
+    assert not kind_diffs, (
+        f"dtype-kind drift (spark vs duck) — this hash-mismatches at the "
+        f"driver even when values are equal: {kind_diffs}"
+    )
+    if s_rows != d_rows:
+        diffs = [(x, y) for x, y in zip(s_rows, d_rows) if x != y][:5]
+        n = len([1 for x, y in zip(s_rows, d_rows) if x != y])
         raise AssertionError(
-            f"value mismatch ({len([1 for x, y in zip(a, b) if x != y])} rows differ); "
+            f"value mismatch ({n} rows differ); "
             f"first diffs (spark vs duck): {diffs}"
         )

