@@ -27,7 +27,10 @@ from security_master_spark.operators.dedup import (
     lsh_candidate_pairs,
     simhash,
 )
-from security_master_spark.operators.similarity import knn_per_group
+from security_master_spark.operators.similarity import (
+    knn_per_group,
+    near_dup_pairs_lsh,
+)
 from security_master_spark.plans.registry import register
 
 
@@ -587,10 +590,14 @@ def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, label-blocked (candidates
-    only within a coarse cell — the IVF pattern; at 100 TB the block key
-    is an LSH/IVF cell id, same plan shape). Pairs ≥ 0.5 cosine are the
-    dedup edges; closing them is l16's connected components."""
+    """Embedding-cosine near-duplicate pairs, label-blocked — the
+    BOUNDED ORACLE form only (a constant 10 labels makes the candidate
+    set n²/10: exactly SQL-expressible, but quadratic in corpus size).
+    The production scale path is l20 / ``near_dup_pairs_lsh``: the same
+    exact-cosine verify over sign-LSH cell-join candidates, shuffle
+    O(corpus · tables), recall-tested against planted near-dups. Pairs
+    ≥ 0.5 cosine are the dedup edges; closing them is l16's connected
+    components."""
     from security_master_spark.functions.vector import dot, normalize
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -615,6 +622,25 @@ def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(dot(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.5)
+    )
+
+
+@register("l20_embedding_near_dup_lsh")  # sign-LSH buckets are engine-specific → weak
+def l20_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: exact-cosine-verified pairs whose
+    candidates come from a sign-LSH cell equi-join (8 tables) instead
+    of any quadratic blocking — the plan that survives a 100× corpus.
+    The fixture embeddings are near-orthogonal (max pair cosine ≈ 0.6),
+    so the mining threshold sits at 0.4; precision is exact by
+    construction (every emitted pair is re-verified with the
+    deterministic JVM dot fold), recall is the LSH dial — property-
+    tested against planted near-duplicates in tests/test_operators.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_lsh(
+        emb, threshold=0.4, n_planes=4, n_tables=8
+    ).select(
+        "id_a", "id_b", dround(F.col("cos_sim"), 6).alias("cos_sim")
     )
 
 
