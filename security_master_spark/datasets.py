@@ -84,9 +84,16 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     Use immediately before per-row-expensive stages (hashing, n-gram
     expansion, Python batch UDFs): the shuffle of the narrow input is
     cheap relative to the compute it spreads across the cluster. Not
-    for cheap scans — there the extra exchange only costs."""
+    for cheap scans — there the extra exchange only costs.
+
+    Repartitions unconditionally: probing the current partition count
+    (``df.rdd.getNumPartitions()``) forces a plan→RDD conversion per
+    call — a real driver-side cost on wide plans — and with AQE
+    coalescing enabled the pre-execution number is unreliable anyway.
+    When the input already has ≥ target partitions the round-robin
+    exchange it adds is one narrow shuffle of data that the following
+    per-row-heavy stage dwarfs (that trade is this function's
+    contract)."""
     spark = df.sparkSession
     target = partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+    return df.repartition(target)

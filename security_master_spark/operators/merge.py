@@ -1,0 +1,106 @@
+"""MERGE / upsert (SURVEY.md §2.11 write side): latest-wins key merge
+of an updates batch into a target dataset, and the copy-on-write
+parquet snapshot pattern that gives plain parquet transactional-ish
+upserts without a table format.
+
+At 100 TB the real deployment uses a lakehouse table format (Delta/
+Iceberg MERGE INTO) — flagged out of scope in SURVEY.md. What this
+module provides is the same MERGE semantics expressed as a pure
+DataFrame transform (oracle-checkable SQL: anti-join + union), plus a
+snapshot-versioned parquet writer demonstrating the copy-on-write
+cycle end-to-end. The merge itself is one shuffle on the merge keys;
+at scale, bucketed layout on those keys (see ``write_bucketed_table``)
+removes even that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics as a transform: update rows whose keys match,
+    insert the rest (``WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    THEN INSERT``). Both inputs must be key-unique (the SCD-current
+    contract; dedupe with ``latest_per_key`` first if not).
+
+    With ``delete_col`` (boolean column on ``updates``), true rows act
+    as ``WHEN MATCHED THEN DELETE``: the key is dropped from the
+    output.
+
+    No join: union + row_number moves every row across the wire exactly
+    once (one Exchange per union branch, both into the same key
+    partitioning), where a join-based merge shuffles both sides for the
+    join and then again for any downstream key grouping. The output
+    comes out hash-partitioned by ``keys`` — exactly the layout the
+    snapshot write wants.
+    """
+    upd = updates
+    if delete_col is None:
+        upd = upd.withColumn("__del", F.lit(False))
+    else:
+        upd = upd.withColumn("__del", F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    tagged = target.withColumn("__src", F.lit(0)).withColumn(
+        "__del", F.lit(False)
+    ).unionByName(upd.withColumn("__src", F.lit(1)))
+    w = Window.partitionBy(*keys).orderBy(F.desc("__src"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col("__del")))
+        .drop("__rn", "__src", "__del")
+    )
+
+
+def latest_snapshot_version(spark, base_dir: str) -> int:
+    """Highest existing snapshot version under ``base_dir`` (0 = none).
+    Versions are plain ``v000N`` directories — deliberately not
+    ``snapshot=N`` hive partitions, so reading one snapshot never
+    grows a partition column."""
+    import os
+
+    if not os.path.isdir(base_dir):
+        return 0
+    versions = [
+        int(d[1:])
+        for d in os.listdir(base_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def snapshot_path(base_dir: str, version: int) -> str:
+    return f"{base_dir}/v{version:04d}"
+
+
+def upsert_parquet_snapshot(
+    spark,
+    base_dir: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Copy-on-write MERGE into a parquet dataset: read the latest
+    snapshot, merge the updates batch, write snapshot N+1, return a
+    reader over it. The old snapshot stays readable throughout (no
+    read-modify-overwrite race on the same path — Spark cannot safely
+    overwrite an input it is lazily reading); retention/vacuum of old
+    versions is the operator's policy knob."""
+    current = latest_snapshot_version(spark, base_dir)
+    if current == 0:
+        merged = updates if delete_col is None else updates.drop(delete_col)
+    else:
+        target = spark.read.parquet(snapshot_path(base_dir, current))
+        merged = merge_upsert(target, updates, keys, delete_col=delete_col)
+    out = snapshot_path(base_dir, current + 1)
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

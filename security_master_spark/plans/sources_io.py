@@ -172,6 +172,72 @@ def io4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io6_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ), updates AS (
+        SELECT o_orderkey, o_custkey,
+               'U' AS o_orderstatus,
+               {sql_dround("o_totalprice * 1.1", 4)} AS o_totalprice,
+               (o_orderkey % 97 = 0) AS is_delete
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, is_delete
+        FROM updates
+        UNION ALL
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+               FALSE AS is_delete
+        FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {sql_dround("o_totalprice", 4)} AS o_totalprice
+    FROM merged WHERE NOT is_delete
+    """,
+)
+def io6_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO parquet via copy-on-write snapshots (the write-side
+    upsert the reference's store performs; Delta/Iceberg MERGE is the
+    100 TB deployment, flagged out of scope — this is the same
+    semantics on plain parquet). Snapshot v1 = the orders base; the
+    updates batch re-prices every 10th order (WHEN MATCHED UPDATE) and
+    deletes every 970th (WHEN MATCHED DELETE); the returned DataFrame
+    reads snapshot v2 from disk, so merge AND parquet round-trip are
+    both under oracle check. The merge itself is one shuffle on the
+    key (union + row_number, no join)."""
+    import shutil
+
+    from security_master_spark.operators.merge import upsert_parquet_snapshot
+
+    base_dir = _scratch(sf_dir, "orders_upsert")
+    shutil.rmtree(base_dir, ignore_errors=True)  # deterministic per call
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upsert_parquet_snapshot(spark, base_dir, base, keys=["o_orderkey"])
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        dround(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        (F.col("o_orderkey") % 97 == 0).alias("is_delete"),
+    )
+    merged = upsert_parquet_snapshot(
+        spark, base_dir, updates, keys=["o_orderkey"], delete_col="is_delete"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        dround(F.col("o_totalprice"), 4).alias("o_totalprice"),
+    )
+
+
+@register(
     "io5_api_ingest",
     oracle=f"""
     SELECT p.p_partkey AS symbol_id,

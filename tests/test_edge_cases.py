@@ -125,6 +125,54 @@ def test_interval_join_left_shape_matches_inner(spark):
     assert got == {(1, 5.0): "x", (1, 50.0): None, (2, 5.0): None}
 
 
+def test_merge_upsert_semantics(spark):
+    """MERGE contract: matched keys take the update row, unmatched
+    update rows insert, delete-flagged matches disappear, untouched
+    target rows pass through — and the plan is one shuffle (union +
+    window), not a join."""
+    from security_master_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0, False), (4, "d", 40.0, False), (3, "c", 0.0, True)],
+        ["k", "s", "v", "del"],
+    )
+    out = merge_upsert(target, updates, keys=["k"], delete_col="del")
+    got = {r.k: (r.s, r.v) for r in out.collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched
+        2: ("B", 99.0),   # matched → update wins
+        4: ("d", 40.0),   # not matched → insert
+    }                     # 3 deleted
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "merge must be union+window, not a join"
+    # One Exchange per union branch (Spark plans the key partitioning
+    # below the Union): every row crosses the wire exactly once.
+    assert plan.count("Exchange") <= 2, "merge must move each row once"
+
+
+def test_upsert_parquet_snapshot_versions(spark, tmp_path):
+    """Copy-on-write cycle: v1 = initial load, v2 = merged; the old
+    snapshot stays intact on disk after the upsert."""
+    from security_master_spark.operators.merge import (
+        latest_snapshot_version,
+        snapshot_path,
+        upsert_parquet_snapshot,
+    )
+
+    base_dir = str(tmp_path / "ds")
+    t = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    upsert_parquet_snapshot(spark, base_dir, t, keys=["k"])
+    u = spark.createDataFrame([(2, 99.0), (3, 30.0)], ["k", "v"])
+    merged = upsert_parquet_snapshot(spark, base_dir, u, keys=["k"])
+    assert latest_snapshot_version(spark, base_dir) == 2
+    assert {(r.k, r.v) for r in merged.collect()} == {(1, 10.0), (2, 99.0), (3, 30.0)}
+    v1 = spark.read.parquet(snapshot_path(base_dir, 1))
+    assert {(r.k, r.v) for r in v1.collect()} == {(1, 10.0), (2, 20.0)}
+
+
 def test_connected_components_warns_on_non_convergence(spark):
     # A 9-node chain cannot converge in 1 pointer-jumping round.
     edges = spark.createDataFrame(
