@@ -238,6 +238,150 @@ def _dot_pandas():
     return pandas_udf(pdot, "double")
 
 
+def ivf_build_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Spherical k-means coarse quantizer (the IVF 'train' step) as
+    distributed DataFrame passes with driver-held centroids — the
+    MLlib-KMeans execution shape: per iteration, one Arrow-batched
+    assignment pass over the corpus (a single BLAS matmul per batch
+    against the broadcast centroid matrix) and one posexplode→groupBy
+    partial-sum whose result is k×dim rows collected to the driver.
+    Only the k×dim centroid matrix ever lives driver-side; the corpus
+    never leaves the executors. Returns the centroid matrix as a
+    list of lists (row-normalized — assignment is by cosine).
+
+    Init is deterministic: the ``n_cells`` corpus vectors with the
+    smallest ``xxhash64(id, seed)`` (a seeded uniform draw that is
+    stable across runs and partitionings, unlike ``df.sample``).
+    """
+    import numpy as np
+
+    def _norm_rows(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return M / n
+
+    init = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    C = _norm_rows(np.array([r.v for r in init], dtype=np.float64))
+
+    for _ in range(iters):
+        assign = _ivf_assign_pandas(C, nprobe=1)
+        assigned = fan_out(embeddings).select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("__cell"),
+            F.col(vec_col).alias("__v"),
+        )
+        # Partial sums are map-side combined; k·dim rows reach the driver.
+        sums = (
+            assigned.select("__cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("__cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        newC = C.copy()  # empty cells keep their centroid
+        acc = np.zeros_like(C)
+        seen = set()
+        for r in sums:
+            acc[r["__cell"], r["pos"]] = r["s"]
+            seen.add(r["__cell"])
+        for c in seen:
+            newC[c] = acc[c]
+        C = _norm_rows(newC)
+    return [[float(x) for x in row] for row in C]
+
+
+def _ivf_assign_pandas(centroids, nprobe: int):
+    """Arrow-batched IVF cell assignment: argmax/top-``nprobe`` of one
+    (batch × dim) @ (dim × cells) matmul. Centroids are row-normalized,
+    so the argmax over raw (un-normalized) vectors is the cosine argmax
+    — the query-side norm is constant across cells."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def probe(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        sims = V @ C.T  # (n, cells)
+        if nprobe == 1:
+            cells = sims.argmax(axis=1)[:, None]
+        else:
+            cells = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([[int(c) for c in row] for row in cells])
+
+    return pandas_udf(probe, "array<int>")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k — the coarse-quantizer sibling of
+    :func:`ann_topk_lsh`: corpus vectors live in their nearest-centroid
+    cell (ONE cell each — at 100 TB this is the partition/sort key of
+    the stored index, paid once at build), queries probe their
+    ``nprobe`` nearest cells, candidates come from the cell equi-join,
+    exact cosine ranks them. Scan fraction ≈ nprobe/n_cells of the
+    corpus per query instead of all of it; recall is the nprobe dial.
+    Pass ``centroids`` (from :func:`ivf_build_centroids`) to reuse a
+    trained quantizer."""
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            embeddings, n_cells=n_cells, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    corpus = fan_out(embeddings).select(
+        F.col(id_col),
+        normalize(F.col(vec_col)).alias(vec_col),
+        F.element_at(
+            _ivf_assign_pandas(centroids, nprobe=1)(F.col(vec_col)), 1
+        ).alias("__cell"),
+    )
+    qs = queries.select(
+        F.col(query_id_col),
+        normalize(F.col(query_vec_col)).alias(query_vec_col),
+        F.explode(
+            _ivf_assign_pandas(centroids, nprobe=nprobe)(F.col(query_vec_col))
+        ).alias("__cell"),
+    )
+    scored = (
+        qs.join(corpus, "__cell")
+        .select(
+            query_id_col,
+            F.col(id_col),
+            dot(F.col(query_vec_col), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def near_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.8,

@@ -259,6 +259,34 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert hits / total >= 0.45, f"recall {hits}/{total} too low"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF quality gate (mirror of the sign-LSH one): 16 cells / probe
+    4 must recover most of the exact top-5, and scores are genuine
+    (exact cosine over candidates — IVF only ever misses, never
+    fabricates)."""
+    from security_master_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=4).collect()
+    assert approx, "IVF returned nothing"
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+
+    hits = total = 0
+    for q in by_q:
+        qv = emb.filter(F.col("vec_id") == q).collect()[0].embedding
+        exact = {r.vec_id for r in cosine_topk(emb, list(qv), k=5).collect()}
+        hits += len(by_q[q] & exact)
+        total += len(exact)
+    # probing 4/16 cells of a near-uniform corpus scans ~25% of it; on
+    # the fixtures measured recall is ~0.64 — assert a floor with margin
+    assert hits / total >= 0.45, f"recall {hits}/{total} too low"
+
+
 def test_near_dup_lsh_finds_planted_duplicates(spark):
     """Scale-path embedding near-dup gate: plant explicit near-dup pairs
     (cos ≈ 0.98) among random vectors; the sign-LSH cell-join path must
