@@ -138,6 +138,47 @@ def replay_events_as_stream(spark, sf_dir: str, events_schema) -> DataFrame:
     )
 
 
+def streaming_upsert(
+    stream: DataFrame,
+    base_dir: str,
+    keys: list[str],
+    order_col: str,
+    delete_col: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous upsert into a parquet snapshot store via foreachBatch
+    — the securities-master ingestion loop (vendor feed → MERGE into
+    the master) in streaming form. Each microbatch is first reduced to
+    its latest row per key by ``order_col`` (event time: a batch can
+    carry several updates for one key; MERGE requires key-unique
+    sources), then merged copy-on-write (operators/merge.py): readers
+    keep a consistent snapshot while the next one is written.
+    foreachBatch is the idiomatic streaming-MERGE bridge — the sink
+    logic is plain batch code, and the checkpoint's batch-id replay
+    contract makes failure recovery idempotent (re-merging the same
+    batch is latest-wins with the same rows). Returns the
+    StreamingQuery."""
+    from pyspark.sql import Window
+
+    from security_master_spark.operators.merge import upsert_parquet_snapshot
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_parquet_snapshot(
+            batch_df.sparkSession, base_dir, latest, keys, delete_col=delete_col
+        )
+
+    writer = stream.writeStream.foreachBatch(merge_batch).outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 #: output schema for event_type_totals_tws
 _TWS_SCHEMA = StructType(
     [

@@ -186,6 +186,60 @@ def test_file_replay_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """Streaming MERGE loop: a bounded file stream (one JSON file per
+    microbatch, mtime-ordered) continuously upserted into the parquet
+    snapshot store. Final state must reflect batch 2's update, insert,
+    and delete applied over batch 1 — and both snapshot versions must
+    exist (copy-on-write, not overwrite)."""
+    import json as _json
+
+    from security_master_spark.operators.merge import (
+        latest_snapshot_version,
+        snapshot_path,
+    )
+    from security_master_spark.streaming.jobs import streaming_upsert
+
+    src_dir = tmp_path / "feed"
+    src_dir.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [{"k": k, "v": 10.0 * k, "ts": 1, "del": False} for k in (1, 2, 3, 4)]
+    batch2 = [
+        {"k": 2, "v": 99.0, "ts": 2, "del": False},   # update
+        {"k": 5, "v": 50.0, "ts": 2, "del": False},   # insert
+        {"k": 3, "v": 0.0, "ts": 2, "del": True},     # delete
+    ]
+    for i, batch in enumerate([batch1, batch2], start=1):
+        p = src_dir / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in batch))
+        os.utime(p, (i * 1000, i * 1000))  # deterministic mtime order
+
+    stream = (
+        spark.readStream.schema("k long, v double, ts long, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    q = streaming_upsert(
+        stream, store, keys=["k"], order_col="ts",
+        delete_col="del", checkpoint_dir=ckpt,
+    )
+    try:
+        q.processAllAvailable()  # bounded source → terminates
+    finally:
+        q.stop()
+
+    assert latest_snapshot_version(spark, store) == 2
+    final = {
+        r.k: r.v
+        for r in spark.read.parquet(snapshot_path(store, 2)).collect()
+    }
+    assert final == {1: 10.0, 2: 99.0, 4: 40.0, 5: 50.0}
+    v1 = {r.k for r in spark.read.parquet(snapshot_path(store, 1)).collect()}
+    assert v1 == {1, 2, 3, 4}  # old snapshot intact
+
+
 def test_tws_plan_builds(spark):
     """The transformWithStateInPandas builder must construct a valid
     streaming plan even where the protobuf state protocol can't run —
