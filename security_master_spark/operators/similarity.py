@@ -275,9 +275,13 @@ def ivf_build_centroids(
     )
     C = _norm_rows(np.array([r.v for r in init], dtype=np.float64))
 
+    # No fan_out here: assignment is one BLAS matmul per Arrow batch —
+    # not per-row-expensive — and an unconditional repartition of the
+    # corpus PER TRAINING ITERATION is exactly the shuffle a 100 TB run
+    # can't afford; the parquet layout's natural partitioning carries it.
     for _ in range(iters):
         assign = _ivf_assign_pandas(C, nprobe=1)
-        assigned = fan_out(embeddings).select(
+        assigned = embeddings.select(
             F.element_at(assign(F.col(vec_col)), 1).alias("__cell"),
             F.col(vec_col).alias("__v"),
         )
@@ -352,7 +356,7 @@ def ivf_topk(
             embeddings, n_cells=n_cells, iters=iters,
             id_col=id_col, vec_col=vec_col,
         )
-    corpus = fan_out(embeddings).select(
+    corpus = embeddings.select(
         F.col(id_col),
         normalize(F.col(vec_col)).alias(vec_col),
         F.element_at(
