@@ -48,21 +48,30 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Two passes per query, report the MINIMUM: the host shows 2-4x
+    # wall-time swings from contention invisible to the guest (round-1
+    # finding), and a single-sample battery hands that noise straight to
+    # the recorded number. Passes are interleaved across the battery
+    # (A-B-C / A-B-C, not A-A B-B) so one contention burst can't inflate
+    # both samples of the same query.
     timings: dict[str, float] = {}
-    for name in sorted(qs):
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
-        # Inter-query JVM GC, OUTSIDE the timed region (JMH-style):
-        # ~90 codegen-heavy plans in one JVM accumulate generated
-        # classes and broadcast remnants, and without this the GC debt
-        # lands inside whichever later query triggers collection —
-        # measured as 2-4x inflation of late-alphabet queries relative
-        # to the same query run in a fresh session.
-        spark.sparkContext._jvm.System.gc()
+    for _pass in range(2):
+        for name in sorted(qs):
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = round(time.perf_counter() - t0, 4)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            assert n >= 0
+            # Inter-query JVM GC, OUTSIDE the timed region (JMH-style):
+            # ~100 codegen-heavy plans in one JVM accumulate generated
+            # classes and broadcast remnants, and without this the GC
+            # debt lands inside whichever later query triggers collection
+            # — measured as 2-4x inflation of late-alphabet queries
+            # relative to the same query run in a fresh session.
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     # Round-1 lesson: the full ~100-query timing map (~3 KB) defeated
