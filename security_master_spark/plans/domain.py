@@ -373,6 +373,55 @@ def d9_eod_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d11_skew_safe_rollup",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           MIN(o_totalprice) AS min_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def d11_skew_safe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join + aggregation, value-identical to the plain
+    forms (salt changes placement, never matching): the fact side joins
+    through ``salted_join`` (dim replicated per salt value, hot keys
+    spread over salt tasks) and the rollup runs through ``skewed_agg``
+    (partial on (key, salt), final on key). Aggregates chosen
+    order-independent-exact (count, integer sum, min/max) so the salted
+    re-association cannot drift a float sum; the oracle is the plain
+    SQL join + GROUP BY."""
+    from security_master_spark.operators.skew import salted_join, skewed_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders,
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        on=["o_custkey"],
+        salt=8,
+    )
+    agg = skewed_agg(
+        joined,
+        keys=["c_mktsegment"],
+        aggs={"o_orderkey": "sum", "o_custkey": "count",
+              "o_totalprice": "min"},
+        salt=8,
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("count_o_custkey").alias("n_orders"),
+        F.col("sum_o_orderkey").alias("key_checksum"),
+        F.col("min_o_totalprice").alias("min_price"),
+    )
+
+
+@register(
     "d10_calendar_align",
     oracle=f"""
     WITH cal AS (
