@@ -32,15 +32,24 @@ def asof_join(
     right_ts: str,
     how: str = "inner",
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right[right_ts] <= left[left_ts]``, matching DuckDB/pandas
-    ``ASOF JOIN`` backward semantics (ties on equality included).
+    """For each left row, attach the single best-matching right row per
+    key — matching DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
+    semantics (ties on equality included):
+
+    - ``direction='backward'`` (default): latest right row with
+      ``right_ts <= left_ts`` — the point-in-time lookup.
+    - ``direction='forward'``: earliest right row with
+      ``right_ts >= left_ts`` — next-quote / next-fill lookup.
+    - ``direction='nearest'``: right row minimizing
+      ``|right_ts - left_ts|`` (ties broken toward the older row,
+      pandas-compatible).
 
     ``on`` — equi-key column names present in both sides.
     ``how`` — 'inner' (drop unmatched left rows) or 'left'.
-    ``tolerance`` — optional max age: right rows older than
-    ``left_ts - tolerance`` don't match.
+    ``tolerance`` — optional max distance: right rows further than
+    ``tolerance`` from ``left_ts`` (against the direction) don't match.
 
     Right-side rows must be unique per (key, right_ts) for fully
     deterministic output (the standard as-of contract); otherwise the
@@ -53,18 +62,37 @@ def asof_join(
         raise ValueError("rename one side's timestamp; left_ts == right_ts")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
 
     # Tag each left row so duplicates with identical (key, ts) stay
     # distinct rows through the window dedup.
     lid = "__asof_lid"
     tagged = left.withColumn(lid, F.monotonically_increasing_id())
 
-    cond = F.col(right_ts) <= F.col(left_ts)
-    if tolerance is not None:
-        cond = cond & (F.col(right_ts) >= F.col(left_ts) - tolerance)
+    gap = F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
+    if direction == "backward":
+        cond = F.col(right_ts) <= F.col(left_ts)
+        order = [F.col(right_ts).desc()]
+        if tolerance is not None:
+            cond = cond & (F.col(right_ts) >= F.col(left_ts) - tolerance)
+    elif direction == "forward":
+        cond = F.col(right_ts) >= F.col(left_ts)
+        order = [F.col(right_ts).asc()]
+        if tolerance is not None:
+            cond = cond & (F.col(right_ts) <= F.col(left_ts) + tolerance)
+    else:  # nearest: smallest |gap|, older row wins exact distance ties
+        cond = F.lit(True)
+        order = [F.abs(gap).asc(), F.col(right_ts).asc()]
+        if tolerance is not None:
+            cond = (F.col(right_ts) >= F.col(left_ts) - tolerance) & (
+                F.col(right_ts) <= F.col(left_ts) + tolerance
+            )
 
     joined = tagged.join(right, on=list(on), how="inner").filter(cond)
-    w = Window.partitionBy(lid).orderBy(F.col(right_ts).desc())
+    w = Window.partitionBy(lid).orderBy(*order)
     matched = (
         joined.withColumn("__asof_rn", F.row_number().over(w))
         .filter(F.col("__asof_rn") == 1)
