@@ -93,7 +93,12 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     When the input already has ≥ target partitions the round-robin
     exchange it adds is one narrow shuffle of data that the following
     per-row-heavy stage dwarfs (that trade is this function's
-    contract)."""
+    contract). Note it can therefore also SHRINK a wider input down to
+    ``target``: callers whose input is already wider than
+    ``defaultParallelism`` (e.g. a many-file scan on a big cluster)
+    must pass ``partitions=`` explicitly to keep their parallelism —
+    this function cannot probe the current count without forcing a
+    plan→RDD conversion, and under AQE the pre-execution number lies."""
     spark = df.sparkSession
     target = partitions or spark.sparkContext.defaultParallelism
     return df.repartition(target)

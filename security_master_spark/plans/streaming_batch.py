@@ -7,6 +7,12 @@ Window-origin note: Spark's tumbling/sliding windows align to the Unix
 epoch. The oracles reproduce bucket starts with explicit epoch
 arithmetic (FLOOR(epoch/width)*width) rather than DuckDB time_bucket,
 so alignment is identical by construction.
+
+Dtype note: DuckDB ``TO_TIMESTAMP`` returns TIMESTAMPTZ, which reaches
+the driver's pandas canonicalizer as ``datetime64[us, Etc/UTC]`` and
+schema-mismatches Spark's naive ``window.start`` (the round-2 t1/t2
+reds). Every generated timestamp is therefore wrapped in
+``CAST(... AS TIMESTAMP)`` — same pattern as d10_calendar_align.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from security_master_spark.plans.registry import register
 @register(
     "t1_tumbling_window",
     oracle=f"""
-    SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 86400) * 86400) AS bucket,
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 86400) * 86400) AS TIMESTAMP) AS bucket,
            event_type,
            COUNT(*) AS n_events,
            {sql_dround("SUM(value)", 4)} AS total_value
@@ -54,7 +60,7 @@ def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH slid AS (
         SELECT e.*,
-               TO_TIMESTAMP(FLOOR(EPOCH(ts) / 21600) * 21600 - k.k * 21600) AS w_start
+               CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 21600) * 21600 - k.k * 21600) AS TIMESTAMP) AS w_start
         FROM events e,
              (SELECT unnest(generate_series(0, 3)) AS k) k
     )

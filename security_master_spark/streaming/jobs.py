@@ -153,10 +153,15 @@ def streaming_upsert(
     carry several updates for one key; MERGE requires key-unique
     sources), then merged copy-on-write (operators/merge.py): readers
     keep a consistent snapshot while the next one is written.
-    foreachBatch is the idiomatic streaming-MERGE bridge — the sink
-    logic is plain batch code, and the checkpoint's batch-id replay
-    contract makes failure recovery idempotent (re-merging the same
-    batch is latest-wins with the same rows). Returns the
+
+    ``order_col`` is also passed through to the merge itself, so
+    CROSS-batch ordering is event-time-based too: a late-arriving row
+    whose ``order_col`` is older than what the store already holds
+    loses, instead of arrival-order overwriting newer data (round-2
+    advice). foreachBatch is the idiomatic streaming-MERGE bridge — the
+    sink logic is plain batch code, and the checkpoint's batch-id
+    replay contract makes failure recovery idempotent (re-merging the
+    same batch is max-order_col-wins with the same rows). Returns the
     StreamingQuery."""
     from pyspark.sql import Window
 
@@ -170,7 +175,12 @@ def streaming_upsert(
             .drop("__rn")
         )
         upsert_parquet_snapshot(
-            batch_df.sparkSession, base_dir, latest, keys, delete_col=delete_col
+            batch_df.sparkSession,
+            base_dir,
+            latest,
+            keys,
+            delete_col=delete_col,
+            order_col=order_col,
         )
 
     writer = stream.writeStream.foreachBatch(merge_batch).outputMode("update")

@@ -56,7 +56,10 @@ def _col_kind(series: pd.Series) -> str:
     if k == "b":
         return "b"
     if k == "M":
-        return "ts"
+        # tz-aware (e.g. DuckDB TO_TIMESTAMP → TIMESTAMPTZ →
+        # datetime64[us, Etc/UTC]) vs naive is a SCHEMA mismatch at the
+        # driver (round-2 t1/t2 reds) — distinguish the kinds here too.
+        return "tstz" if getattr(series.dtype, "tz", None) is not None else "ts"
     if k == "m":
         return "td"
     # object column: infer from the first non-null cell
@@ -103,16 +106,20 @@ def _canon(v):
         )
     if isinstance(v, (bool, np.bool_)):
         return bool(v)
-    if isinstance(v, (float, np.floating)):
+    if isinstance(v, (float, np.floating, Decimal)):
+        # Decimal rides the float path so a Decimal-vs-double column
+        # pairing gets the same rounding + -0.0 normalization.
         f = float(v)
         if math.isnan(f):
-            return None
+            # Distinct sentinel, NOT None: an engine emitting NaN where
+            # the other emits NULL is real drift in object columns. (In
+            # float64 columns pandas itself renders NULL as NaN on both
+            # sides, so the sentinel stays consistent there.)
+            return "NaN"
         r = round(f, FLOAT_DP)
         return 0.0 if r == 0 else r  # -0.0 → 0.0
     if isinstance(v, (int, np.integer)):
         return int(v)
-    if isinstance(v, Decimal):
-        return float(v)
     if isinstance(v, pd.Timestamp):
         v = v.tz_localize(None) if v.tzinfo is not None else v
         return _date_norm(v.isoformat())
