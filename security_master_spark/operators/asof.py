@@ -14,6 +14,34 @@ time-range) or pre-aggregate the right side to coarse time buckets and
 as-of within a bucket plus one spill-over bucket. For the graded data
 sizes the direct plan is optimal; the bucketed variant is
 ``asof_join_bucketed`` below.
+
+When to switch recipes (the crossover):
+
+===================  =====================  ===========================
+regime               right rows per key     use
+===================  =====================  ===========================
+sparse right side    ≲ 10³ per key          ``asof_join`` — the d1 plan
+                                            is equi-join + map-side
+                                            WindowGroupLimit; the
+                                            per-key fan-out fits one
+                                            task's working set
+dense right side     ≳ 10³ per key (tick    ``asof_join_bucketed`` —
+                     data: 10⁶+/key/day)    fan-out per left row drops
+                                            from |history| to ~2
+                                            buckets; shuffle key gains
+                                            the bucket id so hot keys
+                                            split across tasks
+gappy dense side     dense but with holes   widen ``bucket_seconds`` to
+                     > bucket width         the max gap, or fall back
+                                            to exact ``asof_join``
+                                            (bucketing drops matches
+                                            older than one bucket)
+===================  =====================  ===========================
+
+The driver-proven d1 plan (PLANS.md) shows the sparse regime:
+WindowGroupLimit prunes each task's join output to rank-1 rows before
+the final window, so the exact recipe stays cheap until a single key's
+right-side history no longer fits a task — that is the crossover.
 """
 
 from __future__ import annotations

@@ -321,3 +321,33 @@ def a12_freq_items_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("o_orderpriority_freqItems").alias("n_frequent_priorities")
         )
     )
+
+@register(
+    "a14_regression_aggs",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           {sql_dround("REGR_SLOPE(l_extendedprice, l_quantity)", 6)} AS slope,
+           {sql_dround("REGR_INTERCEPT(l_extendedprice, l_quantity)", 4)} AS intercept,
+           {sql_dround("REGR_R2(l_extendedprice, l_quantity)", 6)} AS r2,
+           {sql_dround("REGR_AVGX(l_extendedprice, l_quantity)", 6)} AS avg_qty,
+           {sql_dround("REGR_AVGY(l_extendedprice, l_quantity)", 4)} AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a14_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (price ~ quantity per return
+    flag): slope/intercept/R² as single-pass distributed aggregates
+    with map-side partials — the built-in moment accumulation, no
+    two-pass mean-then-residual plan and no driver math."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        dround(F.regr_slope(y, x), 6).alias("slope"),
+        dround(F.regr_intercept(y, x), R).alias("intercept"),
+        dround(F.regr_r2(y, x), 6).alias("r2"),
+        dround(F.regr_avgx(y, x), 6).alias("avg_qty"),
+        dround(F.regr_avgy(y, x), R).alias("avg_price"),
+    )

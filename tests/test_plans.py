@@ -20,6 +20,8 @@ _NESTED_LOOP_OK = {
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
     "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
     "the planned shape; build side is a single row)",
+    "l22_distinctive_terms": "1-row corpus-size aggregate broadcast onto "
+    "the tf stream (no join key exists; build side is a single row)",
 }
 
 _QUERIES = registry.queries()
@@ -41,24 +43,49 @@ def test_allowlist_entries_still_exist():
     assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
 
 
-def test_registration_order_puts_unproven_modules_first():
+#: queries that still need a green driver row going into round 3:
+#: t1/t2 (round-2 reds, oracle cast fixed), t3 (weak re-proof rides
+#: along), the new round-3 queries, a13 (never inside the cap), a9 and
+#: s5/s8/s15 (fixed after their round-1 reds, fix never driver-proven).
+_NEEDS_ROUND3_EVIDENCE = {
+    "t1_tumbling_window",
+    "t2_sliding_window",
+    "t3_session_window_native",
+    "d12_twap",
+    "d13_asof_bucketed",
+    "d14_linear_interpolation",
+    "l22_distinctive_terms",
+    "l23_stratified_sample",
+    "l24_regex_scrub",
+    "l25_incremental_dedup",
+    "io7_schema_evolution",
+    "a9_collect_sorted",
+    "a13_approx_percentile",
+    "a14_regression_aggs",
+    "s5_array_functions",
+    "s8_json_aggregate",
+    "s15_array_functions_2",
+}
+
+
+def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (round 1 stopped at exactly
-    50 = relational+windows+aggregates+scalars). The domain / LLM / UDF
-    / IO / multimodal / streaming queries must register FIRST so they
-    fall inside the cap; regression here means a registry reorder
-    silently un-proves them again."""
+    entries per round in registration order (rounds 1 and 2 both
+    stopped at exactly 50). Round-3 rotation: every query that still
+    lacks a green driver row — and the whole aggregates/scalars modules
+    they live in — must land inside the first 50 registrations;
+    regression here silently un-proves them again."""
     names = list(_QUERIES)
-    prefix = {"d", "l", "u", "i", "m", "t"}  # d*/l*/u*/io*/m*/t* families
-    first_proven = next(
-        i for i, n in enumerate(names) if n[0] not in prefix
+    head = set(names[:50])
+    missing = sorted(_NEEDS_ROUND3_EVIDENCE - head)
+    assert not missing, (
+        f"these queries need round-3 driver evidence but registered "
+        f"past the ~50-entry cap: {missing}"
     )
-    late_unproven = [n for n in names[first_proven:] if n[0] in prefix]
-    assert not late_unproven, (
-        f"these must register before relational/windows/aggregates/"
-        f"scalars to stay inside the driver's per-round cap: {late_unproven}"
-    )
-    assert first_proven >= 46, (
-        f"expected >=46 domain/llm/udf/io/multimodal/streaming queries "
-        f"registered first, found {first_proven}"
+    # The full aggregates + scalars modules ride in the head block so
+    # their round-1 greens are re-proven alongside the a9/s5/s8/s15
+    # fixes (union-of-rounds coverage stays complete either way).
+    a_s = [n for n in names if n[0] in ("a", "s")]
+    assert set(a_s) <= head, (
+        f"aggregates/scalars spilled past the cap: {sorted(set(a_s) - head)}"
     )

@@ -240,6 +240,60 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     assert v1 == {1, 2, 3, 4}  # old snapshot intact
 
 
+def test_stateful_totals_match_batch(spark, sf_dir, tmp_path):
+    """Exact equivalence of the arbitrary-stateful running-totals
+    operator against batch, on deterministic fixture data split across
+    several microbatches (state must survive batch boundaries). This
+    certifies the state semantics shared by running_totals_state
+    (applyInPandasWithState) and _RunningTotalsProcessor (TWS) — the
+    TWS API itself can't run here (needs google.protobuf, no network
+    to install it), so its semantics are proven through this twin."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.streaming.jobs import running_totals_state
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("user_id").alias("value")
+    )
+    feed = str(tmp_path / "totals_feed")
+    # three parquet files → three microbatches with maxFilesPerTrigger=1
+    for i in range(3):
+        events.filter(F.col("value") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    stream = (
+        spark.readStream.schema("key string, value long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = running_totals_state(stream, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_totals_eq")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # bounded source → terminates
+    finally:
+        q.stop()
+    # update mode emits one row per key per microbatch; counts are
+    # monotone, so the final state is the max row per key
+    got = {
+        r.key: (r.n, r.t)
+        for r in spark.sql(
+            "SELECT key, MAX(n_events) n, MAX(total_value) t "
+            "FROM t_totals_eq GROUP BY key"
+        ).collect()
+    }
+    want = {
+        r.key: (r.n, r.t)
+        for r in events.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_tws_plan_builds(spark):
     """The transformWithStateInPandas builder must construct a valid
     streaming plan even where the protobuf state protocol can't run —
