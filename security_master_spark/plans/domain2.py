@@ -210,3 +210,62 @@ def d14_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "event_id", "user_id", "ts", dround(interp, 6).alias("value_interp")
     )
+
+
+@register(
+    "d15_max_drawdown",
+    oracle=f"""
+    WITH cum AS (
+        SELECT user_id, ts, event_id,
+               SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS equity
+        FROM events WHERE event_type = 'purchase'
+    ), dd AS (
+        SELECT user_id,
+               MAX(equity) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak,
+               equity
+        FROM cum
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           {sql_dround("MAX(peak - equity)", 6)} AS max_drawdown
+    FROM dd
+    GROUP BY user_id
+    """,
+)
+def d15_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative purchase series:
+    running equity (window cumsum in time order), running peak over the
+    same order, and the deepest peak-to-trough gap. Two stacked window
+    passes over ONE partitioning — Spark plans a single Exchange on
+    user_id and evaluates the windows back-to-back without
+    re-shuffling; the final rollup reuses the same hash partitioning.
+    The window order is pinned (ts, event_id) so the float summation
+    sequence — and therefore the result — is identical across
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    w_time = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("value").over(w_time).alias("equity"),
+    )
+    dd = cum.select(
+        "user_id",
+        F.max("equity").over(w_time).alias("peak"),
+        "equity",
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").alias("n_obs"),
+        dround(F.max(F.col("peak") - F.col("equity")), 6).alias("max_drawdown"),
+    )

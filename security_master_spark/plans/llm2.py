@@ -50,7 +50,11 @@ def l22_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df from tf, not from a second explode: tf already holds one row
+    # per (doc, token), so doc-frequency is a plain COUNT — one token
+    # stream scan instead of two, and the df shuffle moves |distinct
+    # (doc,token)| rows instead of the raw token stream.
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.asc("df"), F.desc("tf"), F.asc("token")
@@ -180,4 +184,40 @@ def l25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .select("doc_id", "lang", "fp")
+    )
+
+
+@register(
+    "l26_length_filter",
+    oracle="""
+    WITH bounds AS (
+        SELECT lang,
+               QUANTILE_CONT(n_chars, 0.05) AS lo,
+               QUANTILE_CONT(n_chars, 0.95) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """,
+)
+def l26_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-trim quality filter: keep documents whose length falls
+    inside the [p05, p95] band of their language's length distribution
+    — the standard curation step that drops truncated fragments and
+    concatenation blobs before training. Per-stratum exact percentiles
+    (one shuffle on lang, |langs| result rows) broadcast back onto the
+    scan; the filter itself is then map-side. Exact interpolated
+    percentiles are cross-engine deterministic here (identical IEEE
+    interpolation on int64 inputs); the scale path swaps in
+    approx_percentile with the same join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile("n_chars", 0.05).alias("lo"),
+        F.percentile("n_chars", 0.95).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
     )

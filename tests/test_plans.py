@@ -54,6 +54,8 @@ _NEEDS_ROUND3_EVIDENCE = {
     "d12_twap",
     "d13_asof_bucketed",
     "d14_linear_interpolation",
+    "d15_max_drawdown",
+    "l26_length_filter",
     "l22_distinctive_terms",
     "l23_stratified_sample",
     "l24_regex_scrub",
