@@ -46,7 +46,7 @@ def _load_all_plan_modules() -> None:
     # reds, now fixed), the new round-3 modules (domain2/llm2/
     # sources_io2, never checked), aggregates (a13 never checked, a9
     # fixed since its red, a14 new) and scalars (s5/s8/s15 fixed since
-    # their reds). That head block is 42 entries (< 50). The domain /
+    # their reds). That head block is exactly 50 entries. The domain /
     # llm / udfs / sources_io / multimodal modules earned green rows in
     # round 2 and the relational / windows queries in round 1, so they
     # register last. tests/test_plans.py pins this order.
@@ -55,6 +55,8 @@ def _load_all_plan_modules() -> None:
         domain2,
         llm2,
         sources_io2,
+        domain3,
+        llm3,
         aggregates,
         scalars,
         domain,

@@ -472,3 +472,80 @@ def test_dot_pandas_matches_hof_dot(spark, sf_dir):
     assert len(rows) == 2500
     for r in rows:
         assert abs(r.p - r.h) < 1e-9, (r.id_a, r.id_b, r.p, r.h)
+
+
+def test_ewma_exact_matches_truncated_form(spark, sf_dir):
+    """The sequential applyInPandas EWMA (operators/ewma.py) and the
+    distributed truncated-contribution form (d16_ewma's shape) must
+    agree: tightly when (1-alpha)^K is negligible (alpha=0.3, K=50 →
+    1.8e-8), and within the documented truncation bound at the d16
+    default (alpha=0.1 → tail mass 0.9^50 ≈ 0.5% of the value range)."""
+    import pandas as pd
+
+    from security_master_spark.operators.ewma import ewma_exact
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+
+    def truncated(pdf: pd.DataFrame, alpha: float, lags: int) -> pd.Series:
+        # Pandas re-statement of d16's contribution sum (per series).
+        x = pdf["value"].to_numpy()
+        w = (1 - alpha) ** pd.RangeIndex(lags).to_numpy(dtype=float)
+        num = pd.Series(x).rolling(lags, min_periods=1).apply(
+            lambda v: (v[::-1] * w[: len(v)]).sum(), raw=True
+        )
+        den = pd.Series([w[: min(i + 1, lags)].sum() for i in range(len(x))])
+        return num / den
+
+    # tol = (1-alpha)^50 * value range (~500), the documented
+    # truncation bound: 0.7^50*500 ≈ 9e-6; 0.9^50*500 ≈ 2.6.
+    for alpha, tol in ((0.3, 1e-5), (0.1, 3.0)):
+        out = (
+            ewma_exact(
+                events,
+                keys=["event_type"],
+                order_cols=["ts", "event_id"],
+                value_col="value",
+                alpha=alpha,
+            )
+            .toPandas()
+            .sort_values(["event_type", "ts", "event_id"])
+        )
+        for _, grp in out.groupby("event_type"):
+            approx = truncated(grp, alpha, 50)
+            diff = (grp["ewma"].to_numpy() - approx.to_numpy()).__abs__()
+            assert diff.max() < tol, (alpha, diff.max())
+
+
+def test_ewma_exact_matches_pandas_reference(spark, sf_dir):
+    """ewma_exact must equal pandas ewm(adjust=True) computed
+    driver-side on the same ordered series — proves the groupBy
+    sharding and in-batch ordering don't change the recurrence."""
+    from security_master_spark.operators.ewma import ewma_exact
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    got = (
+        ewma_exact(
+            events,
+            keys=["event_type"],
+            order_cols=["ts", "event_id"],
+            value_col="value",
+            alpha=0.2,
+        )
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events.toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    want["ewma"] = want.groupby("event_type")["value"].transform(
+        lambda s: s.ewm(alpha=0.2, adjust=True).mean()
+    )
+    pd_diff = (got["ewma"] - want["ewma"]).abs().max()
+    assert pd_diff < 1e-9, pd_diff

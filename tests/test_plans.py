@@ -61,6 +61,12 @@ _NEEDS_ROUND3_EVIDENCE = {
     "l24_regex_scrub",
     "l25_incremental_dedup",
     "io7_schema_evolution",
+    "d16_ewma",
+    "d17_rsi",
+    "d18_gap_detection",
+    "dq1_quality_profile",
+    "l27_repetition_ratio",
+    "l28_char_entropy",
     "a9_collect_sorted",
     "a13_approx_percentile",
     "a14_regression_aggs",
