@@ -39,14 +39,12 @@ from security_master_spark.plans.registry import register
 def l27_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (the Gopher repetition
     filters): duplicate-token mass (1 − distinct/total) and the most
-    frequent token's share. explode → two stacked groupBys on
-    *prefix-compatible keys* — (doc_id, token) then doc_id — so the
-    second aggregation reuses the first shuffle's partitioning (one
-    Exchange total; hash(doc_id, token) does not co-locate doc_ids,
-    but AQE-coalesced partial aggregation keeps the second exchange
-    to pre-aggregated rows). Shuffle is token counts, never document
-    text. Ratios are exact-integer divisions — identical doubles on
-    both engines."""
+    frequent token's share. explode → two stacked groupBys: the
+    first shuffles (doc_id, token) partial counts, the second only
+    doc_id-level pre-aggregated rows (plan-verified: both Exchanges
+    carry counts, never document text — the second is ~tokens-per-doc
+    times smaller). Ratios are exact-integer divisions — identical
+    doubles on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(

@@ -66,6 +66,10 @@ def _load_all_plan_modules() -> None:
         multimodal,
         relational,
         windows,
+        # Round-4 candidates: registered past the ~50-entry cap on
+        # purpose — they rotate to the head next round.
+        domain4,
+        llm4,
     )
 
 

@@ -139,6 +139,38 @@ def replay_events_as_stream(spark, sf_dir: str, events_schema) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    watermark_seconds: int,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each left row matches right rows with the same key whose timestamp
+    falls in ``[left_ts − lookback, left_ts]``. Watermarks on BOTH
+    sides plus the two-sided time bound are what let Spark expire join
+    state — without them a stream-stream join buffers forever. State
+    size is bounded by (watermark + lookback) of per-key right rows;
+    at scale the key is the shuffle-partition unit, exactly like the
+    batch interval join (operators/intervals.py). For bounded replay
+    input the result equals the equivalent batch join
+    (tests/test_streaming.py cross-checks this)."""
+    lw = left.withWatermark(left_ts, f"{watermark_seconds} seconds")
+    rw = right.withWatermark(right_ts, f"{watermark_seconds} seconds")
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] <= lw[left_ts])
+        & (
+            rw[right_ts]
+            >= lw[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def streaming_upsert(
     stream: DataFrame,
     base_dir: str,

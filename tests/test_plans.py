@@ -22,6 +22,8 @@ _NESTED_LOOP_OK = {
     "the planned shape; build side is a single row)",
     "l22_distinctive_terms": "1-row corpus-size aggregate broadcast onto "
     "the tf stream (no join key exists; build side is a single row)",
+    "l29_unigram_surprisal": "1-row corpus-token-total broadcast onto the "
+    "token stream (no join key exists; build side is a single row)",
 }
 
 _QUERIES = registry.queries()

@@ -330,3 +330,81 @@ def test_sliding_avg_stream(spark):
         (b - a).total_seconds() for a, b in zip(starts, starts[1:])
     }
     assert 1.0 in deltas, deltas
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join with watermarks + event-time interval
+    condition, cross-checked exactly against the equivalent batch
+    join on the same bounded replay input: every purchase matched to
+    the same user's views in the preceding hour."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.streaming.jobs import (
+        replay_events_as_stream,
+        stream_stream_interval_join,
+    )
+
+    stage = "/tmp/sms_stream/ssj_events"
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def split_sides(df):
+        left = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        right = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        return left, right
+
+    # The raw stream carries nanos-as-long ts (same as the batch scan
+    # before load_table normalizes it) — apply the identical conversion.
+    raw_stream = replay_events_as_stream(spark, stage, raw_schema).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    s_left, s_right = split_sides(raw_stream)
+    # The helper keys both sides on the same column name; align them.
+    s_right = s_right.withColumnRenamed("v_user", "user_id").withColumnRenamed(
+        "v_ts", "ts2"
+    )
+    s_left = s_left.withColumnRenamed("p_ts", "ts1")
+    joined = stream_stream_interval_join(
+        s_left,
+        s_right,
+        key="user_id",
+        left_ts="ts1",
+        right_ts="ts2",
+        lookback_seconds=3600,
+        watermark_seconds=3600,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.p_id, r.v_id) for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+
+    b_left, b_right = split_sides(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    )
+    batch = b_left.join(
+        b_right,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS")),
+    )
+    want = {(r.p_id, r.v_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
