@@ -96,6 +96,77 @@ def snapshot_path(base_dir: str, version: int) -> str:
     return f"{base_dir}/v{version:04d}"
 
 
+def read_snapshot(
+    spark, base_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: snapshot ``version`` (1-based), or the latest
+    when ``version`` is None. Because upserts are copy-on-write, every
+    historical version remains a self-contained parquet directory —
+    `AS OF` semantics with zero extra bookkeeping. Raises FileNotFoundError
+    for a never-written version."""
+    import os
+
+    v = latest_snapshot_version(spark, base_dir) if version is None else version
+    path = snapshot_path(base_dir, v)
+    if v < 1 or not os.path.isdir(path):
+        raise FileNotFoundError(f"snapshot v{v} does not exist under {base_dir}")
+    return spark.read.parquet(path)
+
+
+def snapshot_diff(
+    spark,
+    base_dir: str,
+    from_version: int,
+    to_version: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """CDC between two snapshot versions: one row per changed key with
+    ``change_type`` ∈ {insert, update, delete} and the post-image value
+    columns (pre-image for deletes — the row that disappeared). The
+    table-format equivalent is Delta CDF / Iceberg changelog scans;
+    under copy-on-write it is a key-wise full-outer compare: one
+    shuffle per side on the merge keys, value equality via a single
+    struct comparison (null-safe), no per-column join logic. Unchanged
+    keys drop out before any downstream work."""
+    a = read_snapshot(spark, base_dir, from_version)
+    b = read_snapshot(spark, base_dir, to_version)
+    ks = list(keys)
+    vals = [c for c in a.columns if c not in ks]
+    left = a.select(*ks, F.struct(*vals).alias("__before"))
+    right = b.select(*ks, F.struct(*vals).alias("__after"))
+    j = left.join(right, ks, "full_outer")
+    change = (
+        F.when(F.col("__before").isNull(), F.lit("insert"))
+        .when(F.col("__after").isNull(), F.lit("delete"))
+        .when(~F.col("__before").eqNullSafe(F.col("__after")), F.lit("update"))
+    )
+    image = F.coalesce(F.col("__after"), F.col("__before"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*ks, "change_type", *[image[c].alias(c) for c in vals])
+    )
+
+
+def compact_snapshot(
+    spark, base_dir: str, target_partitions: int
+) -> DataFrame:
+    """Small-file compaction: rewrite the latest snapshot into
+    ``target_partitions`` files as a NEW version (copy-on-write, same
+    single-writer contract as the upsert path — readers of vN are
+    undisturbed). Incremental upserts accrete one file set per merge;
+    compaction restores scan efficiency (fewer, fuller row groups →
+    fewer tasks, better column-chunk compression). `coalesce` not
+    `repartition` when shrinking: it avoids a full shuffle by stitching
+    existing partitions map-side."""
+    current = latest_snapshot_version(spark, base_dir)
+    df = read_snapshot(spark, base_dir, current)
+    shrunk = df.coalesce(target_partitions)
+    out = snapshot_path(base_dir, current + 1)
+    shrunk.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 def upsert_parquet_snapshot(
     spark,
     base_dir: str,

@@ -70,6 +70,7 @@ def _load_all_plan_modules() -> None:
         # purpose — they rotate to the head next round.
         domain4,
         llm4,
+        sources_io3,
     )
 
 

@@ -52,3 +52,63 @@ def test_merge_upsert_matches_reference_model(spark, target, updates):
     # NB: an unmatched delete-flagged row also vanishes from the output
     # (it never existed in the target) — same end state as the model.
     assert got == model
+
+
+def test_time_travel_and_compaction(spark, tmp_path):
+    """Snapshot store lifecycle: v1 and v2 both stay readable after the
+    second upsert (time travel), snapshot_diff picks up exactly the
+    changed keys, and compaction rewrites the latest version into fewer
+    files without changing its rows."""
+    import glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from security_master_spark.operators.merge import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_diff,
+        upsert_parquet_snapshot,
+    )
+
+    base_dir = str(tmp_path / "store")
+    rows1 = [(k, float(k * 10), "a") for k in range(20)]
+    df1 = spark.createDataFrame(rows1, "k INT, v DOUBLE, tag STRING")
+    upsert_parquet_snapshot(spark, base_dir, df1, keys=["k"])
+    updates = spark.createDataFrame(
+        [(5, 999.0, "b", False), (19, 0.0, "a", True), (100, 1.0, "c", False)],
+        "k INT, v DOUBLE, tag STRING, is_del BOOLEAN",
+    )
+    upsert_parquet_snapshot(
+        spark, base_dir, updates, keys=["k"], delete_col="is_del"
+    )
+
+    v1 = {r.k: (r.v, r.tag) for r in read_snapshot(spark, base_dir, 1).collect()}
+    v2 = {r.k: (r.v, r.tag) for r in read_snapshot(spark, base_dir, 2).collect()}
+    assert v1[19] == (190.0, "a") and 19 not in v2  # old version undisturbed
+    assert v2[5] == (999.0, "b") and v2[100] == (1.0, "c")
+    assert read_snapshot(spark, base_dir).count() == len(v2)  # latest default
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, base_dir, 7)
+
+    diff = {
+        r.k: r.change_type
+        for r in snapshot_diff(spark, base_dir, 1, 2, keys=["k"]).collect()
+    }
+    assert diff == {5: "update", 19: "delete", 100: "insert"}
+
+    # Spread the latest snapshot wide, then compact it down.
+    wide = read_snapshot(spark, base_dir).repartition(8)
+    from security_master_spark.operators.merge import (
+        latest_snapshot_version,
+        snapshot_path,
+    )
+
+    wide.write.mode("overwrite").parquet(
+        snapshot_path(base_dir, latest_snapshot_version(spark, base_dir) + 1)
+    )
+    compacted = compact_snapshot(spark, base_dir, target_partitions=1)
+    v_now = latest_snapshot_version(spark, base_dir)
+    files = glob.glob(f"{snapshot_path(base_dir, v_now)}/*.parquet")
+    assert len(files) == 1
+    assert {r.k: (r.v, r.tag) for r in compacted.collect()} == v2
