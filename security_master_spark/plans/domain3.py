@@ -68,26 +68,30 @@ def d16_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "event_type", "ts", "value", F.row_number().over(w).alias("rn")
     )
-    contrib = (
-        base.withColumn(
-            "k", F.explode(F.sequence(F.lit(0), F.lit(_EWMA_LAGS - 1)))
-        )
-        .select(
-            F.col("event_type").alias("et"),
-            (F.col("rn") + F.col("k")).alias("rn_t"),
-            (F.col("value") * F.pow(F.lit(1 - _EWMA_ALPHA), F.col("k"))).alias(
-                "wx"
-            ),
-            F.pow(F.lit(1 - _EWMA_ALPHA), F.col("k")).alias("w"),
-        )
-    )
-    agg = contrib.groupBy("et", "rn_t").agg(
-        F.sum("wx").alias("num"), F.sum("w").alias("den")
-    )
-    return base.join(
-        agg,
-        (F.col("event_type") == F.col("et")) & (F.col("rn_t") == F.col("rn")),
+    decay = F.pow(F.lit(1 - _EWMA_ALPHA), F.col("k"))
+    # The k=0 contribution row carries the target row's own (ts, value)
+    # payload, so the aggregate REBUILDS the output row and no join
+    # back to `base` is needed — one Exchange fewer, measured ~9%
+    # faster at sf0.1 (interleaved A/B minimums; join form 2.28 s,
+    # this form 2.09 s). Phantom rn_t past a series' end have no k=0
+    # row → null ts → filtered.
+    contrib = base.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(_EWMA_LAGS - 1)))
     ).select(
+        "event_type",
+        (F.col("rn") + F.col("k")).alias("rn_t"),
+        (F.col("value") * decay).alias("wx"),
+        decay.alias("w"),
+        F.when(F.col("k") == 0, F.col("ts")).alias("ts0"),
+        F.when(F.col("k") == 0, F.col("value")).alias("v0"),
+    )
+    agg = contrib.groupBy("event_type", "rn_t").agg(
+        F.sum("wx").alias("num"),
+        F.sum("w").alias("den"),
+        F.max("ts0").alias("ts"),
+        F.max("v0").alias("value"),
+    )
+    return agg.filter(F.col("ts").isNotNull()).select(
         "event_type",
         "ts",
         "value",
