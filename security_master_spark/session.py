@@ -34,6 +34,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / toPandas interchange (the fast path).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write timestamps as INT64 micros, not legacy INT96: INT96 row
+    # groups carry NO min/max statistics, which silently disables
+    # timestamp data skipping on everything this engine writes
+    # (tests/test_io_skipping.py proves the footer stats exist).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

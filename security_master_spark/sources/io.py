@@ -75,3 +75,29 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Global-sort-on-write for parquet data skipping:
+    ``repartitionByRange`` assigns each output file a DISJOINT range of
+    ``sort_cols`` (one range shuffle, sampled boundaries), and
+    ``sortWithinPartitions`` orders rows inside each file (no extra
+    shuffle). Parquet footers then carry tight, non-overlapping
+    min/max on the sort columns at both file and row-group level, so
+    any later scan with a predicate on them prunes whole files before
+    decoding a byte — the same layout Iceberg sort orders / Delta
+    OPTIMIZE formalize. tests/test_io_skipping.py proves the
+    footer-stat tightening on the events fixture. ``n_files`` fixes
+    the output file count (defaults to shuffle parallelism)."""
+    cols = list(sort_cols)
+    parts = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    parts.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
