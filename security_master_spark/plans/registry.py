@@ -71,6 +71,8 @@ def _load_all_plan_modules() -> None:
         domain4,
         llm4,
         sources_io3,
+        domain5,
+        llm5,
     )
 
 
