@@ -73,6 +73,10 @@ def _load_all_plan_modules() -> None:
         sources_io3,
         domain5,
         llm5,
+        domain6,
+        llm6,
+        aggregates2,
+        sources_io4,
     )
 
 

@@ -24,6 +24,8 @@ _NESTED_LOOP_OK = {
     "the tf stream (no join key exists; build side is a single row)",
     "l29_unigram_surprisal": "1-row corpus-token-total broadcast onto the "
     "token stream (no join key exists; build side is a single row)",
+    "a15_histogram": "1-row global min/max extent broadcast onto the scan "
+    "(no join key exists; build side is a single row)",
 }
 
 _QUERIES = registry.queries()
@@ -95,7 +97,14 @@ def test_registration_order_puts_unproven_queries_first():
     # The full aggregates + scalars modules ride in the head block so
     # their round-1 greens are re-proven alongside the a9/s5/s8/s15
     # fixes (union-of-rounds coverage stays complete either way).
-    a_s = [n for n in names if n[0] in ("a", "s")]
+    # Round-4 candidate modules (aggregates2, …) are deliberately past
+    # the cap, so scope the check to a1-a14 / s1-s17.
+    a_s = [
+        n
+        for n in names
+        if n[0] in ("a", "s") and int(n[1:].split("_", 1)[0]) <= 17
+        and not (n[0] == "a" and int(n[1:].split("_", 1)[0]) >= 15)
+    ]
     assert set(a_s) <= head, (
         f"aggregates/scalars spilled past the cap: {sorted(set(a_s) - head)}"
     )
