@@ -49,9 +49,17 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as 'w1 w2 w3' strings — the MinHash input
-    unit. Built from slice over the token array via transform (no UDF).
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as 'w1 w2 w3' strings from an ALREADY
+    MATERIALIZED token-array column — the MinHash input unit. Built
+    from slice over the token array via transform (no UDF).
+
+    ``toks`` must be a plain column reference (project ``tokens(text)``
+    into a column first): higher-order lambdas get no common-
+    subexpression elimination, so a ``split`` embedded in the lambda
+    body re-tokenizes the document once PER SHINGLE — O(len²) work.
+    Materializing tokens first measured 3.3× faster on the l30
+    decontamination query at sf0.1 (3.0 s → 0.9 s).
 
     Documents with fewer than ``n`` tokens yield an EMPTY array: the
     sequence is guarded behind ``k >= 1`` because Spark's default
@@ -59,7 +67,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     DESCENDING [1, 0] and ``slice(toks, 0, n)`` then throws
     INVALID_PARAMETER_VALUE.START — short/empty docs certainly occur at
     corpus scale."""
-    toks = tokens(text)
     k = F.size(toks) - (n - 1)
     return F.when(
         k >= 1,
@@ -68,6 +75,14 @@ def shingles(text: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column. Convenience form for
+    one-shot expressions; HOT PATHS should project ``tokens(text)``
+    into a column and call :func:`shingles_of` on it (see that
+    docstring for the no-CSE O(len²) trap this avoids)."""
+    return shingles_of(tokens(text), n)
 
 
 def quality_score(text: Column) -> Column:

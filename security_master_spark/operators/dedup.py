@@ -16,7 +16,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from security_master_spark.datasets import fan_out
-from security_master_spark.functions.text import distinct_tokens, shingles
+from security_master_spark.functions.text import (
+    distinct_tokens,
+    shingles,
+    shingles_of,
+    tokens,
+)
 
 #: Mersenne prime 2^31-1: the universal-hash modulus. a·h31 + b stays
 #: under 2^62, so the arithmetic never overflows int64 (ANSI mode
@@ -127,10 +132,16 @@ def lsh_candidate_pairs(
     # partial aggregation collapses them to one row per doc before the
     # shuffle — shuffle volume is O(docs · num_hashes) longs, never the
     # shingle stream.
+    # Tokens are materialized into a column BEFORE shingling: the
+    # shingle lambda must reference a plain column, not a split()
+    # subtree it would re-evaluate once per shingle (HOFs get no CSE
+    # — measured 3.3× on the same shape in l30_decontamination).
     shingle_hashes = df.select(
-        F.col(id_col).alias("doc"),
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        "doc",
         F.explode(
-            F.transform(shingles(F.col(text_col), shingle_n), _shingle_hash31)
+            F.transform(shingles_of(F.col("__toks"), shingle_n), _shingle_hash31)
         ).alias("h"),
     )
     sig = shingle_hashes.groupBy("doc").agg(
