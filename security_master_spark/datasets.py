@@ -35,20 +35,36 @@ TABLES: tuple[str, ...] = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing types.
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events-style timestamp column to session-zoned
+    TIMESTAMP regardless of how the fixture generation stored it (the
+    driver has shipped two layouts):
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``nanosAsLong=true`` it arrives as long nanos and is converted to a
-    proper timestamp via *integer* division (``ts div 1000`` — float
-    division drifts ±1µs through the double mantissa and breaks
-    value-equality with engines that read nanos natively; FIXTURES.md
-    gotcha #2).
+    - TIMESTAMP(NANOS) + ``nanosAsLong=true`` (rounds 1-3): arrives as
+      long nanos, converted via *integer* division (``ts div 1000`` —
+      float division drifts ±1µs through the double mantissa and
+      breaks value-equality with engines that read nanos natively;
+      FIXTURES.md gotcha #2).
+    - TIMESTAMP(MICROS) (round 4+): arrives as TIMESTAMP_NTZ; cast to
+      session-zoned TIMESTAMP (UTC session, so values are identical)
+      to keep one downstream type across layouts.
     """
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types (``events.ts`` via
+    :func:`normalize_events_ts` — the single choke point for the two
+    storage layouts the driver has shipped)."""
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":
         # Battery mode (bench.py): mark every fixture cached — Spark's
         # CacheManager dedupes by analyzed plan, so repeated load_table

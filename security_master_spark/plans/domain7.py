@@ -1,0 +1,299 @@
+"""Round-5 securities-master candidates (SURVEY.md §2.11): stochastic
+oscillator, average true range, on-balance volume, and return
+autocorrelation — the remaining classic technical/diagnostic family.
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+
+All four collapse the tick scan to O(types x days) daily bars in one
+hash aggregate first (the d25 discipline), so every window after the
+first Exchange runs on a tiny frame — the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.plans.registry import register
+
+_BARS_SQL = """
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               ARG_MIN(value, ts) AS open,
+               MAX(value)         AS high,
+               MIN(value)         AS low,
+               ARG_MAX(value, ts) AS close,
+               COUNT(*)           AS volume
+        FROM events
+        GROUP BY event_type, DATE_TRUNC('day', ts)
+"""
+
+
+def _daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(types x days) OHLCV bars in one hash aggregate (min_by/max_by
+    open/close — no self-join back to the tick stream)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count("*").alias("volume"),
+    )
+
+
+@register(
+    "d29_stochastic_oscillator",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    k AS (
+        SELECT event_type, day, close,
+               MIN(low)  OVER w AS l14,
+               MAX(high) OVER w AS h14,
+               COUNT(*)  OVER w AS n_win
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), kk AS (
+        SELECT event_type, day, n_win,
+               {sql_dround(
+                   "100.0 * (close - l14) / NULLIF(h14 - l14, 0)", 6
+               )} AS pct_k
+        FROM k
+    ), kd AS (
+        -- pct_d BEFORE the warm-up filter (WHERE runs before window
+        -- functions in the same block; Spark computes the smoothing
+        -- over the unfiltered frame, so the oracle must too)
+        SELECT event_type, day, n_win, pct_k,
+               {sql_dround(
+                   "AVG(pct_k) OVER (PARTITION BY event_type ORDER BY day "
+                   "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 6
+               )} AS pct_d
+        FROM kk
+    )
+    SELECT event_type, day, pct_k, pct_d
+    FROM kd
+    WHERE n_win >= 14
+    """,
+)
+def d29_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D: where today's close sits inside
+    the trailing 14-day high-low range (0 = at the low, 100 = at the
+    high), smoothed by a 3-day SMA — the classic overbought/oversold
+    gauge. Warm-up rows (< 14 bars of history) are dropped AFTER %D is
+    computed so the smoothing never sees a partial range; a flat
+    14-day range (h14 == l14) yields NULL via NULLIF on both engines
+    rather than a divide-by-zero artifact. Two WindowExecs share one
+    (event_type, day) sort order, so Catalyst plans a single Exchange
+    + sort for the whole chain over the collapsed daily frame."""
+    bars = _daily_bars(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    k = bars.select(
+        "event_type",
+        "day",
+        dround(
+            100.0
+            * (F.col("close") - F.min("low").over(w14))
+            / F.nullif(F.max("high").over(w14) - F.min("low").over(w14), F.lit(0.0)),
+            6,
+        ).alias("pct_k"),
+        F.count("*").over(w14).alias("n_win"),
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        k.withColumn("pct_d", dround(F.avg("pct_k").over(w3), 6))
+        .filter(F.col("n_win") >= 14)
+        .select("event_type", "day", "pct_k", "pct_d")
+    )
+
+
+@register(
+    "d30_atr",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    tr AS (
+        SELECT event_type, day,
+               GREATEST(
+                   high - low,
+                   ABS(high - LAG(close) OVER w),
+                   ABS(low  - LAG(close) OVER w)
+               ) AS true_range,
+               ROW_NUMBER() OVER w AS rn
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), smoothed AS (
+        -- atr14 BEFORE the first-bar filter (WHERE runs before window
+        -- functions in the same block; Spark's 14-row frame includes
+        -- the NULL first-bar row, so the oracle's frame must too)
+        SELECT event_type, day, rn,
+               {sql_dround("true_range", 6)} AS true_range,
+               {sql_dround(
+                   "AVG(true_range) OVER (PARTITION BY event_type ORDER BY day "
+                   "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)", 6
+               )} AS atr14
+        FROM tr
+    )
+    SELECT event_type, day, true_range, atr14
+    FROM smoothed
+    WHERE rn > 1
+    """,
+)
+def d30_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average true range: the gap-aware volatility unit behind stop
+    placement and position sizing. True range extends high-low with
+    the overnight gap vs the prior close (GREATEST of the three legs);
+    ATR-14 is its trailing simple average (the SMA variant, so the
+    DuckDB oracle is exact — Wilder's recursive smoothing is the
+    d16_ewma shape if needed). The first bar per series has no prior
+    close and is dropped on both sides; GREATEST/F.greatest both skip
+    the NULL legs otherwise. Same single-sort window chain over the
+    collapsed daily frame as d29."""
+    bars = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_close = F.lag("close").over(w)
+    tr = bars.select(
+        "event_type",
+        "day",
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        ).alias("true_range"),
+        F.row_number().over(w).alias("rn"),
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    return (
+        tr.withColumn("atr14", dround(F.avg("true_range").over(w14), 6))
+        .filter(F.col("rn") > 1)
+        .select(
+            "event_type",
+            "day",
+            dround(F.col("true_range"), 6).alias("true_range"),
+            "atr14",
+        )
+    )
+
+
+@register(
+    "d31_obv",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    signed AS (
+        SELECT event_type, day, volume,
+               CASE
+                   WHEN close > LAG(close) OVER w THEN volume
+                   WHEN close < LAG(close) OVER w THEN -volume
+                   ELSE 0
+               END AS signed_volume
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           CAST(volume AS BIGINT) AS volume,
+           CAST(SUM(signed_volume) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS obv
+    FROM signed
+    """,
+)
+def d31_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume: cumulative volume signed by the direction of
+    the daily close-to-close move (the volume-confirms-price
+    indicator). The first bar per series has no prior close, so its
+    contribution is 0 on both engines (CASE's ELSE catches the NULL
+    comparison). Daily volume here is the bar's tick count — the
+    fixture has no size column; the cumulative-sum shape is
+    identical. Running total via ROWS UNBOUNDED PRECEDING keeps the
+    frame cumulative (never RANGE, which would merge tied days)."""
+    bars = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_close = F.lag("close").over(w)
+    signed = bars.select(
+        "event_type",
+        "day",
+        "volume",
+        F.when(F.col("close") > prev_close, F.col("volume"))
+        .when(F.col("close") < prev_close, -F.col("volume"))
+        .otherwise(F.lit(0))
+        .alias("signed_volume"),
+    )
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return signed.select(
+        "event_type",
+        "day",
+        F.col("volume").cast("bigint").alias("volume"),
+        F.sum("signed_volume").over(cum).cast("bigint").alias("obv"),
+    )
+
+
+@register(
+    "d32_return_autocorr",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    rets AS (
+        SELECT event_type, day,
+               close / NULLIF(LAG(close) OVER w, 0) - 1 AS r
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), pairs AS (
+        SELECT event_type, r,
+               LAG(r) OVER (PARTITION BY event_type ORDER BY day) AS r_prev
+        FROM rets
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (
+               WHERE r IS NOT NULL AND r_prev IS NOT NULL
+           ) AS BIGINT) AS n_pairs,
+           {sql_dround("CORR(r, r_prev)", 6)} AS autocorr_lag1
+    FROM pairs
+    GROUP BY event_type
+    """,
+)
+def d32_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily simple returns per series — the
+    mean-reversion / momentum diagnostic (negative = choppy
+    mean-reverting tape, positive = trending). Returns come off the
+    daily bars via LAG (NULLIF guards a zero prior close), pair up
+    with their own lag, and reduce through the built-in sample CORR
+    aggregate, which skips NULL pairs identically in Spark and DuckDB
+    (warm-up rows and zero-close gaps drop out of both the count and
+    the correlation). n_pairs is reported so a reader can judge
+    significance (|rho| ~ 2/sqrt(n))."""
+    bars = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = bars.select(
+        "event_type",
+        "day",
+        (
+            F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+        ).alias("r"),
+    )
+    pairs = rets.select(
+        "event_type", "r", F.lag("r").over(w).alias("r_prev")
+    )
+    both = F.col("r").isNotNull() & F.col("r_prev").isNotNull()
+    return pairs.groupBy("event_type").agg(
+        F.count(F.when(both, 1)).cast("bigint").alias("n_pairs"),
+        dround(F.corr("r", "r_prev"), 6).alias("autocorr_lag1"),
+    )

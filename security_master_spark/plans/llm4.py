@@ -16,6 +16,11 @@ from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
 
+#: tokens seen fewer than this many times corpus-wide route to the
+#: shared OOV bucket instead of the broadcast vocabulary
+_MIN_COUNT = 3
+
+
 @register(
     "l29_unigram_surprisal",
     oracle=f"""
@@ -24,16 +29,23 @@ from security_master_spark.plans.registry import register
         FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
     ), tf AS (
         SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
-    ), total AS (
-        SELECT CAST(SUM(tf) AS BIGINT) AS n FROM tf
+    ), scal AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN tf < {_MIN_COUNT} THEN tf END),
+                             0) AS BIGINT) AS oov
+        FROM tf
     )
     SELECT tok.doc_id,
            COUNT(*) AS n_tokens,
            {sql_dround(
-               "AVG(-LOG2(CAST(tf.tf AS DOUBLE) / CAST(total.n AS DOUBLE)))",
+               "AVG(-LOG2(CAST(COALESCE(v.tf, scal.oov) AS DOUBLE)"
+               " / CAST(scal.n AS DOUBLE)))",
                6,
            )} AS avg_surprisal_bits
-    FROM tok JOIN tf ON tok.token = tf.token CROSS JOIN total
+    FROM tok
+    LEFT JOIN (SELECT token, tf FROM tf WHERE tf >= {_MIN_COUNT}) v
+           ON tok.token = v.token
+    CROSS JOIN scal
     GROUP BY tok.doc_id
     """,
 )
@@ -41,24 +53,39 @@ def l29_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean token surprisal −log2 p(token)
     per document, the cheap stand-in for perplexity filtering (low =
     repetitive boilerplate, high = rare-token noise; mid-band =
-    keepable text). The LM *is* the corpus term-frequency table:
-    explode → tf agg, 1-row total broadcast, then the token stream
-    re-joins the broadcast vocabulary — at 100 TB the vocab is the
-    only broadcast state (it is Zipf-bounded, ~millions of rows, far
-    under broadcast limits after a min-count floor) and the heavy
-    token stream never shuffles twice: surprisal is attached map-side
-    and the only wide exchange is the final per-doc aggregation.
-    dround(…, 6) absorbs LOG2/summation-order ulps."""
+    keepable text). The LM *is* the corpus term-frequency table —
+    explode → tf agg — but only tokens with corpus count >=
+    _MIN_COUNT enter the broadcast vocabulary; the long Zipf tail
+    (the part that grows without bound at 100 TB) collapses into a
+    single OOV bucket whose probability is the floored mass over the
+    corpus total, so the broadcast state is genuinely bounded, not
+    just asserted to be. Rare-token instances hit the OOV probability
+    via a left join + coalesce, surprisal is attached map-side (the
+    vocab and the 1-row {{total, oov_mass}} scalar both broadcast),
+    and the only wide exchange on the token stream is the final
+    per-doc aggregation. dround(…, 6) absorbs LOG2/summation-order
+    ulps."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("token")
     )
     tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
-    total = tf.agg(F.sum("tf").cast("bigint").alias("n"))
-    p = F.col("tf").cast("double") / F.col("n").cast("double")
+    vocab = tf.filter(F.col("tf") >= _MIN_COUNT)
+    scal = tf.agg(
+        F.sum("tf").cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("tf") < _MIN_COUNT, F.col("tf"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("oov"),
+    )
+    p = (
+        F.coalesce(F.col("tf"), F.col("oov")).cast("double")
+        / F.col("n").cast("double")
+    )
     return (
-        tok.join(F.broadcast(tf), "token")
-        .crossJoin(F.broadcast(total))
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),

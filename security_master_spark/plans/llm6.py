@@ -8,7 +8,7 @@ local oracle mirror (tests/test_correctness.py) proves them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from security_master_spark.datasets import load_table
@@ -49,11 +49,14 @@ def l33_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-vs-noise separator (repeated templates have
     near-deterministic transitions). The LM is two aggregates over the
     exploded bigram stream (c(w1,w2), then c(w1·) as a rollup of the
-    FIRST aggregate — never a second corpus pass); both tables are
-    Zipf-bounded and broadcast back onto the stream, so the heavy
-    explode shuffles once for counting and the scoring join is
-    map-side. Docs under two tokens have no bigrams and drop out on
-    both sides."""
+    FIRST aggregate — never a second corpus pass). Unlike l29's
+    floored unigram vocab, the bigram table is NOT broadcastable at
+    corpus scale (web-scale bigram vocab runs to billions of types),
+    so the scoring joins carry no broadcast hint: they shuffle on
+    (w1, w2) / (w1) — the same keys the counting aggregates already
+    hashed on — and AQE downgrades them to broadcasts only when the
+    measured table is actually small. Docs under two tokens have no
+    bigrams and drop out on both sides."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ", -1)
     big = (
@@ -74,8 +77,8 @@ def l33_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = F.col("c12").cast("double") / F.col("c1").cast("double")
     return (
-        big.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -118,21 +121,21 @@ def l34_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes' (low coverage flags code/markup/foreign-script docs for
     separate routing). The vocabulary is one tf aggregate + a global
     top-K (rank ties broken by token text, so the rank-100 boundary
-    is deterministic cross-engine); it broadcasts as a semi-join-style
-    left join onto the token stream, and the only wide shuffle is the
-    final per-doc aggregate. At 100 TB the vocab stays driver-tiny
-    (K rows) no matter the corpus size."""
+    is deterministic cross-engine); orderBy().limit(K) plans
+    TakeOrderedAndProject — per-partition top-K then a driver merge of
+    K rows per partition, never a single-partition global sort. The
+    K-row vocab broadcasts as a semi-join-style left join onto the
+    token stream, and the only wide shuffle is the final per-doc
+    aggregate. At 100 TB the vocab stays driver-tiny (K rows) no
+    matter the corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("token")
     )
     tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
-    rn = F.row_number().over(
-        Window.orderBy(F.col("tf").desc(), F.col("token"))
-    )
     vocab = (
-        tf.select("token", rn.alias("rn"))
-        .filter(F.col("rn") <= _VOCAB_K)
+        tf.orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(_VOCAB_K)
         .select("token", F.lit(1).alias("hit"))
     )
     return (

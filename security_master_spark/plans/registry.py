@@ -41,16 +41,28 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 def _load_all_plan_modules() -> None:
     # Import for registration side effects. ORDER MATTERS: the driver's
     # correctness harness checks at most ~50 entries per round in
-    # registration order. Round-3 rotation: the queries still lacking a
-    # green driver row go first — streaming_batch (t1/t2 were round-2
-    # reds, now fixed), the new round-3 modules (domain2/llm2/
-    # sources_io2, never checked), aggregates (a13 never checked, a9
-    # fixed since its red, a14 new) and scalars (s5/s8/s15 fixed since
-    # their reds). That head block is exactly 50 entries. The domain /
-    # llm / udfs / sources_io / multimodal modules earned green rows in
-    # round 2 and the relational / windows queries in round 1, so they
-    # register last. tests/test_plans.py pins this order.
+    # registration order. Round-4 rotation: first the 20 queries that
+    # have only local-mirror evidence (the round-3 additions that
+    # registered past round 3's cap: d19-d28, l29-l34, a15-a16,
+    # io8-io9), then the rows with the OLDEST driver evidence —
+    # relational/windows (last proven round 1) and udfs/multimodal
+    # (round 2) — for freshness. That head block is exactly 50
+    # entries. Everything re-proven green in round 3 registers last.
+    # tests/test_plans.py pins this order.
     from security_master_spark.plans import (  # noqa: F401
+        domain4,
+        llm4,
+        sources_io3,
+        domain5,
+        llm5,
+        domain6,
+        llm6,
+        aggregates2,
+        sources_io4,
+        relational,
+        windows,
+        udfs,
+        multimodal,
         streaming_batch,
         domain2,
         llm2,
@@ -61,22 +73,10 @@ def _load_all_plan_modules() -> None:
         scalars,
         domain,
         llm,
-        udfs,
         sources_io,
-        multimodal,
-        relational,
-        windows,
-        # Round-4 candidates: registered past the ~50-entry cap on
-        # purpose — they rotate to the head next round.
-        domain4,
-        llm4,
-        sources_io3,
-        domain5,
-        llm5,
-        domain6,
-        llm6,
-        aggregates2,
-        sources_io4,
+        # Round-5 candidates (added in round 4): registered past the
+        # ~50-entry cap on purpose — they rotate to the head next round.
+        domain7,
     )
 
 

@@ -26,12 +26,7 @@ from security_master_spark.sources.io import (
     write_parquet_partitioned,
 )
 
-_IO_ROOT = "/tmp/sms_io"
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"{_IO_ROOT}/{tag}/{name}"
+from security_master_spark.plans.io_scratch import _IO_ROOT, _scratch  # noqa: F401
 
 
 _CUSTOMER_SCHEMA = (

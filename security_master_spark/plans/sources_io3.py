@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from security_master_spark.datasets import load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
-from security_master_spark.plans.sources_io import _scratch
+from security_master_spark.plans.io_scratch import _scratch
 
 
 @register(

@@ -189,3 +189,35 @@ def test_connected_components_warns_on_non_convergence(spark):
         comps = {r.component for r in out.collect()}
         assert comps == {1}
         assert not any("no convergence" in str(x.message) for x in w)
+
+
+def test_l29_min_count_floor_routes_rare_tokens_to_oov(spark, tmp_path):
+    # The driver fixtures use a closed 31-token vocabulary where every
+    # token clears the _MIN_COUNT floor, so the sf mirrors never
+    # exercise the OOV bucket. This corpus does: tf = {a: 4, b: 2,
+    # c: 1}, so with _MIN_COUNT=3 the vocab is {a} and b/c collapse
+    # into an OOV bucket of mass 3. Expectations are hand-computed.
+    import math
+
+    import pandas as pd
+
+    from security_master_spark.plans.llm4 import (
+        _MIN_COUNT,
+        l29_unigram_surprisal,
+    )
+
+    assert _MIN_COUNT == 3  # expectations below assume this floor
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a a a b", "a b c"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = {
+        r.doc_id: (r.n_tokens, r.avg_surprisal_bits)
+        for r in l29_unigram_surprisal(spark, str(tmp_path)).collect()
+    }
+    s_a = -math.log2(4 / 7)    # in-vocab: p = tf/total
+    s_oov = -math.log2(3 / 7)  # OOV: p = floored_mass/total
+    assert out[1][0] == 4
+    assert out[1][1] == round((3 * s_a + s_oov) / 4, 6)
+    assert out[2][0] == 3
+    assert out[2][1] == round((s_a + 2 * s_oov) / 3, 6)

@@ -26,6 +26,9 @@ _NESTED_LOOP_OK = {
     "token stream (no join key exists; build side is a single row)",
     "a15_histogram": "1-row global min/max extent broadcast onto the scan "
     "(no join key exists; build side is a single row)",
+    "l32_source_mix": "per-source count table (#sources rows) x 1-row "
+    "global-min scalar, broadcast (no join key exists; build side is a "
+    "single row)",
 }
 
 _QUERIES = registry.queries()
@@ -47,64 +50,54 @@ def test_allowlist_entries_still_exist():
     assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
 
 
-#: queries that still need a green driver row going into round 3:
-#: t1/t2 (round-2 reds, oracle cast fixed), t3 (weak re-proof rides
-#: along), the new round-3 queries, a13 (never inside the cap), a9 and
-#: s5/s8/s15 (fixed after their round-1 reds, fix never driver-proven).
-_NEEDS_ROUND3_EVIDENCE = {
-    "t1_tumbling_window",
-    "t2_sliding_window",
-    "t3_session_window_native",
-    "d12_twap",
-    "d13_asof_bucketed",
-    "d14_linear_interpolation",
-    "d15_max_drawdown",
-    "l26_length_filter",
-    "l22_distinctive_terms",
-    "l23_stratified_sample",
-    "l24_regex_scrub",
-    "l25_incremental_dedup",
-    "io7_schema_evolution",
-    "d16_ewma",
-    "d17_rsi",
-    "d18_gap_detection",
-    "dq1_quality_profile",
-    "l27_repetition_ratio",
-    "l28_char_entropy",
-    "a9_collect_sorted",
-    "a13_approx_percentile",
-    "a14_regression_aggs",
-    "s5_array_functions",
-    "s8_json_aggregate",
-    "s15_array_functions_2",
+#: queries that still need their FIRST driver row going into round 4:
+#: the round-3 additions that registered past round 3's 50-entry cap
+#: (local mirror green, but never inside the driver's window).
+_NEEDS_ROUND4_EVIDENCE = {
+    "d19_mad_outliers",
+    "d20_position_tracking",
+    "d21_vwap",
+    "d22_bollinger",
+    "d23_macd",
+    "d24_rolling_beta",
+    "d25_range_volatility",
+    "d26_cross_sectional_rank",
+    "d27_winsorize",
+    "d28_pairwise_correlation",
+    "a15_histogram",
+    "a16_mode",
+    "l29_unigram_surprisal",
+    "l30_decontamination",
+    "l31_chunk_overlap",
+    "l32_source_mix",
+    "l33_bigram_surprisal",
+    "l34_vocab_coverage",
+    "io8_snapshot_diff",
+    "io9_orc_roundtrip",
 }
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1 and 2 both
-    stopped at exactly 50). Round-3 rotation: every query that still
-    lacks a green driver row — and the whole aggregates/scalars modules
-    they live in — must land inside the first 50 registrations;
-    regression here silently un-proves them again."""
+    entries per round in registration order (rounds 1-3 all stopped at
+    exactly 50). Round-4 rotation: the 20 mirror-only queries must
+    land inside the first 50 registrations (else they stay unproven),
+    and the freshness backfill is the rows with the OLDEST driver
+    evidence — relational/windows (round 1) and udfs/multimodal
+    (round 2)."""
     names = list(_QUERIES)
     head = set(names[:50])
-    missing = sorted(_NEEDS_ROUND3_EVIDENCE - head)
+    missing = sorted(_NEEDS_ROUND4_EVIDENCE - head)
     assert not missing, (
-        f"these queries need round-3 driver evidence but registered "
+        f"these queries need round-4 driver evidence but registered "
         f"past the ~50-entry cap: {missing}"
     )
-    # The full aggregates + scalars modules ride in the head block so
-    # their round-1 greens are re-proven alongside the a9/s5/s8/s15
-    # fixes (union-of-rounds coverage stays complete either way).
-    # Round-4 candidate modules (aggregates2, …) are deliberately past
-    # the cap, so scope the check to a1-a14 / s1-s17.
-    a_s = [
-        n
-        for n in names
-        if n[0] in ("a", "s") and int(n[1:].split("_", 1)[0]) <= 17
-        and not (n[0] == "a" and int(n[1:].split("_", 1)[0]) >= 15)
+    stale = [
+        n for n in names
+        if n.startswith(("q", "w", "u", "m"))
+        and n[1].isdigit()
     ]
-    assert set(a_s) <= head, (
-        f"aggregates/scalars spilled past the cap: {sorted(set(a_s) - head)}"
+    assert set(stale) <= head, (
+        f"round-1/2 freshness backfill spilled past the cap: "
+        f"{sorted(set(stale) - head)}"
     )

@@ -361,11 +361,12 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         )
         return left, right
 
-    # The raw stream carries nanos-as-long ts (same as the batch scan
-    # before load_table normalizes it) — apply the identical conversion.
-    raw_stream = replay_events_as_stream(spark, stage, raw_schema).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # The raw stream carries ts exactly as stored (same as the batch
+    # scan before load_table normalizes it) — apply the identical
+    # normalization, whichever layout the fixture uses.
+    from security_master_spark.datasets import normalize_events_ts
+
+    raw_stream = normalize_events_ts(replay_events_as_stream(spark, stage, raw_schema))
     s_left, s_right = split_sides(raw_stream)
     # The helper keys both sides on the same column name; align them.
     s_right = s_right.withColumnRenamed("v_user", "user_id").withColumnRenamed(
