@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -264,6 +265,64 @@ def running_totals_state(stream: DataFrame, key_col: str = "key") -> DataFrame:
         stateStructType="n LONG, total LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: output schema for expiring_counts_state
+_EXPIRING_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_events", LongType()),
+        StructField("evicted", BooleanType()),
+    ]
+)
+
+#: processing-time inactivity horizon for expiring_counts_state (ms).
+#: Module constant (not a closure variable) so the function cloudpickles
+#: by reference and imports cleanly on Python workers.
+_EXPIRE_MS = 2000
+
+
+def _expiring_counts_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key running count with a processing-time inactivity timeout:
+    a key that stops receiving input for _EXPIRE_MS is EVICTED — its
+    state removed and a final tombstone row emitted. This is the
+    timeout/eviction half of the arbitrary-stateful contract (the TWS
+    timer semantics: handleExpiredTimer ≡ the hasTimedOut branch here,
+    deleteIfExists ≡ state.remove)."""
+    if state.hasTimedOut:
+        (n,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "evicted": [True]}
+        )
+        return
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    state.setTimeoutDuration(_EXPIRE_MS)
+    yield pd.DataFrame({"key": [key[0]], "n_events": [n], "evicted": [False]})
+
+
+def expiring_counts_state(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """applyInPandasWithState with ProcessingTimeTimeout: per-key
+    running counts whose state is evicted after _EXPIRE_MS of
+    inactivity (emitting a final ``evicted=true`` row). Certifies the
+    timeout + eviction state semantics that the TWS API expresses via
+    timers — the half of the stateful contract running_totals_state
+    doesn't cover. State stays sharded by key; the timeout bounds
+    state size for abandoned keys, which is what keeps an unbounded
+    keyspace (user ids, session ids) from accumulating forever at
+    production scale."""
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        _expiring_counts_fn,
+        outputStructType=_EXPIRING_SCHEMA,
+        stateStructType="n LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -111,6 +111,42 @@ def test_running_max_state_stream(spark):
         assert r.mx is not None and r.n >= 1
 
 
+def test_state_timeout_evicts(spark):
+    """Timeout + eviction half of the arbitrary-stateful contract
+    (the TWS timer semantics, certified on applyInPandasWithState):
+    a key that stops receiving input is evicted after the
+    processing-time timeout — its state removed and a tombstone row
+    (evicted=true) emitted. Key 0 only exists while value < 20, so at
+    50 rows/s it goes quiet within the first second and must time out
+    while keys 1-3 keep flowing."""
+    from security_master_spark.streaming.jobs import expiring_counts_state
+
+    src = _rate(spark).withColumn(
+        "key",
+        F.when(F.col("value") < 20, F.col("value") % 4).otherwise(
+            1 + F.col("value") % 3
+        ),
+    )
+    out = expiring_counts_state(src, "key")
+
+    def key0_evicted(s):
+        return (
+            s.sql(
+                "SELECT COUNT(*) c FROM t_expire WHERE key = 0 AND evicted"
+            ).first().c
+            > 0
+        )
+
+    _run_until(spark, out, "t_expire", "update", key0_evicted)
+    rows = spark.sql("SELECT * FROM t_expire WHERE key = 0").collect()
+    # key 0 lived (evicted=false emissions), then died exactly once
+    assert any(not r.evicted for r in rows)
+    tombstones = [r for r in rows if r.evicted]
+    assert len(tombstones) == 1
+    # the tombstone carries the state as of eviction: 5 rows (0,4,8,12,16)
+    assert tombstones[0].n_events == 5
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -122,10 +158,15 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithStateInPandas needs the google.protobuf python "
-    "package for its state-server protocol; not installed here — the "
-    "builder itself is importable and constructs the plan (checked in "
-    "test_tws_plan_builds)",
+    reason="DOCUMENTED IMPOSSIBILITY in this sandbox: "
+    "transformWithStateInPandas needs the google.protobuf python "
+    "package for its state-server protocol; it is not installed, no "
+    "wheel exists anywhere on disk to vendor (verified: only typeshed "
+    "stubs), and installs/network are prohibited. The TWS semantics "
+    "are fully certified on applyInPandasWithState twins instead: "
+    "running state (test_stateful_totals_match_batch), timeouts + "
+    "eviction (test_state_timeout_evicts); the TWS builder itself "
+    "constructs a valid plan (test_tws_plan_builds)",
 )
 def test_running_totals_tws_stream(spark):
     from security_master_spark.streaming.jobs import running_totals_tws
