@@ -182,14 +182,13 @@ def upsert_parquet_snapshot(
     overwrite an input it is lazily reading); retention/vacuum of old
     versions is the operator's policy knob.
 
-    Single-writer assumption (honesty note): snapshot versioning here is
-    "highest v000N directory + 1" with no commit protocol — two
-    concurrent writers can both read vN, both write vN+1, and one
-    silently clobbers the other. A production lakehouse MERGE (Delta /
-    Iceberg) adds optimistic concurrency: atomic commit-log append (or
-    metastore swap), conflict detection on overlapping keys/files, and
-    retry. That machinery is deliberately out of scope for this
-    harness; run one writer per table directory.
+    Single-writer fast path: snapshot versioning here is "highest
+    v000N directory + 1" with no commit protocol — two concurrent
+    writers can both read vN, both write vN+1, and one silently
+    clobbers the other. For concurrent writers use
+    :func:`upsert_parquet_snapshot_concurrent`, which adds the
+    optimistic rename-commit + re-merge-retry protocol (the Delta /
+    Iceberg commit discipline) on top of the same merge.
     """
     current = latest_snapshot_version(spark, base_dir)
     if current > 0:
@@ -209,3 +208,89 @@ def upsert_parquet_snapshot(
     out = snapshot_path(base_dir, current + 1)
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def _stage_snapshot(spark, base_dir: str, df: DataFrame) -> str:
+    """Write ``df`` to a uniquely-named staging directory under
+    ``base_dir`` (same filesystem, so the later commit rename is
+    atomic). Crash-orphaned staging dirs are inert garbage — they never
+    match the ``v000N`` pattern, so readers and version listing ignore
+    them; sweep ``_staging/`` at leisure."""
+    import os
+    import uuid
+
+    staging = f"{base_dir}/_staging/{uuid.uuid4().hex}"
+    os.makedirs(f"{base_dir}/_staging", exist_ok=True)
+    df.write.mode("overwrite").parquet(staging)
+    return staging
+
+
+def try_commit_staged(base_dir: str, staging_path: str, version: int) -> bool:
+    """Atomically commit a staged snapshot as ``version``: a single
+    POSIX ``rename(staging, v000N)``. Rename onto an existing directory
+    fails, so exactly ONE of any number of concurrent committers wins a
+    given version — this is the whole commit protocol (the lakehouse
+    equivalent is Delta's _delta_log N.json put-if-absent / Iceberg's
+    metastore swap). Returns False on conflict, leaving the staging
+    directory intact for the caller to retry with."""
+    import errno
+    import os
+
+    target = snapshot_path(base_dir, version)
+    try:
+        os.rename(staging_path, target)
+        return True
+    except OSError as e:
+        if e.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.EACCES):
+            return False
+        raise
+
+
+def upsert_parquet_snapshot_concurrent(
+    spark,
+    base_dir: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    max_retries: int = 5,
+) -> DataFrame:
+    """Multi-writer MERGE with optimistic concurrency (closes the
+    single-writer honesty note above): read the committed latest,
+    merge, write to staging, then attempt the atomic rename-commit of
+    version N+1. A loser (someone else committed N+1 first) RE-MERGES
+    its updates against the winner's snapshot and retries as N+2 — so
+    no update is ever silently clobbered; concurrent merges serialize
+    into some order, each seeing the previous one's effects (the same
+    guarantee lakehouse MERGE INTO gives, minus column-level conflict
+    detection, which full-table latest-wins merge semantics make
+    unnecessary: re-merging IS the resolution).
+
+    Copy-on-write means a reader of any committed version is never
+    disturbed, and a writer crash leaves only an orphaned staging dir
+    (never a half-visible version). Raises RuntimeError after
+    ``max_retries`` consecutive lost races (pathological contention —
+    back off at the caller)."""
+    import shutil
+
+    for _ in range(max_retries):
+        current = latest_snapshot_version(spark, base_dir)
+        if current > 0:
+            target = spark.read.parquet(snapshot_path(base_dir, current))
+        else:
+            schema = (
+                updates if delete_col is None else updates.drop(delete_col)
+            ).schema
+            target = spark.createDataFrame([], schema)
+        merged = merge_upsert(
+            target, updates, keys, delete_col=delete_col, order_col=order_col
+        )
+        staging = _stage_snapshot(spark, base_dir, merged)
+        if try_commit_staged(base_dir, staging, current + 1):
+            return spark.read.parquet(snapshot_path(base_dir, current + 1))
+        # lost the race: discard our stale staging and re-merge against
+        # the winner's snapshot
+        shutil.rmtree(staging, ignore_errors=True)
+    raise RuntimeError(
+        f"upsert lost the commit race {max_retries} times under {base_dir}"
+    )

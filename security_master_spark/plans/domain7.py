@@ -297,3 +297,63 @@ def d32_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(both, 1)).cast("bigint").alias("n_pairs"),
         dround(F.corr("r", "r_prev"), 6).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "d33_sharpe_ratio",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    rets AS (
+        SELECT event_type,
+               close / NULLIF(LAG(close) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ), 0) - 1 AS r
+        FROM bars
+    )
+    SELECT event_type,
+           CAST(COUNT(r) AS BIGINT) AS n_days,
+           {sql_dround("AVG(r) * 252", 6)} AS ann_return,
+           {sql_dround("STDDEV_SAMP(r) * SQRT(252)", 6)} AS ann_vol,
+           {sql_dround(
+               "AVG(r) * 252 / NULLIF(STDDEV_SAMP(r) * SQRT(252), 0)", 6
+           )} AS sharpe,
+           {sql_dround(
+               "SQRT(AVG(CASE WHEN r < 0 THEN r * r ELSE 0.0 END)) * SQRT(252)",
+               6,
+           )} AS downside_dev
+    FROM rets
+    GROUP BY event_type
+    """,
+)
+def d33_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe ratio plus downside deviation (the Sortino
+    denominator) per series, from daily close-to-close returns — the
+    headline risk-adjusted-return summary. Returns come off the
+    collapsed daily bars via LAG (NULLIF guards zero closes; the
+    per-series first bar contributes NULL and drops out of every
+    aggregate consistently), then ONE hash aggregate produces all
+    five statistics — mean, sample stddev, their ratio, and the
+    root-mean-square of negative returns — with map-side partials.
+    STDDEV_SAMP is the sample (n-1) estimator in both engines; the
+    rf=0 convention is documented rather than parameterized since
+    the fixture has no rates series."""
+    bars = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = bars.select(
+        "event_type",
+        (
+            F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+        ).alias("r"),
+    )
+    ann_ret = F.avg("r") * 252
+    ann_vol = F.stddev_samp("r") * F.sqrt(F.lit(252.0))
+    downside = F.sqrt(
+        F.avg(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0))
+    ) * F.sqrt(F.lit(252.0))
+    return rets.groupBy("event_type").agg(
+        F.count("r").cast("bigint").alias("n_days"),
+        dround(ann_ret, 6).alias("ann_return"),
+        dround(ann_vol, 6).alias("ann_vol"),
+        dround(ann_ret / F.nullif(ann_vol, F.lit(0.0)), 6).alias("sharpe"),
+        dround(downside, 6).alias("downside_dev"),
+    )

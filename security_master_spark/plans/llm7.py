@@ -1,0 +1,170 @@
+"""Round-5 LLM-pipeline candidates, batch 2 (SURVEY.md §2.12):
+embedding-space diagnostics (label centroids, intra-label cohesion)
+and shingle-novelty scoring.
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.functions.text import shingles_of
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "l35_label_centroids",
+    oracle=f"""
+    SELECT label,
+           CAST(g.i - 1 AS INT) AS pos,
+           {sql_dround("AVG(embedding[g.i])", 6)} AS c
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    GROUP BY label, g.i
+    """,
+)
+def l35_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, emitted as (label, pos, value)
+    rows — the class-prototype primitive behind centroid classifiers,
+    drift monitoring, and IVF coarse quantizers. posexplode turns the
+    vector column into a (label, pos) key space and ONE hash
+    aggregate reduces it: dims are fixed (64), so the shuffle is
+    O(labels x dims) regardless of corpus size, with map-side partial
+    aggregation doing the heavy averaging before the exchange. Row
+    (not array) output keeps the result hash-comparable across
+    engines without serialization tricks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(dround(F.avg("v"), 6).alias("c"))
+        .select("label", F.col("pos").cast("int").alias("pos"), "c")
+    )
+
+
+@register(
+    "l36_label_cohesion",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, g.i AS i, AVG(embedding[g.i]) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        GROUP BY label, g.i
+    ), cent AS (
+        SELECT label, list(v ORDER BY i) AS cvec FROM comp GROUP BY label
+    )
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {sql_dround(
+               "AVG(list_dot_product(e.embedding, c.cvec)"
+               " / (SQRT(list_dot_product(e.embedding, e.embedding))"
+               "    * SQRT(list_dot_product(c.cvec, c.cvec))))",
+               6,
+           )} AS avg_cohesion
+    FROM embeddings e JOIN cent c ON c.label = e.label
+    GROUP BY e.label
+    """,
+)
+def l36_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-label cohesion: mean cosine similarity of each vector to
+    its label centroid — the label-quality score that flags noisy or
+    multi-modal classes before they poison contrastive training. Pass
+    1 builds centroids exactly as l35 (O(labels x dims) shuffle);
+    pass 2 re-assembles each centroid into an array (array_sort over
+    collected (pos, value) structs — per-label lists of 64, never a
+    global sort), broadcasts the label->centroid table (10 rows), and
+    scores every vector map-side with a single zip_with dot fold per
+    pair plus linear norms. The only wide exchange against the vector
+    corpus is the final per-label average."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("v"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("cvec")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = emb.join(F.broadcast(cent), "label")
+    cos = dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    return e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        dround(F.avg(cos), 6).alias("avg_cohesion"),
+    )
+
+
+_NOVEL_N = 3  # shingle width for novelty scoring
+
+
+@register(
+    "l37_shingle_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               array_to_string(t[g.i:g.i+{_NOVEL_N - 1}], ' ') AS sh
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - {_NOVEL_N - 1})) AS i) g
+        WHERE len(t) >= {_NOVEL_N}
+    ), df AS (
+        SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           {sql_dround(
+               "AVG(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END)", 6
+           )} AS novelty
+    FROM sh s JOIN df d ON d.sh = s.sh
+    GROUP BY s.doc_id
+    """,
+)
+def l37_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty: the fraction of a document's 3-gram shingles
+    that appear in NO other document — the inverse of boilerplate
+    density (low novelty = template/duplicated matter that exact and
+    near dedup may miss at sub-document granularity). Same two-pass
+    shape as TF-IDF: explode once, count per-shingle document
+    frequency, join the df back onto the shingle stream on the
+    shingle key (the same key the counting aggregate already hashed
+    on — one reusable partitioning), and average an indicator per
+    document. A shingle occurring twice in the SAME doc still counts
+    as novel (df counts distinct docs), which is the semantics you
+    want for boilerplate detection."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_of(F.col("t"), _NOVEL_N)).alias("sh"),
+    )
+    df_counts = sh.groupBy("sh").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            dround(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+    )

@@ -77,6 +77,8 @@ def _load_all_plan_modules() -> None:
         # Round-5 candidates (added in round 4): registered past the
         # ~50-entry cap on purpose — they rotate to the head next round.
         domain7,
+        llm7,
+        aggregates3,
     )
 
 

@@ -112,3 +112,44 @@ def test_time_travel_and_compaction(spark, tmp_path):
     files = glob.glob(f"{snapshot_path(base_dir, v_now)}/*.parquet")
     assert len(files) == 1
     assert {r.k: (r.v, r.tag) for r in compacted.collect()} == v2
+
+
+def test_concurrent_upsert_race_loses_nothing(spark, tmp_path):
+    """Optimistic-concurrency MERGE: two writers race from the same
+    base version; the loser's commit rename MUST fail (never silently
+    clobber), and its retry must re-merge against the winner's
+    snapshot so both writers' updates survive in the final version."""
+    from security_master_spark.operators.merge import (
+        _stage_snapshot,
+        latest_snapshot_version,
+        merge_upsert,
+        read_snapshot,
+        try_commit_staged,
+        upsert_parquet_snapshot_concurrent,
+    )
+
+    base = str(tmp_path / "ds")
+    seed = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    upsert_parquet_snapshot_concurrent(spark, base, seed, keys=["k"])
+    assert latest_snapshot_version(spark, base) == 1
+
+    # Both writers read v1 and stage their merges (the race window).
+    t = read_snapshot(spark, base)
+    upd_a = spark.createDataFrame([(2, 99.0)], ["k", "v"])
+    upd_b = spark.createDataFrame([(3, 30.0)], ["k", "v"])
+    stage_a = _stage_snapshot(spark, base, merge_upsert(t, upd_a, ["k"]))
+    stage_b = _stage_snapshot(spark, base, merge_upsert(t, upd_b, ["k"]))
+
+    assert try_commit_staged(base, stage_a, 2) is True  # A wins v2
+    assert try_commit_staged(base, stage_b, 2) is False  # B must lose
+
+    # B's retry through the public path re-merges against A's v2.
+    out = upsert_parquet_snapshot_concurrent(spark, base, upd_b, keys=["k"])
+    assert latest_snapshot_version(spark, base) == 3
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+    # And every committed version stayed intact (copy-on-write).
+    assert {(r.k, r.v) for r in read_snapshot(spark, base, 2).collect()} == {
+        (1, 10.0),
+        (2, 99.0),
+    }
