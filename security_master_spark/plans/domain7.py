@@ -357,3 +357,49 @@ def d33_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(ann_ret / F.nullif(ann_vol, F.lit(0.0)), 6).alias("sharpe"),
         dround(downside, 6).alias("downside_dev"),
     )
+
+
+@register(
+    "d34_intraday_seasonality",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               COUNT(*) AS n,
+               AVG(value) AS avg_value
+        FROM events
+        GROUP BY event_type, EXTRACT(hour FROM ts)
+    ), tot AS (
+        SELECT event_type, SUM(n) AS tot FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour,
+           CAST(h.n AS BIGINT) AS n_events,
+           {sql_dround("h.avg_value", 6)} AS avg_value,
+           {sql_dround("CAST(h.n AS DOUBLE) / t.tot", 6)} AS volume_share
+    FROM h JOIN tot t ON t.event_type = h.event_type
+    """,
+)
+def d34_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday (hour-of-day) seasonality profile: activity share and
+    average level per hour per series — the U-shaped-volume /
+    open-close-concentration diagnostic that drives execution
+    scheduling (when to trade) and anomaly baselines (what is normal
+    for 3am). One (type, hour) hash aggregate collapses the tick
+    scan to at most types x 24 rows; the per-type totals are a
+    second agg OF THAT RESULT (never a second corpus pass) broadcast
+    back for the share arithmetic. UTC session timezone pins
+    EXTRACT(hour) identically on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return h.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("hour").cast("int").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        dround(F.col("avg_value"), 6).alias("avg_value"),
+        dround(F.col("n").cast("double") / F.col("tot"), 6).alias(
+            "volume_share"
+        ),
+    )

@@ -1,0 +1,159 @@
+"""Round-5 LLM-pipeline candidates, batch 3 (SURVEY.md §2.12):
+corpus-composition diagnostics (language mix), deterministic
+importance resampling, and embedding quantization error.
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "l38_language_mix",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents
+        GROUP BY source, lang
+    ), tot AS (
+        SELECT source, SUM(n) AS tot FROM c GROUP BY source
+    )
+    SELECT c.source, c.lang,
+           CAST(c.n AS BIGINT) AS n_docs,
+           {sql_dround("CAST(c.n AS DOUBLE) / t.tot", 6)} AS share,
+           {sql_dround(
+               "-(CAST(c.n AS DOUBLE) / t.tot)"
+               " * LOG2(CAST(c.n AS DOUBLE) / t.tot)", 6
+           )} AS entropy_term
+    FROM c JOIN tot t ON t.source = c.source
+    """,
+)
+def l38_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language composition per source with per-cell entropy terms —
+    the corpus-mix report behind multilingual data recipes (sum a
+    source's entropy_term column for its language-diversity score;
+    a monolingual source sums to 0). One (source, lang) hash
+    aggregate, then the per-source totals come from a ROLLUP-shaped
+    second agg of that tiny result, never a second corpus pass; the
+    share/entropy arithmetic is per-row codegen. share > 0 always
+    (the cell exists because n >= 1), so LOG2 never sees zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    share = F.col("n").cast("double") / F.col("tot")
+    return c.join(F.broadcast(tot), "source").select(
+        "source",
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        dround(share, 6).alias("share"),
+        dround(-share * F.log2(share), 6).alias("entropy_term"),
+    )
+
+
+@register(
+    "l39_importance_resample",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               CAST(CASE
+                   WHEN n_chars >= 200 AND n_chars <= 2000 THEN 1.0
+                   WHEN n_chars < 200 THEN 0.25
+                   ELSE 0.5
+               END AS DOUBLE) AS keep_p
+        FROM documents
+    )
+    SELECT doc_id, source, keep_p
+    FROM scored
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 10000 < keep_p * 10000
+    """,
+)
+def l39_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling: keep each document with probability
+    proportional to a quality weight (here a length-band prior:
+    mid-length docs always kept, short docs 1-in-4, long docs 1-in-2)
+    — the per-document generalization of l32's per-source mixing, and
+    the mechanism behind quality-upweighted pretraining recipes.
+    Deterministic id-hash thresholding (same md5 discipline as
+    l18/l32) so reruns and backfills keep EXACTLY the same rows — a
+    random() sample would differ per run and break incremental
+    pipelines. Pure projection + filter: no shuffle, no state, scales
+    as a map-only pass with the filter evaluated inside the scan
+    stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = (
+        F.when(
+            (F.col("n_chars") >= 200) & (F.col("n_chars") <= 2000), 1.0
+        )
+        .when(F.col("n_chars") < 200, 0.25)
+        .otherwise(0.5)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    return (
+        docs.withColumn("keep_p", keep_p)
+        .filter(bucket < F.col("keep_p") * 10000)
+        .select("doc_id", "source", "keep_p")
+    )
+
+
+_Q_SCALE = 0.1  # int8 quantization step (embeddings are ~N(0, 0.125))
+
+
+@register(
+    "l40_embedding_quantization",
+    oracle=f"""
+    WITH err AS (
+        SELECT vec_id, label,
+               ABS(embedding[g.i]
+                   - {_Q_SCALE} * GREATEST(-127, LEAST(127,
+                         FLOOR(embedding[g.i] / {_Q_SCALE} + 0.5)))) AS e
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           {sql_dround("AVG(e)", 6)} AS mean_abs_err,
+           {sql_dround("MAX(e)", 6)} AS max_abs_err
+    FROM err
+    GROUP BY label
+    """,
+)
+def l40_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization error: quantize every embedding
+    component to a symmetric int8 grid (round-half-up, clamp ±127),
+    dequantize, and report mean/max absolute reconstruction error per
+    label — the go/no-go measurement before shipping a quantized ANN
+    index (4x smaller vectors, and the error bound tells you how much
+    recall you're trading). The round-clamp-dequantize chain is pure
+    per-element codegen arithmetic written IDENTICALLY on both
+    engines (FLOOR(x/s + 0.5) — F.round is HALF_EVEN and would
+    disagree on grid-boundary components); posexplode + one hash agg,
+    O(labels) output rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    q = F.greatest(
+        F.lit(-127.0),
+        F.least(F.lit(127.0), F.floor(v / _Q_SCALE + 0.5)),
+    )
+    err = F.abs(v - _Q_SCALE * q)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select("label", err.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_components"),
+            dround(F.avg("e"), 6).alias("mean_abs_err"),
+            dround(F.max("e"), 6).alias("max_abs_err"),
+        )
+    )

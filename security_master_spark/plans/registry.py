@@ -79,6 +79,9 @@ def _load_all_plan_modules() -> None:
         domain7,
         llm7,
         aggregates3,
+        sources_io5,
+        llm8,
+        udfs2,
     )
 
 

@@ -1,0 +1,72 @@
+"""Round-5 UDF-surface candidates (SURVEY.md §2.13): the Arrow-native
+batch path (``mapInArrow``).
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.plans.registry import register
+
+
+def _net_revenue_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """Arrow-native per-batch transform: net revenue = price x
+    (1 - discount), computed with pyarrow.compute kernels (C++
+    vectorized, zero row-at-a-time Python). Module-level so
+    cloudpickle ships it by reference and workers import it from the
+    shipped package zip."""
+    for b in batches:
+        net = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [b.column("l_returnflag"), net], ["l_returnflag", "net"]
+        )
+
+
+@register(
+    "u7_map_in_arrow",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dround("SUM(l_extendedprice * (1 - l_discount))", 4)}
+               AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def u7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-native custom-batch path: ``mapInArrow`` hands the
+    Python worker raw Arrow RecordBatches (no pandas conversion at
+    all — one layer cheaper than mapInPandas) and the transform runs
+    pyarrow.compute's C++ kernels. This is the integration seam for
+    Arrow-speaking native libs (tokenizers, ONNX feature extractors)
+    when even the pandas bridge is unwanted overhead. The batch fn
+    also PRUNES to the 3 needed columns, and the downstream per-flag
+    aggregation is ordinary JVM hash agg — Python touches each row
+    once, vectorized. The oracle certifies the whole path
+    end-to-end against pure SQL."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    net = li.mapInArrow(
+        _net_revenue_batches, "l_returnflag string, net double"
+    )
+    return net.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dround(F.sum("net"), 4).alias("net_revenue"),
+    )
