@@ -96,8 +96,26 @@ def test_registration_order_puts_unproven_queries_first():
         n for n in names
         if n.startswith(("q", "w", "u", "m"))
         and n[1].isdigit()
+        # round-4 additions (u7, …) are deliberate round-5 candidates,
+        # not part of the round-1/2 freshness backfill
+        and not (n[0] == "u" and int(n[1:].split("_", 1)[0]) >= 7)
     ]
     assert set(stale) <= head, (
         f"round-1/2 freshness backfill spilled past the cap: "
         f"{sorted(set(stale) - head)}"
+    )
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """The io3 partitioned-sink read-back must prune to one partition
+    directory at PLANNING time: the l_returnflag predicate has to show
+    up as a PartitionFilter on the scan (the sink layout IS the
+    index), not as a post-scan Filter over all partitions."""
+    df = _QUERIES["io3_parquet_sink_partitioned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        (ln for ln in plan.splitlines() if "PartitionFilters" in ln), ""
+    )
+    assert "l_returnflag" in scan, (
+        f"partition filter did not reach the scan: {scan!r}"
     )
