@@ -403,3 +403,56 @@ def d34_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_share"
         ),
     )
+
+
+@register(
+    "d35_execution_slippage",
+    oracle=f"""
+    WITH vw AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               SUM(value * 1) / SUM(1) AS vwap
+        FROM events
+        GROUP BY event_type, DATE_TRUNC('day', ts)
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           {sql_dround(
+               "AVG(ABS(e.value - v.vwap) / NULLIF(ABS(v.vwap), 0))", 6
+           )} AS avg_abs_slippage,
+           {sql_dround(
+               "AVG((e.value - v.vwap) / NULLIF(ABS(v.vwap), 0))", 6
+           )} AS avg_signed_slippage
+    FROM events e
+    JOIN vw v ON v.event_type = e.event_type
+              AND v.day = CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP)
+    GROUP BY e.event_type
+    """,
+)
+def d35_execution_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution quality vs the daily VWAP benchmark: each print's
+    relative deviation from its own day's volume-weighted average
+    price (equal weights here — the fixture has no size column, same
+    convention as d21), absolute for dispersion and signed for
+    systematic bias. The VWAP table is O(types x days) off one hash
+    aggregate and BROADCASTS back onto the tick scan, so the per-tick
+    scoring join is map-side — the tick stream is never shuffled; the
+    only wide exchange is the final per-type summary. NULLIF guards
+    zero-VWAP days (the fixture has a few zero prints)."""
+    events = load_table(spark, sf_dir, "events")
+    vw = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg((F.sum("value") / F.count("*")).alias("vwap"))
+    e = events.withColumn("day", F.date_trunc("day", "ts"))
+    denom = F.nullif(F.abs(F.col("vwap")), F.lit(0.0))
+    return (
+        e.join(F.broadcast(vw), ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ticks"),
+            dround(F.avg(F.abs(F.col("value") - F.col("vwap")) / denom), 6)
+            .alias("avg_abs_slippage"),
+            dround(F.avg((F.col("value") - F.col("vwap")) / denom), 6)
+            .alias("avg_signed_slippage"),
+        )
+    )

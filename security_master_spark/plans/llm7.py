@@ -147,7 +147,13 @@ def l37_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     on — one reusable partitioning), and average an indicator per
     document. A shingle occurring twice in the SAME doc still counts
     as novel (df counts distinct docs), which is the semantics you
-    want for boilerplate detection."""
+    want for boilerplate detection.
+
+    df == 1 is decided as min(doc_id) == max(doc_id) — equivalent to
+    COUNT(DISTINCT doc_id) = 1 (the oracle's form) but a plain
+    min/max partial aggregate instead of count-distinct's two-phase
+    dedup expansion (measured A/B at sf0.1: 1.33 s vs 1.42 s warm
+    minimums, and far cheaper cold)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ", -1).alias("t")
     )
@@ -156,7 +162,7 @@ def l37_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(shingles_of(F.col("t"), _NOVEL_N)).alias("sh"),
     )
     df_counts = sh.groupBy("sh").agg(
-        F.count_distinct("doc_id").alias("df")
+        (F.min("doc_id") == F.max("doc_id")).alias("uniq")
     )
     return (
         sh.join(df_counts, "sh")
@@ -164,7 +170,7 @@ def l37_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),
             dround(
-                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6
+                F.avg(F.when(F.col("uniq"), 1.0).otherwise(0.0)), 6
             ).alias("novelty"),
         )
     )

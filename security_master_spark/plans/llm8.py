@@ -157,3 +157,69 @@ def l40_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max("e"), 6).alias("max_abs_err"),
         )
     )
+
+
+@register(
+    "l41_source_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), st AS (
+        SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+    ), s_tot AS (
+        SELECT source, SUM(n) AS stot FROM st GROUP BY source
+    ), ct AS (
+        SELECT token, SUM(n) AS cn FROM st GROUP BY token
+    ), c_tot AS (
+        SELECT SUM(cn) AS ctot FROM ct
+    )
+    SELECT st.source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           {sql_dround(
+               "SUM((CAST(st.n AS DOUBLE) / s_tot.stot)"
+               " * LOG2((CAST(st.n AS DOUBLE) / s_tot.stot)"
+               "        / (CAST(ct.cn AS DOUBLE) / c_tot.ctot)))", 6
+           )} AS kl_bits
+    FROM st
+    JOIN s_tot ON s_tot.source = st.source
+    JOIN ct ON ct.token = st.token
+    CROSS JOIN c_tot
+    GROUP BY st.source
+    """,
+)
+def l41_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source-token-distribution ||
+    corpus-token-distribution) in bits — the mix-monitoring signal
+    that catches a source going off-distribution (scraper breakage, a
+    crawl picking up a new site genre) before it shifts the training
+    mixture. Every term is well-defined without smoothing because the
+    corpus distribution is the mixture of the sources: any token a
+    source has, the corpus has. ONE corpus explode builds the
+    (source, token) counts; the corpus-wide token counts are a rollup
+    of THAT aggregate (never a second pass), joined back on the token
+    key the aggregate already hashed on; per-source totals and the
+    corpus total are tiny broadcasts. Output is O(sources)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ", -1)).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n").alias("stot"))
+    ct = st.groupBy("token").agg(F.sum("n").alias("cn"))
+    c_tot = ct.agg(F.sum("cn").alias("ctot"))
+    p = F.col("n").cast("double") / F.col("stot")
+    q = F.col("cn").cast("double") / F.col("ctot")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(c_tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            dround(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+        )
+    )

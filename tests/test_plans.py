@@ -29,6 +29,9 @@ _NESTED_LOOP_OK = {
     "l32_source_mix": "per-source count table (#sources rows) x 1-row "
     "global-min scalar, broadcast (no join key exists; build side is a "
     "single row)",
+    "l41_source_drift": "1-row corpus-token-total broadcast onto the "
+    "(source, token) count stream (no join key exists; build side is a "
+    "single row)",
 }
 
 _QUERIES = registry.queries()
