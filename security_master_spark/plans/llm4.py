@@ -63,8 +63,12 @@ def l29_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a left join + coalesce, surprisal is attached map-side (the
     vocab and the 1-row {{total, oov_mass}} scalar both broadcast),
     and the only wide exchange on the token stream is the final
-    per-doc aggregation. dround(…, 6) absorbs LOG2/summation-order
-    ulps."""
+    per-doc aggregation. Plan honesty: the vocab and scalar branches
+    each re-derive the tf aggregate through their own corpus scan (3
+    scans total — Catalyst doesn't share the subtree; see PLANS.md
+    'rollup-rescan trade' for the measurement and the
+    materialize-the-LM production form). dround(…, 6) absorbs
+    LOG2/summation-order ulps."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("token")

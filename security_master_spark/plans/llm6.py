@@ -48,8 +48,17 @@ def l33_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from l29's unigram score and a materially better
     boilerplate-vs-noise separator (repeated templates have
     near-deterministic transitions). The LM is two aggregates over the
-    exploded bigram stream (c(w1,w2), then c(w1·) as a rollup of the
-    FIRST aggregate — never a second corpus pass). Unlike l29's
+    exploded bigram stream: c(w1,w2), then c(w1·) as a rollup of the
+    first aggregate. Catalyst does NOT share that subtree — the plan
+    re-derives each LM branch through its own corpus scan (3 scans
+    total; verified in the executed plan). Measured A/B at the 10×
+    stress corpus: persisting c12 inline is a wash (11.3 s vs 10.8 s
+    minimums — cache materialization of the vocab-sized table costs
+    what the re-scan costs when corpus ≈ 1000× vocab). At true 100 TB
+    (corpus ≫ vocab) the production form materializes the LM tables
+    once as a separate pipeline step and this query becomes
+    scan-score-aggregate; the inline form keeps the oracle
+    self-contained. Unlike l29's
     floored unigram vocab, the bigram table is NOT broadcastable at
     corpus scale (web-scale bigram vocab runs to billions of types),
     so the scoring joins carry no broadcast hint: they shuffle on

