@@ -82,6 +82,7 @@ def _load_all_plan_modules() -> None:
         sources_io5,
         llm8,
         udfs2,
+        sources_io6,
     )
 
 

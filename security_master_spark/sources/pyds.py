@@ -1,0 +1,68 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a partition-parallel deterministic tick generator.
+
+This is the V2-style integration path for sources Spark has no
+built-in reader for (internal feed protocols, exotic archives): the
+source declares its schema and its PARTITIONS up front, so Spark
+schedules one task per partition and the generator runs fully
+parallel on executors — unlike a driver-side createDataFrame, nothing
+materializes on the driver. Rows are produced from a pure function of
+the row id, so the output is exactly reproducible cross-engine (the
+io11 oracle regenerates it in SQL from generate_series).
+
+The class must live in the shipped package (not a test or __main__)
+because executors import it by module path when they deserialize the
+read task (session._ship_package handles that).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Knuth multiplicative-hash constant — the deterministic "price" mix.
+_MIX = 2654435761
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+class SyntheticTicksDataSource(DataSource):
+    """``spark.read.format("synthetic_ticks")`` source.
+
+    Options: ``rows`` (total row count), ``partitions`` (task count).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "tick_id bigint, ts timestamp, price double"
+
+    def reader(self, schema) -> "SyntheticTicksReader":
+        return SyntheticTicksReader(
+            int(self.options.get("rows", 1000)),
+            int(self.options.get("partitions", 8)),
+        )
+
+
+class SyntheticTicksReader(DataSourceReader):
+    def __init__(self, rows: int, partitions: int) -> None:
+        self._rows = rows
+        self._parts = partitions
+
+    def partitions(self):
+        # Declare the parallelism: contiguous id ranges, one per task.
+        step = (self._rows + self._parts - 1) // self._parts
+        return [
+            InputPartition((lo, min(lo + step, self._rows)))
+            for lo in range(0, self._rows, step)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            # price: integer mix → 2-decimal value in [0, 100); exactly
+            # re-expressible in SQL as ((i * MIX) % 10000) / 100.0
+            price = ((i * _MIX) % 10000) / 100.0
+            yield (i, _EPOCH + timedelta(seconds=i), price)
