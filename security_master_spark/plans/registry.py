@@ -83,6 +83,7 @@ def _load_all_plan_modules() -> None:
         llm8,
         udfs2,
         sources_io6,
+        scalars2,
     )
 
 

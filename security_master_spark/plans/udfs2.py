@@ -70,3 +70,61 @@ def u7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         dround(F.sum("net"), 4).alias("net_revenue"),
     )
+
+
+@register(
+    "u8_polymorphic_udtf",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok1,
+           string_split(text, ' ')[2] AS tok2,
+           string_split(text, ' ')[3] AS tok3
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def u8_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the output SCHEMA is decided
+    at plan time by the UDTF's ``analyze`` static method from the
+    call-site literal — here ``lead_tokens(text, 3)`` emits columns
+    tok1..tok3, and a different call site asking for 5 would compile
+    to a 5-column relation with no code change. This is the
+    table-function contract the classic fixed-returnType UDTF (u6)
+    can't express; the analyzer runs the Python ``analyze`` during
+    resolution, then executors stream eval() rows against the decided
+    schema. Missing tokens pad with NULL so short docs are safe. The
+    SQL oracle pins the n=3 instantiation exactly."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(text, n) -> AnalyzeResult:
+            k = int(n.value)
+            schema = StructType()
+            for i in range(1, k + 1):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self, analyze_result=None):
+            self._n = (
+                len(analyze_result.schema) if analyze_result is not None else 3
+            )
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(self._n)
+            )
+
+    spark.udtf.register("lead_tokens", LeadTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok1, t.tok2, t.tok3
+        FROM documents d, LATERAL lead_tokens(d.text, 3) t
+        WHERE d.doc_id < 100
+        """
+    )

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth multiplicative-hash constant — the deterministic "price" mix.
 _MIX = 2654435761
@@ -66,3 +71,52 @@ class SyntheticTicksReader(DataSourceReader):
             # re-expressible in SQL as ((i * MIX) % 10000) / 100.0
             price = ((i * _MIX) % 10000) / 100.0
             yield (i, _EPOCH + timedelta(seconds=i), price)
+
+
+class SyntheticTicksStreamReader(SimpleDataSourceStreamReader):
+    """``SimpleDataSourceStreamReader`` for the same tick stream: the
+    Spark 4 Python STREAMING source protocol. Offsets are plain dicts
+    checkpointed by the engine (commit() inherits the base no-op —
+    nothing upstream to acknowledge); each microbatch materializes the
+    id range [start, start + batch) through the same pure row function
+    as the batch reader, so replaying any offset range reproduces
+    identical rows — exactly the exactly-once replay contract a real
+    feed adapter must honor (offsets ≡ positions in the upstream
+    log)."""
+
+    def __init__(self, batch_rows: int) -> None:
+        self._batch = batch_rows
+
+    def initialOffset(self):
+        return {"next_id": 0}
+
+    def read(self, start):
+        lo = start["next_id"]
+        hi = lo + self._batch
+        rows = [
+            (i, _EPOCH + timedelta(seconds=i), ((i * _MIX) % 10000) / 100.0)
+            for i in range(lo, hi)
+        ]
+        return iter(rows), {"next_id": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (i, _EPOCH + timedelta(seconds=i), ((i * _MIX) % 10000) / 100.0)
+            for i in range(start["next_id"], end["next_id"])
+        )
+
+
+def _attach_stream_reader() -> None:
+    """Register the stream reader on the DataSource class lazily (kept
+    out of the class body so the batch path has no streaming import
+    cost on old runtimes)."""
+
+    def simpleStreamReader(self, schema):
+        return SyntheticTicksStreamReader(
+            int(self.options.get("batch_rows", 100))
+        )
+
+    SyntheticTicksDataSource.simpleStreamReader = simpleStreamReader
+
+
+_attach_stream_reader()

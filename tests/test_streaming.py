@@ -450,3 +450,33 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     )
     want = {(r.p_id, r.v_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_python_datasource_stream(spark):
+    """Spark 4 Python streaming DataSource (SimpleDataSourceStreamReader):
+    the synthetic tick source consumed via readStream. Offsets advance
+    per microbatch and the rows are a pure function of the id, so the
+    collected prefix must equal the formula exactly — the determinism
+    that makes custom-source replay (exactly-once) trustworthy."""
+    from security_master_spark.sources.pyds import (
+        _MIX,
+        SyntheticTicksDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTicksDataSource)
+    stream = (
+        spark.readStream.format("synthetic_ticks")
+        .option("batch_rows", 50)
+        .load()
+    )
+
+    def enough(s):
+        return s.sql("SELECT COUNT(*) c FROM t_pyds").first().c >= 100
+
+    _run_until(spark, stream, "t_pyds", "append", enough)
+    rows = spark.sql(
+        "SELECT tick_id, price FROM t_pyds ORDER BY tick_id LIMIT 100"
+    ).collect()
+    assert [r.tick_id for r in rows] == list(range(100))
+    for r in rows:
+        assert r.price == ((r.tick_id * _MIX) % 10000) / 100.0
