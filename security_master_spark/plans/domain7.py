@@ -456,3 +456,97 @@ def d35_execution_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_signed_slippage"),
         )
     )
+
+
+@register(
+    "d36_seasonal_decomposition",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               AVG(value) AS y
+        FROM events
+        GROUP BY event_type, DATE_TRUNC('day', ts)
+    ), tr AS (
+        SELECT event_type, day, y,
+               AVG(y) OVER w AS trend,
+               COUNT(*) OVER w AS n_win
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), full_rows AS (
+        SELECT event_type, day,
+               CAST(EXTRACT(isodow FROM day) AS INT) AS dow,
+               y, trend, y - trend AS detrended
+        FROM tr WHERE n_win = 7
+    ), seas AS (
+        SELECT event_type, dow, AVG(detrended) AS seasonal
+        FROM full_rows GROUP BY event_type, dow
+    )
+    SELECT f.event_type, f.day,
+           {sql_dround("f.y", 6)} AS y,
+           {sql_dround("f.trend", 6)} AS trend,
+           {sql_dround("s.seasonal", 6)} AS seasonal,
+           {sql_dround("f.detrended - s.seasonal", 6)} AS residual
+    FROM full_rows f
+    JOIN seas s ON s.event_type = f.event_type AND s.dow = f.dow
+    """,
+)
+def d36_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    X-11 core, one pass of it): trend = centered 7-day moving
+    average, weekly seasonal = mean detrended value per ISO weekday,
+    residual = what neither explains — the series-hygiene tool that
+    separates 'volume is up' from 'it's Monday'. Edge rows without a
+    full centered window drop out BEFORE the seasonal means so both
+    engines average identical supports; the weekday means are a tiny
+    O(types x 7) aggregate of the already-collapsed daily frame,
+    broadcast back. The whole thing is two hash aggregates + one
+    shared-sort window chain — scale cost is the first tick-collapse
+    aggregate, everything after is O(types x days)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.avg("y").over(w).alias("trend"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    full_rows = tr.filter(F.col("n_win") == 7).select(
+        "event_type",
+        "day",
+        F.dayofweek(F.date_sub("day", 1)).alias("dow_raw"),
+        "y",
+        "trend",
+        (F.col("y") - F.col("trend")).alias("detrended"),
+    )
+    # ISO weekday (Mon=1..Sun=7): Spark dayofweek is Sun=1..Sat=7;
+    # shifting the date back one day re-bases Sunday-first to
+    # Monday-first without a CASE ladder.
+    full_rows = full_rows.withColumn("dow", F.col("dow_raw").cast("int")).drop(
+        "dow_raw"
+    )
+    seas = full_rows.groupBy("event_type", "dow").agg(
+        F.avg("detrended").alias("seasonal")
+    )
+    return (
+        full_rows.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            dround(F.col("y"), 6).alias("y"),
+            dround(F.col("trend"), 6).alias("trend"),
+            dround(F.col("seasonal"), 6).alias("seasonal"),
+            dround(F.col("detrended") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+    )
