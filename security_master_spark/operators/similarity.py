@@ -273,6 +273,12 @@ def ivf_build_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not init:
+        # Empty corpus (an empty partition / date range is routine at
+        # scale): no centroids to train; downstream ivf_topk joins
+        # against zero cells and yields an empty result instead of
+        # crashing in the numpy reshape.
+        return []
     C = _norm_rows(np.array([r.v for r in init], dtype=np.float64))
 
     # No fan_out here: assignment is one BLAS matmul per Arrow batch —
@@ -318,6 +324,9 @@ def _ivf_assign_pandas(centroids, nprobe: int):
     def probe(vs):
         if len(vs) == 0:
             return pd.Series([], dtype="object")
+        if C.size == 0:
+            # untrained quantizer (empty corpus): no cells to probe
+            return pd.Series([[] for _ in range(len(vs))])
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         sims = V @ C.T  # (n, cells)
         if nprobe == 1:

@@ -107,10 +107,16 @@ def io3_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (the sink layout IS the index); the oracle aggregates the
     original unpartitioned file."""
     path = _scratch(sf_dir, "lineitem_part")
-    write_parquet_partitioned(
-        load_table(spark, sf_dir, "lineitem"), path, ["l_returnflag"]
+    src = load_table(spark, sf_dir, "lineitem")
+    write_parquet_partitioned(src, path, ["l_returnflag"])
+    # Declared schema on read: production discipline (never infer), and
+    # the only thing that makes an all-empty partitioned dataset
+    # readable at all (zero part-files → nothing to infer from).
+    back = (
+        spark.read.schema(src.schema)
+        .parquet(path)
+        .filter(F.col("l_returnflag") == "R")
     )
-    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
         dround(F.sum("l_quantity"), 4).alias("sum_qty"),
