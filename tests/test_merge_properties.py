@@ -153,3 +153,38 @@ def test_concurrent_upsert_race_loses_nothing(spark, tmp_path):
         (1, 10.0),
         (2, 99.0),
     }
+
+
+def test_concurrent_upsert_threads_all_survive(spark, tmp_path):
+    """Four writers racing from FOUR OS threads through the public
+    optimistic-commit path simultaneously (not a staged simulation):
+    every writer's disjoint key set must be present in the final
+    snapshot, the committed version count must equal the number of
+    writers, and no version directory may be left half-written."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from security_master_spark.operators.merge import (
+        latest_snapshot_version,
+        read_snapshot,
+        upsert_parquet_snapshot_concurrent,
+    )
+
+    base = str(tmp_path / "ds")
+
+    def writer(i):
+        upd = spark.createDataFrame(
+            [(i * 10 + j, float(i)) for j in range(3)], ["k", "v"]
+        )
+        upsert_parquet_snapshot_concurrent(
+            spark, base, upd, keys=["k"], max_retries=20
+        )
+        return i
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        done = list(ex.map(writer, range(4)))
+    assert sorted(done) == [0, 1, 2, 3]
+
+    assert latest_snapshot_version(spark, base) == 4
+    final = {(r.k, r.v) for r in read_snapshot(spark, base).collect()}
+    want = {(i * 10 + j, float(i)) for i in range(4) for j in range(3)}
+    assert final == want
