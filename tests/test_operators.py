@@ -611,3 +611,41 @@ def test_stochastic_oscillator_bounds_and_obv_consistency(spark, sf_dir):
     }
     for et, final in totals.items():
         assert abs(final) <= vol[et], (et, final, vol[et])
+
+
+def test_ewma_distributed_matches_sequential_across_partitionings(spark, sf_dir):
+    """The segmented-scan EWMA must agree with the sequential
+    applyInPandas twin TO FLOAT PRECISION for every row, at several
+    partition counts — including counts that force chunk boundaries
+    mid-series (the whole point of the affine carry composition)."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.ewma import (
+        ewma_exact,
+        ewma_exact_distributed,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    ref = {
+        (r.event_type, r.event_id): r.ewma
+        for r in ewma_exact(
+            events, ["event_type"], ["ts", "event_id"], "value", alpha=0.1
+        ).collect()
+    }
+    assert len(ref) > 0
+    for parts in (1, 7, 32):
+        got = {
+            (r.event_type, r.event_id): r.ewma
+            for r in ewma_exact_distributed(
+                events,
+                ["event_type"],
+                ["ts", "event_id"],
+                "value",
+                alpha=0.1,
+                num_partitions=parts,
+            ).collect()
+        }
+        assert set(got) == set(ref)
+        worst = max(abs(got[k] - ref[k]) for k in ref)
+        assert worst < 1e-9, f"partitions={parts}: max drift {worst}"
