@@ -116,8 +116,18 @@ def ewma_exact_distributed(
     key_list, order = list(keys), list(order_cols)
     sort_cols = key_list + order
 
-    rep = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(
-        *sort_cols
+    # PERSIST the partitioned frame: the summary pass and the rescan
+    # pass MUST observe byte-identical partition boundaries, and
+    # repartitionByRange re-SAMPLES split points per job — two
+    # executions of the same plan can place boundary rows differently
+    # (observed as a real value mismatch at sf0.01 before this pin).
+    # Persisting materializes the partitioning once; both passes read
+    # the same copy. A 100 TB run would disk-persist or checkpoint
+    # here — the standard cost of any multi-pass scan algorithm.
+    rep = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .persist()
     )
 
     # ---- phase 2: per-(partition, key) affine summaries -------------

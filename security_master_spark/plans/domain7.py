@@ -588,3 +588,43 @@ def d37_ewma_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         dround(F.col("ewma"), 6).alias("ewma"),
     )
+
+
+@register(
+    "d38_forward_fill_distributed",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL
+                           ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled
+    FROM events
+    """,
+)
+def d38_forward_fill_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill as a segmented scan (operators/scan.py): the same
+    quote-carry-forward semantics as d3, but with NO single-task-per-
+    series constraint — chunk summaries ("last non-null seen") compose
+    by newest-wins, the driver folds the O(partitions x series) carry
+    table, and a second parallel pass fills exactly, including
+    leading-null chunks that need the carried state. Unlike the EWMA
+    scan, this one IS SQL-expressible, so the driver hash-certifies
+    the distributed implementation against LAST_VALUE IGNORE NULLS —
+    the strongest form of evidence the segmented-scan machinery
+    itself can get."""
+    events = load_table(spark, sf_dir, "events")
+    gapped = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+    )
+    from security_master_spark.operators.scan import forward_fill_distributed
+
+    return forward_fill_distributed(
+        gapped, ["user_id"], ["ts", "event_id"], "value_filled",
+        num_partitions=16,
+    )

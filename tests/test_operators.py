@@ -649,3 +649,43 @@ def test_ewma_distributed_matches_sequential_across_partitionings(spark, sf_dir)
         assert set(got) == set(ref)
         worst = max(abs(got[k] - ref[k]) for k in ref)
         assert worst < 1e-9, f"partitions={parts}: max drift {worst}"
+
+
+def test_forward_fill_distributed_matches_window(spark, sf_dir):
+    """The segmented-scan forward-fill must agree exactly with the
+    windowed form on the gapped fixture series at several partition
+    counts, including leading-null chunks that need the carried
+    state."""
+    from pyspark.sql import functions as F
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.scan import forward_fill_distributed
+    from security_master_spark.operators.timeseries import forward_fill
+
+    events = load_table(spark, sf_dir, "events")
+    gapped = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    ref = {
+        r.event_id: r.v
+        for r in forward_fill(
+            gapped, keys=["user_id"], ts="ts", cols=["v"]
+        ).collect()
+    }
+    for parts in (1, 5, 32):
+        got = {
+            r.event_id: r.v
+            for r in forward_fill_distributed(
+                gapped,
+                ["user_id"],
+                ["ts", "event_id"],
+                "v",
+                num_partitions=parts,
+            ).collect()
+        }
+        assert got == ref, f"partitions={parts}"
