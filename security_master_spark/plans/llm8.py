@@ -229,3 +229,87 @@ def l41_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
         )
     )
+
+
+@register(
+    "l42_dedup_pipeline",
+    oracle="""
+    WITH slice AS (
+        SELECT doc_id, source FROM documents WHERE doc_id <= 120
+    ), tok AS (
+        SELECT DISTINCT d.doc_id, t.token AS token
+        FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+        WHERE d.doc_id <= 120
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.55
+    ), sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), cc AS (
+        SELECT node, MIN(d) AS component
+        FROM (
+            WITH RECURSIVE reach(node, d) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+                UNION
+                SELECT r.node, e.d FROM reach r JOIN sym e ON r.d = e.s
+            )
+            SELECT node, d FROM reach
+        )
+        GROUP BY node
+    )
+    SELECT s.doc_id, s.source,
+           CAST(COALESCE(c.component, s.doc_id) AS BIGINT) AS canonical_id,
+           COALESCE(c.component, s.doc_id) = s.doc_id AS is_survivor
+    FROM slice s LEFT JOIN cc c ON c.node = s.doc_id
+    """,
+)
+def l42_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE near-dedup pipeline end-to-end, oracle-certified:
+    pair generation → exact Jaccard verify (≥ 0.55) → connected-
+    component closure → survivor election (min doc id per cluster) →
+    the final corpus disposition (every doc tagged with its canonical
+    representative and whether it survives). This is the composition
+    users actually run — the individual stages (l4 pairs, l16
+    clusters) certify pieces; this certifies the handoffs, including
+    the singleton path (docs in no cluster survive as their own
+    canonical). Bounded to the 120-doc slice so the all-pairs verify
+    stays the oracle twin; at scale the pair stage swaps for l7's
+    MinHash-LSH banding and everything downstream is UNCHANGED — the
+    pipeline's cluster/survivor stages only ever see (id_a, id_b)
+    edges, never the corpus."""
+    from security_master_spark.operators.clustering import connected_components
+    from security_master_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") <= 120
+    )
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cand = ids.join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    edges = (
+        jaccard_pairs(docs, cand)
+        .filter(F.col("jaccard") >= 0.55)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    out = docs.select("doc_id", "source").join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        "source",
+        canonical.cast("bigint").alias("canonical_id"),
+        (canonical == F.col("doc_id")).alias("is_survivor"),
+    )
