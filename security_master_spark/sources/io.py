@@ -12,7 +12,8 @@ pruning (directories skipped at planning time, no file I/O at all).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -101,3 +102,68 @@ def write_sorted_parquet(
         else df.repartitionByRange(*cols)
     )
     parts.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def _spread_bits_21(col: Column) -> Column:
+    """Spread the low 21 bits of a long so consecutive bits land 3
+    apart (x -> x with two zero bits between every bit) — the standard
+    magic-mask dilation, expressed as JVM bitwise column ops (stays in
+    whole-stage codegen; no UDF)."""
+    x = col.bitwiseAND(F.lit(0x1FFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 32))).bitwiseAND(F.lit(0x1F00000000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x1F0000FF0000FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x1249249249249249))
+    return x
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+) -> None:
+    """Multi-dimensional clustering (Z-order / Morton) on write — the
+    Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order primitive for
+    workloads that filter on MORE THAN ONE column. A single-column
+    sort gives one dimension tight per-file min/max footer stats and
+    leaves every other dimension spanning the full range in every
+    file (nothing prunes). Interleaving the bits of both dimensions'
+    21-bit quantized ranks orders files along a space-filling curve,
+    so EACH file covers a small rectangle of the 2-D space — both
+    dimensions' footer stats tighten, and predicates on either (or
+    both) skip files. The quantization only drives placement; stored
+    values are untouched. tests/test_io_skipping.py proves the
+    two-dimensional tightening against both a single-sort and an
+    unsorted control.
+
+    Cost shape: one tiny min/max agg + one range shuffle on the
+    morton key — identical to single-column sort-on-write; you pay
+    nothing extra for the second dimension."""
+    ext = df.agg(
+        F.min(col_a).cast("double").alias("a_min"),
+        F.max(col_a).cast("double").alias("a_max"),
+        F.min(col_b).cast("double").alias("b_min"),
+        F.max(col_b).cast("double").alias("b_max"),
+    ).first()
+    bits = (1 << 21) - 1
+
+    def quant(c: str, lo: float, hi: float) -> Column:
+        span = (hi - lo) or 1.0
+        return F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * bits
+        ).cast("long")
+
+    z = _spread_bits_21(quant(col_a, ext.a_min, ext.a_max)).bitwiseOR(
+        F.shiftleft(_spread_bits_21(quant(col_b, ext.b_min, ext.b_max)), 1)
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -105,3 +105,45 @@ def test_snapshot_diff_applied_to_v1_reproduces_v2(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in applied.collect()}
     want = {tuple(r) for r in v2.collect()}
     assert got == want and len(want) > 0
+
+
+def _file_spans(path_glob: str, col: str):
+    """Normalized per-file (max-min) span of ``col`` from footer stats."""
+    ranges = _file_ts_ranges(path_glob, col)
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    full = (hi - lo) or 1
+    def _n(v):
+        return v.timestamp() if hasattr(v, "timestamp") else v
+    full = _n(hi) - _n(lo) or 1
+    return [( _n(b) - _n(a)) / full for a, b in ranges]
+
+
+def test_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort: sorting by ts alone gives tight
+    ts spans but leaves user_id spanning ~the full range in every
+    file (predicates on user_id prune nothing). The Morton layout
+    must tighten BOTH dimensions — each file covers a small rectangle
+    of the (user_id, ts) space."""
+    from security_master_spark.sources.io import (
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "single")
+    write_zordered_parquet(events, zpath, "user_id", "ts_sec", n_files=16)
+    write_sorted_parquet(events, spath, sort_cols=["ts_sec"], n_files=16)
+
+    z_user = _file_spans(f"{zpath}/*.parquet", "user_id")
+    s_user = _file_spans(f"{spath}/*.parquet", "user_id")
+    z_ts = _file_spans(f"{zpath}/*.parquet", "ts_sec")
+
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    # single-sort leaves user_id useless for pruning (~full span/file)
+    assert avg(s_user) > 0.9
+    # z-order: BOTH dimensions substantially tighter than full-range
+    assert avg(z_user) < 0.6 * avg(s_user), (avg(z_user), avg(s_user))
+    assert avg(z_ts) < 0.6, avg(z_ts)
