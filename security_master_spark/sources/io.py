@@ -151,6 +151,8 @@ def write_zordered_parquet(
     bits = (1 << 21) - 1
 
     def quant(c: str, lo: float, hi: float) -> Column:
+        if lo is None:  # empty input: no rows to place; any key works
+            lo, hi = 0.0, 1.0
         span = (hi - lo) or 1.0
         return F.floor(
             (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * bits
