@@ -128,3 +128,39 @@ def u8_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+def _priority_rank(p: str) -> int:
+    """'3-MEDIUM' -> 3. Module-level so workers import it by reference
+    from the shipped package zip."""
+    return int(p.split("-", 1)[0]) if p else -1
+
+
+@register(
+    "u9_arrow_optimized_udf",
+    oracle="""
+    SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY prio
+    """,
+)
+def u9_arrow_optimized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (``useArrow=True``, Spark
+    3.5+): same author-a-plain-function ergonomics as the classic
+    pickled UDF (u1), but arguments/results cross the Python boundary
+    as Arrow columnar batches instead of per-row pickle — the modern
+    default for scalar Python logic that hasn't been vectorized into
+    a pandas_udf yet. The function itself stays row-at-a-time (that's
+    the contract), so this sits between u1 (pickle) and u2
+    (pandas-vectorized) in the cost hierarchy; the oracle certifies
+    the crossing exactly."""
+    from security_master_spark.datasets import load_table
+
+    prio = F.udf(_priority_rank, "int", useArrow=True)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(prio(F.col("o_orderpriority")).alias("prio"))
+        .groupBy("prio")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
