@@ -110,3 +110,34 @@ def a18_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recent_avg_qty"),
     )
+
+
+@register(
+    "a19_grouping_id",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT)
+               AS grouping_level,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dround("SUM(l_quantity)", 4)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a19_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID over a rollup: the bitmask that distinguishes a
+    genuine NULL grouping value from the NULL that marks a subtotal
+    row — without it, rollup outputs are ambiguous the moment a
+    grouping column is nullable (the classic reporting-layer bug).
+    Level 0 = detail rows, 1 = per-returnflag subtotals, 3 = grand
+    total; both engines compute the identical bitmask (left-to-right
+    bit order per the SQL standard), so the oracle certifies the
+    semantics, not just the totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("grouping_level"),
+        F.count("*").cast("bigint").alias("n"),
+        dround(F.sum("l_quantity"), 4).alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "grouping_level", "n", "sum_qty"
+    )

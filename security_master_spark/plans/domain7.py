@@ -628,3 +628,59 @@ def d38_forward_fill_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         gapped, ["user_id"], ["ts", "event_id"], "value_filled",
         num_partitions=16,
     )
+
+
+@register(
+    "dq2_benford",
+    oracle=f"""
+    WITH pos AS (
+        SELECT event_type, value FROM events WHERE value > 0
+    ), digits AS (
+        SELECT event_type,
+               CAST(FLOOR(value / POWER(10, FLOOR(LOG10(value)))) AS INT)
+                   AS d
+        FROM pos
+    ), counts AS (
+        SELECT event_type, d, COUNT(*) AS n FROM digits GROUP BY event_type, d
+    ), tot AS (
+        SELECT event_type, SUM(n) AS tot FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.d,
+           CAST(c.n AS BIGINT) AS n,
+           {sql_dround("CAST(c.n AS DOUBLE) / t.tot", 6)} AS observed,
+           {sql_dround("LOG10(1.0 + 1.0 / c.d)", 6)} AS benford,
+           {sql_dround(
+               "ABS(CAST(c.n AS DOUBLE) / t.tot - LOG10(1.0 + 1.0 / c.d))",
+               6)} AS abs_dev
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def dq2_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screening: leading-digit distribution per series
+    vs the log10(1 + 1/d) expectation — the forensic data-quality
+    test for fabricated or re-scaled numeric feeds (fixture values
+    are ~N(100, 20), so they FAIL Benford conspicuously — the point
+    is the measurement, and a price feed spanning decades of
+    magnitude should pass). Leading digit extracted arithmetically
+    (value / 10^floor(log10 v)) — identical IEEE ops both engines, no
+    string round-trip; zero/negative prints excluded on both sides.
+    One (type, digit) hash agg + a 9-row-per-type totals broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    pos = events.filter(F.col("value") > 0)
+    d = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    counts = pos.select("event_type", d.alias("d")).groupBy(
+        "event_type", "d"
+    ).agg(F.count("*").alias("n"))
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    obs = F.col("n").cast("double") / F.col("tot")
+    ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        dround(obs, 6).alias("observed"),
+        dround(ben, 6).alias("benford"),
+        dround(F.abs(obs - ben), 6).alias("abs_dev"),
+    )

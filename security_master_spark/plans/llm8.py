@@ -313,3 +313,71 @@ def l42_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.cast("bigint").alias("canonical_id"),
         (canonical == F.col("doc_id")).alias("is_survivor"),
     )
+
+
+_ZIPF_K = 1000  # fit over the top-K head of the rank-frequency curve
+
+
+@register(
+    "l43_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+        SELECT t.token AS token, COUNT(*) AS tf
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        GROUP BY t.token
+    ), head AS (
+        SELECT token, tf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rnk
+        FROM tf
+        ORDER BY tf DESC, token
+        LIMIT {_ZIPF_K}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           {sql_dround(
+               "REGR_SLOPE(LOG2(CAST(tf AS DOUBLE)),"
+               " LOG2(CAST(rnk AS DOUBLE)))", 6
+           )} AS zipf_slope,
+           {sql_dround(
+               "REGR_R2(LOG2(CAST(tf AS DOUBLE)),"
+               " LOG2(CAST(rnk AS DOUBLE)))", 6
+           )} AS fit_r2
+    FROM head
+    """,
+)
+def l43_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health diagnostic: the log-log slope of the token
+    rank-frequency head — natural language sits near Zipf's −1;
+    template/boilerplate corpora flatten it, and tokenizer damage
+    (over-splitting) steepens it. The top-K head arrives via
+    orderBy().limit() (TakeOrderedAndProject — parallel per-partition
+    top-K, never a global sort of the vocabulary; the l34 lesson),
+    ranks are a row_number over the BOUNDED K-row result (a 1000-row
+    single partition is a constant, not a scale term), and the fit is
+    the single-pass REGR_SLOPE/REGR_R2 moment aggregates. Ties at
+    the rank-K boundary break on token text, so both engines fit the
+    identical point set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ", -1)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    head = (
+        tf.orderBy(F.col("tf").desc(), "token")
+        .limit(_ZIPF_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("tf").desc(), F.col("token"))
+            ),
+        )
+    )
+    lx = F.log2(F.col("rnk").cast("double"))
+    ly = F.log2(F.col("tf").cast("double"))
+    return head.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        dround(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        dround(F.regr_r2(ly, lx), 6).alias("fit_r2"),
+    )
