@@ -84,6 +84,9 @@ def _load_all_plan_modules() -> None:
         udfs2,
         sources_io6,
         scalars2,
+        domain8,
+        llm9,
+        aggregates4,
     )
 
 

@@ -689,3 +689,42 @@ def test_forward_fill_distributed_matches_window(spark, sf_dir):
             ).collect()
         }
         assert got == ref, f"partitions={parts}"
+
+
+# ---------------------------------------------------------------------------
+# DataSketches tolerance invariants (a20/a21 are driver-weak: DuckDB has
+# no DataSketches, so exactness evidence lives here)
+
+
+def test_kll_estimate_within_tolerance(spark, sf_dir_mid):
+    """Merged-from-partials KLL quantiles must track the exact
+    interpolated percentiles. KLL with default k guarantees ~1.7%
+    rank error at 99% confidence; assert the VALUE error stays inside
+    5% on the fixture distribution (wide slack over the rank bound —
+    this is a merge-wiring test, not a sketch-quality benchmark: a
+    transposed quantile or a dropped partial lands ~50% off)."""
+    from security_master_spark.plans.registry import queries
+
+    row = queries()["a20_kll_quantile_merge"](spark, sf_dir_mid).collect()[0]
+    assert row.n_partials > 1, "merge step must fold >1 partial sketch"
+    for est, exact in ((row.kll_p50, row.exact_p50), (row.kll_p95, row.exact_p95)):
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_theta_set_algebra_within_tolerance(spark, sf_dir_mid):
+    """Theta union/intersection estimates must track exact distinct
+    counts. At 150 distinct users the sketch is in exact mode (below
+    k=4096 retained hashes), so union == exact union and the overlap
+    matches the exact |view ∩ purchase| computed relationally."""
+    from security_master_spark.plans.registry import queries
+
+    row = queries()["a21_theta_sketch_sets"](spark, sf_dir_mid).collect()[0]
+    assert row.est_viewers == row.exact_viewers
+    assert row.est_buyers == row.exact_buyers
+    ev = load_table(spark, sf_dir_mid, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_overlap = viewers.intersect(buyers).count()
+    exact_union = viewers.union(buyers).distinct().count()
+    assert row.est_overlap == exact_overlap
+    assert row.est_union == exact_union

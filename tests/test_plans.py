@@ -32,6 +32,11 @@ _NESTED_LOOP_OK = {
     "l41_source_drift": "1-row corpus-token-total broadcast onto the "
     "(source, token) count stream (no join key exists; build side is a "
     "single row)",
+    "a20_kll_quantile_merge": "1-row merged-sketch x 1-row exact-anchor "
+    "assembly (no join key exists; both sides single rows)",
+    "a21_theta_sketch_sets": "1-row view-sketch x 1-row purchase-sketch "
+    "x 1-row exact-anchor assembly (no join key exists; all sides "
+    "single rows)",
 }
 
 _QUERIES = registry.queries()
