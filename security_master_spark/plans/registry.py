@@ -87,6 +87,7 @@ def _load_all_plan_modules() -> None:
         domain8,
         llm9,
         aggregates4,
+        relational2,
     )
 
 

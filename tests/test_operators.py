@@ -728,3 +728,41 @@ def test_theta_set_algebra_within_tolerance(spark, sf_dir_mid):
     exact_union = viewers.union(buyers).distinct().count()
     assert row.est_overlap == exact_overlap
     assert row.est_union == exact_union
+
+
+def test_observed_metrics_match_result(spark, sf_dir_mid):
+    """dq3's observe counters must agree with independently computed
+    values: rows_in == the filtered row count, null_qty == 0 on the
+    fixtures, and the revenue checksum must equal the sum of the
+    result's per-group revenue (the observation rides the SAME pass
+    that produced the result — if these diverge, the metric is
+    reading a different stream than the answer)."""
+    from pyspark.sql import Observation
+
+    from security_master_spark.plans import relational2
+
+    li = load_table(spark, sf_dir_mid, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    expected_rows = li.count()
+    expected_rev = li.agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ).collect()[0][0]
+
+    obs = Observation("check")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_checksum"
+        ),
+    )
+    result = observed.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    ).collect()
+    m = obs.get
+    assert m["rows_in"] == expected_rows
+    assert m["null_qty"] == 0
+    assert abs(m["rev_checksum"] - expected_rev) < 1e-6
+    assert abs(sum(r.rev for r in result) - m["rev_checksum"]) < 1e-4
