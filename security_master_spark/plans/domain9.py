@@ -1,0 +1,220 @@
+"""Round-5 securities-master domain candidates, batch 5 (SURVEY.md
+§2.11): downside-risk-adjusted performance (Sortino / Calmar) and
+Amihud illiquidity — the risk-report columns next to d33's Sharpe and
+d15's drawdown.
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "d42_sortino_calmar",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               ARG_MAX(value, ts) AS close
+        FROM events GROUP BY 1, 2
+    ), ret AS (
+        SELECT event_type,
+               close / NULLIF(LAG(close) OVER (
+                   PARTITION BY event_type ORDER BY d), 0) - 1.0 AS r
+        FROM daily
+    ), downside AS (
+        SELECT event_type,
+               CAST(COUNT(r) AS BIGINT) AS n_days,
+               AVG(r) AS mean_ret,
+               SQRT(AVG(POW(LEAST(r, 0), 2))) AS dd
+        FROM ret GROUP BY event_type
+    ), eq AS (
+        SELECT event_type, ts, event_id,
+               SUM(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS equity
+        FROM events
+    ), gaps AS (
+        SELECT event_type,
+               MAX(equity) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - equity AS gap,
+               LAST_VALUE(equity) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING
+               ) AS final_eq
+        FROM eq
+    ), mdd AS (
+        SELECT event_type, MAX(gap) AS max_dd, MAX(final_eq) AS total_pnl
+        FROM gaps GROUP BY event_type
+    )
+    SELECT d.event_type,
+           d.n_days,
+           {sql_dround("d.mean_ret", 8)} AS mean_ret,
+           {sql_dround("d.dd", 8)} AS downside_dev,
+           {sql_dround("d.mean_ret / NULLIF(d.dd, 0)", 6)} AS sortino,
+           {sql_dround("m.max_dd", 4)} AS max_dd,
+           {sql_dround("m.total_pnl / NULLIF(m.max_dd, 0)", 6)} AS calmar
+    FROM downside d JOIN mdd m ON m.event_type = d.event_type
+    """,
+)
+def d42_sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downside-risk-adjusted performance per event type: Sortino
+    ratio (mean daily return over the downside deviation — the
+    root-mean-square of NEGATIVE returns only, zero-floored so calm
+    days don't dilute the penalty) and Calmar ratio (total PnL over
+    the maximum drawdown of the tick-level cumulative-PnL curve).
+
+    Two branches over one events scan, each collapse-first: the
+    Sortino branch is the d6 daily-bar aggregate (O(types×days) rows
+    after one hash agg) with a lag window; the Calmar branch is the
+    d15 running-peak stack (cumsum → cummax → max gap) whose single
+    per-type sort carries all three window passes. The branches join
+    on the tiny type key. NULLIF guards divide-by-zero on flat series
+    identically in both engines (try-divide semantics, no ANSI
+    throw)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    ret = daily.select(
+        "event_type",
+        (
+            F.try_divide(
+                F.col("close"),
+                F.nullif(F.lag("close").over(w_lag), F.lit(0.0)),
+            )
+            - 1.0
+        ).alias("r"),
+    )
+    downside = ret.groupBy("event_type").agg(
+        F.count("r").cast("bigint").alias("n_days"),
+        F.avg("r").alias("mean_ret"),
+        F.sqrt(F.avg(F.pow(F.least(F.col("r"), F.lit(0.0)), 2))).alias("dd"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = events.select(
+        "event_type", F.sum("value").over(w_run).alias("equity"), "ts", "event_id"
+    )
+    # The peak window re-sorts on the SAME (ts, event_id) order, so the
+    # executed plan reuses one sort per type partition.
+    w_peak = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_final = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mdd = (
+        eq.select(
+            "event_type",
+            (F.max("equity").over(w_peak) - F.col("equity")).alias("gap"),
+            F.last("equity").over(w_final).alias("final_eq"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("gap").alias("max_dd"),
+            F.max("final_eq").alias("total_pnl"),
+        )
+    )
+    return downside.join(mdd, "event_type").select(
+        "event_type",
+        "n_days",
+        dround(F.col("mean_ret"), 8).alias("mean_ret"),
+        dround(F.col("dd"), 8).alias("downside_dev"),
+        dround(
+            F.try_divide(F.col("mean_ret"), F.nullif(F.col("dd"), F.lit(0.0))),
+            6,
+        ).alias("sortino"),
+        dround(F.col("max_dd"), 4).alias("max_dd"),
+        dround(
+            F.try_divide(
+                F.col("total_pnl"), F.nullif(F.col("max_dd"), F.lit(0.0))
+            ),
+            6,
+        ).alias("calmar"),
+    )
+
+
+@register(
+    "d43_amihud_illiquidity",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               ARG_MAX(value, ts) AS close,
+               SUM(ABS(value)) AS notional
+        FROM events GROUP BY 1, 2
+    ), ret AS (
+        SELECT event_type, d, notional,
+               close / NULLIF(LAG(close) OVER (
+                   PARTITION BY event_type ORDER BY d), 0) - 1.0 AS r
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(r) AS BIGINT) AS n_days,
+           {sql_dround(
+               "AVG(ABS(r) / NULLIF(notional, 0)) * CAST(1000000 AS DOUBLE)",
+               8,
+           )} AS amihud_x1m,
+           {sql_dround("AVG(notional)", 4)} AS avg_notional
+    FROM ret
+    GROUP BY event_type
+    """,
+)
+def d43_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per event type: the mean of |daily return| /
+    daily notional (×10⁶ for the conventional scale) — the standard
+    price-impact-per-dollar-traded proxy — plus average daily
+    notional. One daily-bar hash aggregate (close AND notional in the
+    same pass), one lag window over the O(types×days) collapsed
+    table; nothing after the first aggregate touches tick data."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.sum(F.abs(F.col("value"))).alias("notional"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    ret = daily.select(
+        "event_type",
+        "notional",
+        (
+            F.try_divide(
+                F.col("close"),
+                F.nullif(F.lag("close").over(w_lag), F.lit(0.0)),
+            )
+            - 1.0
+        ).alias("r"),
+    )
+    return ret.groupBy("event_type").agg(
+        F.count("r").cast("bigint").alias("n_days"),
+        dround(
+            F.avg(
+                F.try_divide(
+                    F.abs(F.col("r")), F.nullif(F.col("notional"), F.lit(0.0))
+                )
+            )
+            * F.lit(1000000.0),
+            8,
+        ).alias("amihud_x1m"),
+        dround(F.avg("notional"), 4).alias("avg_notional"),
+    )

@@ -1,0 +1,249 @@
+"""Round-5 graph-analytics candidates (SURVEY.md §2.12/§2.11 adjunct):
+PageRank over the customer–supplier trade graph and triangle counting
+over the part co-purchase graph. Connected components (l16) covered
+the union-find/closure family; these add the other two canonical
+distributed-graph workloads — fixed-point iteration and the
+join-heavy motif count.
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+
+from security_master_spark.plans.registry import register
+
+_DAMPING = 0.85
+_ITERS = 3
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as a CTE body (DuckDB oracle)."""
+    return f"""{out} AS (
+        SELECT e.dst AS node,
+               (1 - {_DAMPING}) / MAX(nn.n)
+                   + {_DAMPING} * SUM(r.r / deg.d) AS r
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst
+    )"""
+
+
+@register(
+    "g1_pagerank",
+    oracle=f"""
+    WITH base AS (
+        SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+                        'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT c AS src, s AS dst FROM base
+        UNION ALL
+        SELECT s AS src, c AS dst FROM base
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+    ), r0 AS (
+        SELECT deg.src AS node, CAST(1 AS DOUBLE) / nn.n AS r
+        FROM deg CROSS JOIN nn
+    ), {_pagerank_iter_sql("r0", "r1")},
+       {_pagerank_iter_sql("r1", "r2")},
+       {_pagerank_iter_sql("r2", "r3")}
+    SELECT node, {sql_dround("r", 9)} AS rank
+    FROM r3
+    """,
+)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_ITERS} fixed iterations, damping 0.85) over the
+    undirected customer–supplier trade graph (an edge per distinct
+    (customer, supplier) trading pair, materialized in both
+    directions so every node has out-degree ≥ 1 — no dangling-mass
+    redistribution needed). The oracle unrolls the same three
+    iterations as chained CTEs, so this is a FULL value-checked
+    fixed-point computation, not a rows-only sketch.
+
+    Scale shape: the per-iteration work is one equi-join of the rank
+    vector against the (src, dst, degree)-annotated edge list followed
+    by a groupBy(dst) sum — both shuffles on the node key, so a
+    cluster that hash-partitions edges by src once keeps the rank join
+    co-located every iteration. The edge⋈degree annotation is computed
+    ONCE and reused across iterations (at 100 TB: persist it and
+    checkpoint the rank vector every few iterations to truncate
+    lineage — with {_ITERS} unrolled iterations the plan is shallow
+    enough that Catalyst handles it directly). The single 1-row
+    node-count crossJoin at init is broadcast (allowlisted in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    nn = deg.agg(F.count("*").cast("double").alias("n"))
+    # (src, dst, d): annotate the edge list with out-degrees ONCE;
+    # every iteration reuses this frame.
+    weighted = edges.join(deg, "src")
+    # r0 = 1/N for every node, with N carried as a column so the
+    # damping term needs no further scalar join inside the loop.
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("n")).alias("r"),
+        "n",
+    )
+    for _ in range(_ITERS):
+        ranks = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .groupBy(F.col("dst").alias("node_out"))
+            .agg(
+                (
+                    (1 - _DAMPING) / F.max("n")
+                    + _DAMPING * F.sum(F.col("r") / F.col("d"))
+                ).alias("r"),
+                F.max("n").alias("n"),
+            )
+            .select(F.col("node_out").alias("node"), "r", "n")
+        )
+    return ranks.select("node", dround(F.col("r"), 9).alias("rank"))
+
+
+@register(
+    "g2_triangle_count",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT
+               LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS DOUBLE) AS d
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), wedge AS (
+        SELECT SUM(d * (d - 1) / 2) AS n_wedges,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg
+    )
+    SELECT wedge.n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           tri.n_triangles,
+           {sql_dround(
+               "3 * CAST(tri.n_triangles AS DOUBLE) / NULLIF(wedge.n_wedges, 0)",
+               8,
+           )} AS global_clustering
+    FROM tri CROSS JOIN wedge
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the part
+    co-purchase graph (parts are adjacent when they appear on the same
+    order). The Spark side counts with the DEGREE-ORDERED orientation
+    (each undirected edge directed from its lower-degree endpoint,
+    ties by part id): the join that enumerates wedges then fans out
+    from each node's *oriented* out-neighborhood, whose size is
+    O(sqrt(m)) on any graph — the standard bound that keeps the
+    intermediate wedge set near-linear instead of quadratic in the max
+    degree. The id-ordered oracle enumerates the same triangles
+    (triangle COUNT is orientation-invariant), so the hash check
+    certifies the optimized plan against the naive one.
+
+    Scale: three shuffles on node keys (degree agg, two hash joins);
+    the wedge stream is the big intermediate and AQE's skew handling
+    splits any residual hot node. The final assembly is 1-row × 1-row
+    (allowlisted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    # Degree-ordered orientation: low-degree endpoint -> high-degree
+    # endpoint (ties by id). Out-neighborhood sizes are O(sqrt(m)).
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ord_e = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("st")
+        )
+        .select(F.col("st.s").alias("s"), F.col("st.t").alias("t"))
+    )
+    e1 = ord_e.select(F.col("s").alias("x"), F.col("t").alias("y1"))
+    e2 = ord_e.select(F.col("s").alias("x"), F.col("t").alias("y2"))
+    wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
+    # A wedge (x; y1, y2) closes iff (y1, y2) is an edge in EITHER
+    # orientation (the closing edge's own direction is independent).
+    closing = ord_e.select(F.col("s").alias("p"), F.col("t").alias("q")).unionAll(
+        ord_e.select(F.col("t").alias("p"), F.col("s").alias("q"))
+    )
+    tri = (
+        wedges.join(
+            closing,
+            (F.col("y1") == F.col("p")) & (F.col("y2") == F.col("q")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    wedge_tot = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count("*").cast("bigint").alias("n_nodes"),
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wedge_tot))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            dround(
+                3
+                * F.col("n_triangles").cast("double")
+                / F.nullif(F.col("n_wedges"), F.lit(0.0)),
+                8,
+            ).alias("global_clustering"),
+        )
+    )

@@ -88,6 +88,12 @@ def _load_all_plan_modules() -> None:
         llm9,
         aggregates4,
         relational2,
+        graph,
+        dataquality,
+        domain9,
+        llm10,
+        relational3,
+        udfs3,
     )
 
 

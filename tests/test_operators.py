@@ -766,3 +766,52 @@ def test_observed_metrics_match_result(spark, sf_dir_mid):
     assert m["null_qty"] == 0
     assert abs(m["rev_checksum"] - expected_rev) < 1e-6
     assert abs(sum(r.rev for r in result) - m["rev_checksum"]) < 1e-4
+
+
+def test_pca_spectral_contract(spark, sf_dir_mid):
+    """The full spectral contract for operators/pca.py, verified
+    against the SQL-certified l47 covariance: components orthonormal,
+    eigenvalues ordered/nonnegative, per-vector projection variances
+    equal to the eigenvalues, and total variance equal to the
+    covariance trace."""
+    import math
+
+    from security_master_spark.operators.pca import (
+        covariance_matrix,
+        principal_components,
+        project,
+    )
+
+    emb = load_table(spark, sf_dir_mid, "embeddings")
+    comps, vals, total_var = principal_components(emb, "embedding", k=2)
+
+    # Orthonormal basis, deterministic sign.
+    n1 = math.sqrt(sum(x * x for x in comps[0]))
+    n2 = math.sqrt(sum(x * x for x in comps[1]))
+    dot12 = sum(a * b for a, b in zip(comps[0], comps[1]))
+    assert abs(n1 - 1) < 1e-9 and abs(n2 - 1) < 1e-9
+    assert abs(dot12) < 1e-9
+    for v in comps:
+        assert v[max(range(len(v)), key=lambda i: abs(v[i]))] > 0
+
+    # Eigenvalues ordered, nonnegative, bounded by the trace.
+    assert vals[0] >= vals[1] >= -1e-12
+    trace = sum(
+        r["cov"]
+        for r in covariance_matrix(emb, "embedding").collect()
+        if r["i"] == r["j"]
+    )
+    assert abs(trace - total_var) < 1e-9
+    assert vals[0] + vals[1] <= trace + 1e-9
+
+    # Projection variance onto component k IS the k-th eigenvalue
+    # (population variance, matching covariance_matrix's /n form).
+    proj = emb.select(
+        project(F.col("embedding"), comps[0]).alias("p1"),
+        project(F.col("embedding"), comps[1]).alias("p2"),
+    )
+    row = proj.agg(
+        F.var_pop("p1").alias("v1"), F.var_pop("p2").alias("v2")
+    ).collect()[0]
+    assert abs(row["v1"] - vals[0]) < 1e-9 * max(1.0, vals[0])
+    assert abs(row["v2"] - vals[1]) < 1e-9 * max(1.0, vals[1])

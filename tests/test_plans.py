@@ -37,6 +37,15 @@ _NESTED_LOOP_OK = {
     "a21_theta_sketch_sets": "1-row view-sketch x 1-row purchase-sketch "
     "x 1-row exact-anchor assembly (no join key exists; all sides "
     "single rows)",
+    "g1_pagerank": "1-row node-count aggregate broadcast onto the "
+    "degree table at rank init (no join key exists; build side is a "
+    "single row)",
+    "g2_triangle_count": "1-row triangle-count x 1-row wedge-total x "
+    "1-row edge-count final assembly (no join key exists; all sides "
+    "single rows)",
+    "dq6_psi_drift": "1-row global (min, max) extent broadcast onto "
+    "the scan for binning (the a15-histogram shape; build side is a "
+    "single row)",
 }
 
 _QUERIES = registry.queries()

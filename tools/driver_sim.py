@@ -1,0 +1,134 @@
+"""Driver simulation: foreign SparkSession + __spark_entry__ contract.
+
+Mimics the external harness: a *plain* SparkSession (no engine confs),
+imports __spark_entry__ from /root/repo, smoke-checks entry(), then for
+every queries()[name] at sf0.01 compares against oracle_sql()[name] run
+by DuckDB over the same parquet files. BOTH sides go through pandas
+(Spark .toPandas(), DuckDB .df()) and the same canonicalizer as the
+repo's tests/oracle.py (floats rounded 9dp with a NaN sentinel and
+-0.0 -> 0.0, timestamps -> naive isoformat with midnight-date
+normalization), matching observed real-driver behavior across rounds.
+"""
+import datetime
+import hashlib
+import math
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+FLOAT_DP = 9
+
+
+def _date_norm(iso):
+    return iso[:-9] if iso.endswith("T00:00:00") else iso
+
+
+def canon(v):
+    if v is None or v is pd.NaT:
+        return "\0"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "ARRAY_CELL_CRASH"  # the real driver crashes on these
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating, Decimal)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Inf" if f > 0 else "-Inf"
+        r = round(f, FLOAT_DP)
+        return repr(0.0 if r == 0 else r)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        v = v.tz_localize(None) if v.tzinfo is not None else v
+        return _date_norm(v.isoformat())
+    if hasattr(v, "isoformat"):
+        if hasattr(v, "tzinfo") and v.tzinfo is not None:
+            v = v.replace(tzinfo=None)
+        return _date_norm(v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
+def frame_hash(df):
+    cols = sorted(df.columns)
+    rows = sorted(
+        "|".join(canon(df[c].iloc[i]) for c in cols) for i in range(len(df))
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim")
+        .getOrCreate()
+    )
+    import __spark_entry__ as entrymod
+
+    n = entrymod.entry(spark).count()
+    print(f"entry() ok: {n} rows", flush=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = sys.argv[1:] or None
+    ok = weak = bad = 0
+    t_start = time.time()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"ERR  {name}: spark-side {type(ex).__name__}: {str(ex)[:300]}", flush=True)
+            bad += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(spdf)} ({time.time()-t0:.1f}s)", flush=True)
+            weak += 1
+            continue
+        try:
+            opdf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"ERR  {name}: oracle-side {type(ex).__name__}: {str(ex)[:300]}", flush=True)
+            bad += 1
+            continue
+        problems = []
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} != {len(opdf)}")
+        if not problems and frame_hash(spdf) != frame_hash(opdf):
+            problems.append("value-hash mismatch")
+        if problems:
+            print(f"BAD  {name}: {'; '.join(problems)}", flush=True)
+            bad += 1
+        else:
+            ok += 1
+            print(f"ok   {name} rows={len(spdf)} ({time.time()-t0:.1f}s)", flush=True)
+    print(
+        f"\n{'ALL OK' if bad == 0 else 'FAILURES'} ({ok} ok, {weak} weak, {bad} bad) "
+        f"in {time.time()-t_start:.0f}s",
+        flush=True,
+    )
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
