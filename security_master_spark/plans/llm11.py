@@ -1,0 +1,151 @@
+"""Round-5 LLM-pipeline candidates, batch 7 (SURVEY.md §2.12):
+source-to-source vocabulary overlap (the corpus-composition
+similarity matrix) and tokenizer fertility by language (the
+corpus-sizing diagnostic that decides tokenizer budgets).
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.functions.text import tokens
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "l49_source_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM st GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM st a JOIN st b ON b.token = a.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           {sql_dround(
+               "CAST(i.n_shared AS DOUBLE)"
+               " / (sa.vocab + sb.vocab - i.n_shared)", 8
+           )} AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def l49_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    composition similarity matrix (which feeds dedup prioritization
+    and mixture design: sources with near-identical vocabularies are
+    redundancy candidates; disjoint ones are diversity).
+
+    Shape: one explode → DISTINCT collapses the corpus to (source,
+    token) — O(sources · vocab) rows regardless of corpus size — and
+    every subsequent join shuffles on the token or source key of that
+    collapsed table. The token-keyed intersection self-join is the l3
+    TF/DF shape; hot tokens (shared by all sources) fan out at most
+    |sources|² per token, bounded by the source count, not the
+    corpus. Exact-set semantics end-to-end, so the quadratic stage is
+    over sources (20 here), never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    sizes = st.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab")
+    )
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "vocab_a",
+            "vocab_b",
+            dround(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                8,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "l50_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(LEN(regexp_extract_all(
+                   text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                   AS n_bpe,
+               CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_ws,
+               CAST(n_chars AS DOUBLE) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_dround("AVG(n_chars / n_bpe)", 6)} AS chars_per_token,
+           {sql_dround("AVG(n_bpe / n_ws)", 6)} AS fertility,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def l50_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace
+    word (the cross-lingual tokenizer-equity metric — a language with
+    2× fertility pays 2× the context budget for the same content) and
+    chars-per-token (the compression rate that converts corpus bytes
+    to token budgets). Per-document counts are l15's certified
+    ASCII-subset regex evaluated INSIDE the scan projection — zero
+    exchanges before the O(langs) rollup; the shuffle carries one row
+    per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), F.lit(0)
+        )
+    ).cast("double")
+    n_ws = F.size(F.split(F.col("text"), " ", -1)).cast("double")
+    per_doc = docs.select(
+        "lang",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dround(F.avg(F.col("n_chars") / F.col("n_bpe")), 6).alias(
+            "chars_per_token"
+        ),
+        dround(F.avg(F.col("n_bpe") / F.col("n_ws")), 6).alias("fertility"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+    )

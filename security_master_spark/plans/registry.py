@@ -94,6 +94,9 @@ def _load_all_plan_modules() -> None:
         llm10,
         relational3,
         udfs3,
+        sources_io7,
+        aggregates5,
+        llm11,
     )
 
 

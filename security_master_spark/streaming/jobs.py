@@ -148,17 +148,26 @@ def stream_stream_interval_join(
     right_ts: str,
     lookback_seconds: int,
     watermark_seconds: int,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    each left row matches right rows with the same key whose timestamp
+    """Stream-stream join with an event-time interval condition: each
+    left row matches right rows with the same key whose timestamp
     falls in ``[left_ts − lookback, left_ts]``. Watermarks on BOTH
     sides plus the two-sided time bound are what let Spark expire join
     state — without them a stream-stream join buffers forever. State
     size is bounded by (watermark + lookback) of per-key right rows;
     at scale the key is the shuffle-partition unit, exactly like the
-    batch interval join (operators/intervals.py). For bounded replay
-    input the result equals the equivalent batch join
-    (tests/test_streaming.py cross-checks this)."""
+    batch interval join (operators/intervals.py).
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    (right columns null) — but only once the joint watermark (the MIN
+    across both inputs) has passed the row's match window, because
+    until then a matching right row could still arrive. Consequence:
+    outer results trail the watermark, and a stalled input stalls
+    them — the no-data-microbatch mechanism flushes the backlog when
+    the watermark advances without new rows. For bounded replay input
+    the result equals the equivalent batch join
+    (tests/test_streaming.py cross-checks both modes)."""
     lw = left.withWatermark(left_ts, f"{watermark_seconds} seconds")
     rw = right.withWatermark(right_ts, f"{watermark_seconds} seconds")
     cond = (
@@ -169,7 +178,7 @@ def stream_stream_interval_join(
             >= lw[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
         )
     )
-    return lw.join(rw, cond, "inner").drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 def streaming_upsert(

@@ -137,3 +137,40 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
     assert "l_returnflag" in scan, (
         f"partition filter did not reach the scan: {scan!r}"
     )
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """Runtime-filter surface (SURVEY.md §4): with a selective build
+    side and a shuffle join, Catalyst injects a bloom-filter
+    aggregate on the build side and a might_contain probe filter on
+    the big side's SCAN — rows that cannot join die before the
+    exchange. Thresholds are production-tuned (10 GB application
+    side), far above the fixtures, so this test pins the surface by
+    lowering them in a save/restore block; on a 100 TB run the
+    defaults fire as-is."""
+    from security_master_spark.datasets import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        sel = orders.filter(F.col("o_totalprice") > 300000)
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom probe missing from plan"
+        assert "bloom_filter_agg" in plan, "bloom build missing from plan"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

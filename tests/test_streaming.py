@@ -480,3 +480,108 @@ def test_python_datasource_stream(spark):
     assert [r.tick_id for r in rows] == list(range(100))
     for r in rows:
         assert r.price == ((r.tick_id * _MIX) % 10000) / 100.0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: purchases with no view
+    in the preceding hour must STILL emit (right columns null) — but
+    only after the joint watermark passes their match window. A
+    sentinel microbatch far in the future advances both sides'
+    watermarks past all real data, so every unmatched purchase
+    flushes; the full output is then cross-checked exactly against
+    the batch left-outer join on the same input."""
+    import datetime
+
+    from security_master_spark.datasets import load_table, normalize_events_ts
+    from security_master_spark.streaming.jobs import (
+        replay_events_as_stream,
+        stream_stream_interval_join,
+    )
+
+    stage = "/tmp/sms_stream/ssj_lo_events"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/a_events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    # Sentinel microbatch: one matching purchase+view pair 7 days past
+    # the real data, advancing BOTH sides' watermarks (outer emission
+    # waits on the MIN watermark, so one side is not enough).
+    base = load_table(spark, sf_dir, "events")
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + datetime.timedelta(days=7)
+    raw = spark.read.parquet(f"{stage}/a_events.parquet")
+    sent = spark.createDataFrame(
+        [
+            (10_000_001, far, 999_999, "view", 1.0, "{}"),
+            (10_000_002, far, 999_999, "purchase", 1.0, "{}"),
+        ],
+        schema=raw.schema,
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{stage}_tmp")
+    sent_file = next(
+        f for f in os.listdir(f"{stage}_tmp") if f.endswith(".parquet")
+    )
+    shutil.copy(f"{stage}_tmp/{sent_file}", f"{stage}/b_sentinel.parquet")
+
+    def split_sides(df):
+        left = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("ts1"),
+            F.col("event_id").alias("p_id"),
+        )
+        right = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts2"),
+            F.col("event_id").alias("v_id"),
+        )
+        return left, right
+
+    raw_stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    s_left, s_right = split_sides(raw_stream)
+    joined = stream_stream_interval_join(
+        s_left,
+        s_right,
+        key="user_id",
+        left_ts="ts1",
+        right_ts="ts2",
+        lookback_seconds=3600,
+        watermark_seconds=3600,
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj_lo")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.p_id, r.v_id)
+        for r in spark.sql("SELECT * FROM t_ssj_lo").collect()
+    }
+
+    all_events = normalize_events_ts(raw.unionByName(sent))
+    b_left, b_right = split_sides(all_events)
+    b_right = (
+        b_right.withColumnRenamed("user_id", "r_user")
+    )
+    batch = b_left.join(
+        b_right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("ts2") <= F.col("ts1"))
+        & (F.col("ts2") >= F.col("ts1") - F.expr("INTERVAL 3600 SECONDS")),
+        "left_outer",
+    )
+    want = {(r.p_id, r.v_id) for r in batch.collect()}
+    unmatched = {p for p, v in want if v is None}
+    assert len(unmatched) > 0, "fixture has no unmatched purchases — test is vacuous"
+    assert got == want
