@@ -149,3 +149,56 @@ def l50_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg(F.col("n_bpe") / F.col("n_ws")), 6).alias("fertility"),
         F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
     )
+
+
+_SAMPLE_K = 500
+
+
+@register(
+    "l51_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) + 1) / CAST(4294967296 AS DOUBLE))
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, {sql_dround("k * 1000", 8)} AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def l51_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each document gets key u^(1/w) — here
+    its order-equivalent ln(u)/w — with u a content-independent md5
+    hash of the id mapped into (0, 1] and w = n_chars; the top-k keys
+    ARE a weighted sample without replacement. All the l18 virtues
+    (rerun/engine/partitioning-stable, no sample() iteration-order
+    dependence) plus length-proportional inclusion probabilities — the
+    standard "sample long documents preferentially" curation step.
+    Embarrassingly parallel: the key is computed in the scan
+    projection and the top-k plans as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort.
+    Deterministic tie-break on doc_id pins the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    k = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            dround(F.col("k") * 1000, 8).alias("sample_key"),
+        )
+    )

@@ -585,3 +585,132 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, sf_dir):
     unmatched = {p for p, v in want if v is None}
     assert len(unmatched) > 0, "fixture has no unmatched purchases — test is vacuous"
     assert got == want
+
+
+def _staged_events_with_sentinel(spark, sf_dir, name):
+    """Stage dir: the events fixture plus one far-future sentinel row
+    (new user, 7 days past max ts) written as a SECOND file, so a
+    maxFilesPerTrigger=1 stream sees it as a later microbatch and
+    advances the watermark past every real window."""
+    import datetime
+
+    from security_master_spark.datasets import load_table
+
+    stage = f"/tmp/sms_stream/{name}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/a_events.parquet")
+    raw = spark.read.parquet(f"{stage}/a_events.parquet")
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    far = max_ts + datetime.timedelta(days=7)
+    sent = spark.createDataFrame(
+        [(20_000_001, far, 888_888, "view", 1.0, "{}")], schema=raw.schema
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{stage}_tmp")
+    sent_file = next(
+        f for f in os.listdir(f"{stage}_tmp") if f.endswith(".parquet")
+    )
+    shutil.copy(f"{stage}_tmp/{sent_file}", f"{stage}/b_sentinel.parquet")
+    return stage, raw.schema
+
+
+def test_chained_window_aggregation_matches_batch(spark, sf_dir):
+    """TWO stateful windowed aggregations chained in ONE streaming
+    query (Spark 3.4+): hourly per-type sums roll up into daily
+    totals, both append-mode. The daily stage groups on the hourly
+    stage's window STRUCT — that propagation of event-time semantics
+    through a stateful operator is the surface under test. Sentinel
+    microbatch finalizes every real window; output must equal the
+    batch double-aggregate exactly."""
+    from security_master_spark.datasets import load_table, normalize_events_ts
+
+    stage, raw_schema = _staged_events_with_sentinel(spark, sf_dir, "chained_events")
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.sum("value").alias("hourly_sum"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2"), "event_type")
+        .agg(F.sum("hourly_sum").alias("daily_sum"), F.count("*").alias("n_hours"))
+    )
+    q = (
+        daily.writeStream.format("memory")
+        .queryName("t_chained")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.w2.start, r.event_type, round(r.daily_sum, 6), r.n_hours)
+        for r in spark.sql("SELECT * FROM t_chained").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    b_hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w1"), "event_type"
+    ).agg(F.sum("value").alias("hourly_sum"))
+    b_daily = b_hourly.groupBy(
+        F.window(F.col("w1"), "1 day").alias("w2"), "event_type"
+    ).agg(F.sum("hourly_sum").alias("daily_sum"), F.count("*").alias("n_hours"))
+    want = {
+        (r.w2.start, r.event_type, round(r.daily_sum, 6), r.n_hours)
+        for r in b_daily.collect()
+    }
+    assert len(want) > 0 and got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static join: the streaming side joins a STATIC dimension
+    (no watermark or state needed — the static side broadcasts into
+    every microbatch, re-read per batch if it changes). Per-segment
+    counts over the full replay must equal the batch join."""
+    from security_master_spark.datasets import load_table, normalize_events_ts
+
+    stage = "/tmp/sms_stream/ss_join_events"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{stage}/events.parquet").schema
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 3).cast("int").alias("segment"))
+    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").groupBy("segment").agg(
+        F.count("*").alias("n")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.segment, r.n) for r in spark.sql("SELECT * FROM t_ss_join").collect()
+    }
+    want = {
+        (r.segment, r.n)
+        for r in ev_batch.join(dim, "user_id").groupBy("segment").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert len(want) > 0 and got == want
