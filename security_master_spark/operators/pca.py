@@ -100,6 +100,12 @@ def principal_components(
     import numpy as np
 
     rows = covariance_matrix(emb, col).collect()
+    if not rows:
+        # Empty input: no spectrum exists. Return degenerate 1-d zero
+        # components so callers' projection expressions still analyze
+        # (they will project zero rows anyway) — the empty-partition /
+        # fresh-dataset robustness contract (tests/test_robustness.py).
+        return [[0.0] for _ in range(k)], [0.0] * k, 0.0
     d = max(r["j"] for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:

@@ -11,9 +11,10 @@ local oracle mirror (tests/test_correctness.py) proves them.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from security_master_spark.datasets import load_tables
-from security_master_spark.functions.rounding import sql_dround
+from security_master_spark.datasets import load_table, load_tables
+from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
 
@@ -80,4 +81,119 @@ def q18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
         args={"min_price": 150000, "status": "F"},
+    )
+
+
+@register(
+    "q19_group_by_all",
+    oracle=f"""
+    SELECT c_mktsegment,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dround("AVG(o_totalprice)", 4)} AS avg_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q19_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand,
+    now in Spark 4): every non-aggregate select item becomes a
+    grouping key, and the full output sorts by all columns — the
+    exploratory-SQL ergonomics surface. The IDENTICAL query text runs
+    on both engines (this oracle IS the Spark text), certifying the
+    two engines resolve the shorthand to the same grouping set.
+    Resolution happens at analysis time; the executed plan is the
+    ordinary partial+final hash aggregate."""
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+    SELECT c_mktsegment,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dround("AVG(o_totalprice)", 4)} AS avg_price
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY ALL
+    ORDER BY ALL
+    """)
+
+
+@register(
+    "q20_identifier_clause",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dround("SUM(l_quantity)", 4)} AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q20_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 3.5+): table and column names bound
+    from PARAMETERS — the injection-safe way to template "same query,
+    different table/metric" jobs (the alternative is string-spliced
+    SQL, the classic injection and cache-miss source). The table name
+    and the aggregated column both arrive via args; constant-folding
+    happens after binding, so the plan is identical to the literal
+    spelling the oracle uses."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {sql_dround("SUM(IDENTIFIER(:metric))", 4)} AS total_qty
+        FROM IDENTIFIER(:tbl)
+        GROUP BY l_returnflag
+        """,
+        args={"tbl": "lineitem", "metric": "l_quantity"},
+    )
+
+
+@register(
+    "q21_union_by_name",
+    oracle=f"""
+    WITH u AS (
+        SELECT o_orderkey AS key, o_totalprice AS amount,
+               'order' AS kind, o_orderpriority AS priority
+        FROM orders
+        UNION ALL BY NAME
+        SELECT l_extendedprice AS amount, 'line' AS kind,
+               l_orderkey AS key
+        FROM lineitem
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(priority) AS BIGINT) AS n_with_priority,
+           {sql_dround("SUM(amount)", 4)} AS amount_total
+    FROM u
+    GROUP BY kind
+    """,
+)
+def q21_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union BY NAME with missing-column null-fill
+    (`unionByName(allowMissingColumns=True)` / DuckDB's
+    UNION ALL BY NAME): the schema-drift-tolerant append — columns
+    align by NAME, not position, and a column absent on one side
+    null-fills instead of silently mis-mapping. The positional UNION
+    footgun this prevents (amount landing under key) is exactly the
+    bug class schema evolution produces; the n_with_priority count
+    certifies the null-fill semantics, and the oracle uses DuckDB's
+    native BY NAME spelling."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    top = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("kind"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    bottom = li.select(
+        F.col("l_extendedprice").alias("amount"),
+        F.lit("line").alias("kind"),
+        F.col("l_orderkey").alias("key"),
+    )
+    u = top.unionByName(bottom, allowMissingColumns=True)
+    return u.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("priority").cast("bigint").alias("n_with_priority"),
+        dround(F.sum("amount"), 4).alias("amount_total"),
     )

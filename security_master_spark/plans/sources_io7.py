@@ -64,3 +64,46 @@ def io13_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("s_acctbal"), 4).alias("acctbal_total"),
         F.min("s_name").alias("first_name"),
     )
+
+
+@register(
+    "io14_file_metadata",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def io14_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name` /
+    `row_index`, Spark 3.5+): per-source-file provenance surfaced
+    through the scan — the lineage/audit surface (which file did this
+    row come from, where in it) that debugging a bad ingest at 100 TB
+    depends on; zero-cost because it rides the scan, no join against
+    a manifest. The layout is pinned first (repartition by the
+    partition column → exactly ONE file per status directory), so the
+    oracle can DERIVE what the metadata must be from the original
+    table: one distinct file per status, and a dense 0..n-1 row_index
+    whose max is n_rows − 1. A metadata bug (duplicate indices, rows
+    attributed to the wrong file, a stray second file) breaks the
+    hash."""
+    path = _scratch(sf_dir, "orders_meta")
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    # Declared read schema: a zero-row source writes no data files at
+    # all (just _SUCCESS), and schema inference has nothing to read —
+    # the empty-dataset robustness contract (tests/test_robustness.py).
+    back = spark.read.schema(orders.schema).parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("_metadata.file_name").cast("bigint").alias("n_files"),
+        F.max("_metadata.row_index").cast("bigint").alias("max_row_index"),
+    )
