@@ -240,15 +240,13 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = ord_e.select(F.col("s").alias("x"), F.col("t").alias("y1"))
     e2 = ord_e.select(F.col("s").alias("x"), F.col("t").alias("y2"))
     wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
-    # A wedge (x; y1, y2) closes iff (y1, y2) is an edge in EITHER
-    # orientation (the closing edge's own direction is independent).
-    closing = ord_e.select(F.col("s").alias("p"), F.col("t").alias("q")).unionAll(
-        ord_e.select(F.col("t").alias("p"), F.col("s").alias("q"))
-    )
+    # A wedge (x; y1, y2) with y1 < y2 closes iff {y1, y2} is an edge
+    # — and e already stores every edge in exactly that canonical
+    # (u < v) form, so the persisted e probes directly: no re-derived
+    # bidirectional closing frame, one less shuffle leg.
     tri = (
         wedges.join(
-            closing,
-            (F.col("y1") == F.col("p")) & (F.col("y2") == F.col("q")),
+            e, (F.col("y1") == F.col("u")) & (F.col("y2") == F.col("v"))
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
