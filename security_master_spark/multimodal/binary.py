@@ -73,6 +73,14 @@ def decode_image(blob: bytes):  # pragma: no cover - stub by design
 
 def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
+        # Unreadable media rows (null payload or metadata) are excluded
+        # from feature extraction — standard ETL quarantine semantics;
+        # crashing the whole job on one bad row is the alternative
+        # (tests/test_robustness.py null-payload sweep).
+        ok = pdf["payload"].notna() & pdf["media_meta"].notna()
+        pdf = pdf[ok]
+        if len(pdf) == 0:
+            continue
         blobs = pdf["payload"]
         yield pd.DataFrame(
             {
@@ -105,6 +113,8 @@ def _frame_batches(stride: int):
                 "n_frames": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                if blob is None:  # unreadable media row: quarantine
+                    continue
                 b = bytes(blob)
                 n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
                 for i in range(0, n_frames, stride):

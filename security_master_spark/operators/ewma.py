@@ -196,6 +196,7 @@ def ewma_exact_distributed(
             g = g.copy()
             g[out_col] = (decay * n_in + n_loc) / (decay * d_in + d_loc)
             outs.append(g)
-        yield pd.concat(outs)
+        if outs:  # all-null-key partitions yield no groups
+            yield pd.concat(outs)
 
     return rep.mapInPandas(rescan, out_schema)

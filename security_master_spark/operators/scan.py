@@ -116,6 +116,7 @@ def forward_fill_distributed(
                 filled = filled.fillna(carry)
             g[value_col] = filled
             outs.append(g)
-        yield pd.concat(outs)
+        if outs:  # all-null-key partitions yield no groups
+            yield pd.concat(outs)
 
     return rep.mapInPandas(rescan, df.schema)

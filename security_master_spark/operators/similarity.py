@@ -207,11 +207,25 @@ def _multi_table_cells_pandas(spark, n_planes: int, n_tables: int, dim: int):
     def cells(vs):
         import pandas as pd
 
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        proj = V @ S.T  # (n, tables·planes)
-        bits = (proj > 0).reshape(len(V), n_tables, n_planes)
-        cell = (bits * weights).sum(axis=2) + table_tag
-        return pd.Series(list(cell))
+        # Null/malformed embeddings hash to NO cell (empty list → the
+        # downstream explode emits nothing, so they can't collide with
+        # anything) instead of crashing np.stack — null payload rows
+        # are routine in fresh/partial datasets (tests/test_robustness).
+        dim = S.shape[1]
+        arrs = [np.asarray(v, dtype=np.float64) if v is not None else None
+                for v in vs]
+        mask = [a is not None and a.shape == (dim,) for a in arrs]
+        out = [[] for _ in arrs]
+        if any(mask):
+            V = np.stack([a for a, m in zip(arrs, mask) if m])
+            proj = V @ S.T  # (n_valid, tables·planes)
+            bits = (proj > 0).reshape(len(V), n_tables, n_planes)
+            cell = (bits * weights).sum(axis=2) + table_tag
+            it = iter(cell)
+            for i, m in enumerate(mask):
+                if m:
+                    out[i] = [int(c) for c in next(it)]
+        return pd.Series(out)
 
     return pandas_udf(cells, "array<long>")
 
@@ -267,6 +281,9 @@ def ivf_build_centroids(
         n[n == 0] = 1.0
         return M / n
 
+    # Null embeddings carry no geometry — exclude them from training
+    # (they also hash to no cell at assignment time).
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     init = (
         embeddings.select(F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -327,13 +344,25 @@ def _ivf_assign_pandas(centroids, nprobe: int):
         if C.size == 0:
             # untrained quantizer (empty corpus): no cells to probe
             return pd.Series([[] for _ in range(len(vs))])
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        sims = V @ C.T  # (n, cells)
-        if nprobe == 1:
-            cells = sims.argmax(axis=1)[:, None]
-        else:
-            cells = np.argsort(-sims, axis=1)[:, :nprobe]
-        return pd.Series([[int(c) for c in row] for row in cells])
+        # Null/malformed vectors probe NO cell (empty list) — same
+        # null-payload hardening as the sign-LSH cells UDF.
+        dim = C.shape[1]
+        arrs = [np.asarray(v, dtype=np.float64) if v is not None else None
+                for v in vs]
+        mask = [a is not None and a.shape == (dim,) for a in arrs]
+        out = [[] for _ in arrs]
+        if any(mask):
+            V = np.stack([a for a, m in zip(arrs, mask) if m])
+            sims = V @ C.T  # (n_valid, cells)
+            if nprobe == 1:
+                cells = sims.argmax(axis=1)[:, None]
+            else:
+                cells = np.argsort(-sims, axis=1)[:, :nprobe]
+            it = iter(cells)
+            for i, m in enumerate(mask):
+                if m:
+                    out[i] = [int(c) for c in next(it)]
+        return pd.Series(out)
 
     return pandas_udf(probe, "array<int>")
 
@@ -368,8 +397,12 @@ def ivf_topk(
     corpus = embeddings.select(
         F.col(id_col),
         normalize(F.col(vec_col)).alias(vec_col),
-        F.element_at(
-            _ivf_assign_pandas(centroids, nprobe=1)(F.col(vec_col)), 1
+        F.try_element_at(
+            # try_: a null/malformed embedding probes zero cells (empty
+            # array), which must become a null cell (joins nothing),
+            # not an ANSI index error.
+            _ivf_assign_pandas(centroids, nprobe=1)(F.col(vec_col)),
+            F.lit(1),
         ).alias("__cell"),
     )
     qs = queries.select(
