@@ -293,3 +293,59 @@ def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dq7_message_rate_spike",
+    oracle=f"""
+    WITH rate AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, bucket, n,
+               AVG(n) OVER (PARTITION BY event_type) AS mu,
+               STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sigma
+        FROM rate
+    )
+    SELECT event_type, bucket,
+           CAST(n AS BIGINT) AS n_messages,
+           {sql_dround("(n - mu) / NULLIF(sigma, 0)", 6)} AS zscore,
+           (n > mu + 3 * sigma) AS is_spike
+    FROM stats
+    """,
+)
+def dq7_message_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health message-rate monitor: hourly message counts per
+    event type with a per-type z-score and a 3-sigma spike flag — the
+    screen that catches replay storms, duplicate feeds, and upstream
+    retries before they poison downstream aggregates. One hash
+    aggregate collapses the stream to O(types×hours) rows; mean and
+    sigma are WINDOWS over that collapsed frame (the dq5 discipline —
+    no re-scan, no scalar join). In streaming this same shape runs as
+    t1's tumbling count with the stats maintained by foreachBatch."""
+    events = load_table(spark, sf_dir, "events")
+    rate = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").cast("double").alias("n"))
+    w = Window.partitionBy("event_type")
+    stats = rate.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+    )
+    return stats.select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("bigint").alias("n_messages"),
+        dround(
+            F.try_divide(
+                F.col("n") - F.col("mu"), F.nullif(F.col("sigma"), F.lit(0.0))
+            ),
+            6,
+        ).alias("zscore"),
+        (F.col("n") > F.col("mu") + 3 * F.col("sigma")).alias("is_spike"),
+    )

@@ -218,3 +218,70 @@ def d43_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("amihud_x1m"),
         dround(F.avg("notional"), 4).alias("avg_notional"),
     )
+
+
+@register(
+    "d44_pair_spread_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               ARG_MAX(value, ts) AS close
+        FROM events
+        WHERE event_type IN ('view', 'click')
+        GROUP BY 1, 2
+    ), spread AS (
+        SELECT a.d,
+               a.close / NULLIF(b.close, 0) AS ratio
+        FROM daily a JOIN daily b ON b.d = a.d
+        WHERE a.event_type = 'view' AND b.event_type = 'click'
+    )
+    SELECT d,
+           {sql_dround("ratio", 8)} AS ratio,
+           {sql_dround(
+               "(ratio - AVG(ratio) OVER w)"
+               " / NULLIF(STDDEV_SAMP(ratio) OVER w, 0)",
+               6,
+           )} AS zscore
+    FROM spread
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def d44_pair_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading spread monitor: the daily close RATIO between two
+    series (view/click stand in for the cointegrated pair) and its
+    20-day rolling z-score — |z| > 2 is the classic mean-reversion
+    entry signal. One daily-bar hash aggregate feeds a self-join on
+    the day key (both sides are the same O(days) collapsed frame) and
+    a single ordered window; nothing after the first aggregate
+    touches tick data. NULLIF guards flat/zero closes identically on
+    both engines."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.max_by("value", "ts").alias("close"))
+    )
+    a = daily.filter(F.col("event_type") == "view").select(
+        "d", F.col("close").alias("ca")
+    )
+    b = daily.filter(F.col("event_type") == "click").select(
+        "d", F.col("close").alias("cb")
+    )
+    spread = a.join(b, "d").select(
+        "d",
+        F.try_divide(F.col("ca"), F.nullif(F.col("cb"), F.lit(0.0))).alias(
+            "ratio"
+        ),
+    )
+    w = Window.orderBy("d").rowsBetween(-19, 0)
+    return spread.select(
+        "d",
+        dround(F.col("ratio"), 8).alias("ratio"),
+        dround(
+            F.try_divide(
+                F.col("ratio") - F.avg("ratio").over(w),
+                F.nullif(F.stddev_samp("ratio").over(w), F.lit(0.0)),
+            ),
+            6,
+        ).alias("zscore"),
+    )

@@ -202,3 +202,66 @@ def l51_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("k") * 1000, 8).alias("sample_key"),
         )
     )
+
+
+_BP_CHUNK = 32  # disjoint boilerplate-detection chunks (tokens)
+
+
+@register(
+    "l52_boilerplate_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sized AS (
+        SELECT doc_id, t,
+               CAST(CEIL(len(t) / CAST({_BP_CHUNK} AS DOUBLE)) AS INT)
+                   AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[c.c * {_BP_CHUNK} + 1 : c.c * {_BP_CHUNK} + {_BP_CHUNK}],
+                   ' ')) AS chunk_hash
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS c) c
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS sample_doc
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def l52_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at CHUNK granularity: disjoint 32-token
+    chunks hashed and grouped across the corpus; a chunk appearing in
+    ≥ 2 documents is boilerplate (headers, footers, license blocks,
+    navigation) — the stuff document-level dedup (l1/l7) can't see
+    because the surrounding documents differ. Downstream, these hashes
+    drive chunk-level scrubbing before training.
+
+    Scale shape: the l31 closed-form chunk explode (zero UDFs) feeds a
+    single groupBy on 16-byte chunk hashes — the l1 exact-dedup
+    discipline one level down. Hash cardinality ≈ corpus tokens / 32,
+    shuffled once with map-side partial aggregation; the HAVING filter
+    drops the unique-chunk long tail before any downstream join."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(t) / F.lit(float(_BP_CHUNK))).cast("int")
+    chunk = F.slice(F.col("t"), F.col("c") * _BP_CHUNK + 1, _BP_CHUNK)
+    chunks = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"),
+    ).select("doc_id", F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
