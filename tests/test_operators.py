@@ -815,3 +815,50 @@ def test_pca_spectral_contract(spark, sf_dir_mid):
     ).collect()[0]
     assert abs(row["v1"] - vals[0]) < 1e-9 * max(1.0, vals[0])
     assert abs(row["v2"] - vals[1]) < 1e-9 * max(1.0, vals[1])
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir_mid):
+    """a8's HLL estimates must sit within ~5x the declared 2% relative
+    standard deviation of the in-row exact anchor for every group —
+    the tolerance contract behind the weak (oracle-less) driver check."""
+    from security_master_spark.plans import aggregates  # registration
+
+    from security_master_spark.plans.registry import queries
+
+    rows = queries()["a8_approx_count_distinct"](spark, sf_dir_mid).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.approx_users - r.exact_users) / max(1, r.exact_users)
+        assert rel <= 0.10, (
+            f"{r.event_type}: approx {r.approx_users} vs exact "
+            f"{r.exact_users} (rel err {rel:.3f})"
+        )
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir_mid):
+    """a13's t-digest medians/p95s must land within 2% relative error
+    of the exact interpolated percentiles on the same column — the
+    tolerance contract behind the weak driver check (a10 proves the
+    exact pairing cross-engine; this pins sketch-vs-exact)."""
+    from security_master_spark.plans.registry import queries
+
+    approx = {
+        r.c_mktsegment: r
+        for r in queries()["a13_approx_percentile"](spark, sf_dir_mid).collect()
+    }
+    cust = load_table(spark, sf_dir_mid, "customer")
+    exact = {
+        r.c_mktsegment: r
+        for r in cust.groupBy("c_mktsegment")
+        .agg(
+            F.percentile("c_acctbal", 0.5).alias("m"),
+            F.percentile("c_acctbal", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and approx
+    for seg, a in approx.items():
+        e = exact[seg]
+        span = max(1.0, abs(e.p95))
+        assert abs(a.approx_median - e.m) / span <= 0.02
+        assert abs(a.approx_p95 - e.p95) / span <= 0.02
