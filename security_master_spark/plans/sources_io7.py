@@ -107,3 +107,88 @@ def io14_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("_metadata.file_name").cast("bigint").alias("n_files"),
         F.max("_metadata.row_index").cast("bigint").alias("max_row_index"),
     )
+
+
+@register(
+    "io15_incremental_aggregate",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dround("SUM(o_totalprice)", 4)} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def io15_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    the orders stream arrives in TWO batches (orderkey parity split);
+    each batch's partial monthly rollup MERGEs additively into a
+    snapshot-versioned state table (read current state → outer-join
+    the delta → add → write snapshot N+1 via operators/merge). The
+    oracle is the FULL recompute over all rows, so the hash certifies
+    the core incremental-ETL contract end-to-end: merge(agg(b1),
+    agg(b2)) == agg(b1 ∪ b2), including months present in only one
+    batch. Each refresh costs one scan of the DELTA plus a state-table
+    merge — at 100 TB/day this is the difference between a nightly
+    full recompute and a per-batch refresh; sum/count aggregates
+    compose additively (avg derives), which is exactly the
+    partial-aggregation algebra Spark uses map-side."""
+    from security_master_spark.operators.merge import (
+        read_snapshot,
+        upsert_parquet_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base_dir = _scratch(sf_dir, "incr_agg_state")
+    import shutil
+
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    for half in (0, 1):
+        delta = (
+            orders.filter(F.pmod(F.col("o_orderkey"), 2) == half)
+            .groupBy(month)
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_totalprice").alias("revenue"),
+            )
+        )
+        if half == 0:
+            merged = delta
+        else:
+            state = read_snapshot(spark, base_dir)
+            merged = (
+                state.select(
+                    "month",
+                    F.col("n_orders").alias("n0"),
+                    F.col("revenue").alias("r0"),
+                )
+                .join(
+                    delta.select(
+                        "month",
+                        F.col("n_orders").alias("n1"),
+                        F.col("revenue").alias("r1"),
+                    ),
+                    "month",
+                    "full_outer",
+                )
+                .select(
+                    "month",
+                    (
+                        F.coalesce(F.col("n0"), F.lit(0))
+                        + F.coalesce(F.col("n1"), F.lit(0))
+                    ).alias("n_orders"),
+                    (
+                        F.coalesce(F.col("r0"), F.lit(0.0))
+                        + F.coalesce(F.col("r1"), F.lit(0.0))
+                    ).alias("revenue"),
+                )
+            )
+        upsert_parquet_snapshot(spark, base_dir, merged, keys=["month"])
+    final = read_snapshot(spark, base_dir)
+    return final.select(
+        "month",
+        "n_orders",
+        dround(F.col("revenue"), 4).alias("revenue"),
+    )
