@@ -285,3 +285,63 @@ def d44_pair_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zscore"),
     )
+
+
+@register(
+    "d45_time_to_convert",
+    oracle=f"""
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS v FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+        SELECT e.user_id, MIN(e.ts) AS p
+        FROM events e JOIN fv ON fv.user_id = e.user_id AND e.ts > fv.v
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT fv.user_id,
+               CAST(EPOCH(fp.p) - EPOCH(fv.v) AS DOUBLE) AS secs
+        FROM fv JOIN fp ON fp.user_id = fv.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           {sql_dround("QUANTILE_CONT(secs, 0.5)", 4)} AS median_secs,
+           {sql_dround("QUANTILE_CONT(secs, 0.9)", 4)} AS p90_secs,
+           {sql_dround("AVG(secs)", 4)} AS mean_secs
+    FROM lat
+    """,
+)
+def d45_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, seconds from FIRST
+    view to the first strictly-later purchase (the d41 funnel's
+    chaining discipline), summarized as exact median/p90/mean — the
+    latency SLA panel next to d41's conversion-rate panel. Two
+    per-user MIN aggregates and the latency join all shuffle on the
+    same user_id key (exchange-aligned); the percentile runs over the
+    O(converted users) collapsed frame using the a10-proven
+    percentile == QUANTILE_CONT pairing, with epoch-seconds arithmetic
+    (UNIX_TIMESTAMP ↔ EPOCH) agreed on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    # CAST(ts AS DOUBLE) keeps fractional seconds (micros) — the
+    # whole-second unix_timestamp() truncation visibly shifts the
+    # percentiles (caught by the sf0.01 hash gate).
+    lat = fv.join(fp, "user_id").select(
+        (F.col("p").cast("double") - F.col("v").cast("double")).alias("secs")
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        dround(F.percentile("secs", 0.5), 4).alias("median_secs"),
+        dround(F.percentile("secs", 0.9), 4).alias("p90_secs"),
+        dround(F.avg("secs"), 4).alias("mean_secs"),
+    )

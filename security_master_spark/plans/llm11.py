@@ -265,3 +265,166 @@ def l52_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _chunk_fingerprints_sql() -> str:
+    """Shared oracle CTE text: disjoint 32-token chunk hashes per doc
+    (the l52 chunking), with the doc's source carried along."""
+    return f"""
+    toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), sized AS (
+        SELECT doc_id, source, t,
+               CAST(CEIL(len(t) / CAST({_BP_CHUNK} AS DOUBLE)) AS INT)
+                   AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   t[c.c * {_BP_CHUNK} + 1 : c.c * {_BP_CHUNK} + {_BP_CHUNK}],
+                   ' ')) AS chunk_hash
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS c) c
+    )"""
+
+
+def _chunk_fingerprints(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_chunk_fingerprints_sql`: (doc_id, source,
+    chunk_hash) via the l52 closed-form chunk explode."""
+    t = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(t) / F.lit(float(_BP_CHUNK))).cast("int")
+    chunk = F.slice(F.col("t"), F.col("c") * _BP_CHUNK + 1, _BP_CHUNK)
+    return docs.select(
+        "doc_id",
+        "source",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"),
+    ).select(
+        "doc_id", "source", F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash")
+    )
+
+
+@register(
+    "l53_dedup_survivorship",
+    oracle=f"""
+    WITH {_chunk_fingerprints_sql()}, grp AS (
+        SELECT chunk_hash, MIN(doc_id) AS canonical,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM chunks GROUP BY chunk_hash
+        HAVING COUNT(*) > 1
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_occurrences,
+           CAST(SUM(CASE WHEN c.doc_id = g.canonical THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical_kept,
+           CAST(SUM(CASE WHEN c.doc_id <> g.canonical THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scrubbed
+    FROM chunks c JOIN grp g ON g.chunk_hash = c.chunk_hash
+    GROUP BY c.source
+    """,
+)
+def l53_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship attribution at chunk granularity: for every
+    duplicated chunk (l52's boilerplate unit) a deterministic
+    keep-lowest-doc-id policy picks ONE canonical occurrence; this
+    reports, per SOURCE, how many duplicate occurrences it carries,
+    how many it keeps as canonical, and how many get scrubbed — the
+    curation accounting that shows which feeds contribute original
+    content and which mostly re-carry others' boilerplate. (Doc-level
+    survivorship is the same query over l1's whole-text fingerprint;
+    the fixtures' doc texts are unique, so the chunk level is where
+    the policy actually bites.) Shapes: one chunk explode, one
+    groupBy + join on 16-byte hashes, one O(sources) rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = _chunk_fingerprints(docs)
+    grp = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.min("doc_id").alias("canonical"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        chunks.join(grp, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_occurrences"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_canonical_kept"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_scrubbed"),
+        )
+    )
+
+
+@register(
+    "l54_split_leakage",
+    oracle=f"""
+    WITH {_chunk_fingerprints_sql()}, tagged AS (
+        SELECT chunk_hash, doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS UBIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS UBIGINT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM chunks
+    ), grp AS (
+        SELECT chunk_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+               MIN(doc_id) AS sample_doc
+        FROM tagged GROUP BY chunk_hash
+    )
+    SELECT n_splits,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_copies) AS BIGINT) AS n_occurrences,
+           MIN(sample_doc) AS sample_doc
+    FROM grp
+    WHERE n_copies > 1
+    GROUP BY n_splits
+    """,
+)
+def l54_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detector: duplicated CONTENT (shared chunk
+    fingerprints — the l52 unit) whose carriers landed in DIFFERENT
+    l18 splits. This is the failure mode that silently inflates eval
+    numbers: the split hashes the doc ID, duplication is about
+    content, so every duplicated chunk straddles splits with
+    probability 1 − Σ p_split². Output: duplicate-chunk groups
+    bucketed by how many distinct splits they touch (n_splits ≥ 2 =
+    leaked; the remedy is l30's decontamination run on content
+    fingerprints BEFORE splitting). Composition of three certified
+    primitives — l52 chunking, l2-style hashing, l18's split — one
+    16-byte-key shuffle end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    tagged = _chunk_fingerprints(docs).select(
+        "chunk_hash",
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    grp = tagged.groupBy("chunk_hash").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.countDistinct("split").cast("bigint").alias("n_splits"),
+        F.min("doc_id").alias("sample_doc"),
+    )
+    return (
+        grp.filter(F.col("n_copies") > 1)
+        .groupBy("n_splits")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("n_copies").cast("bigint").alias("n_occurrences"),
+            F.min("sample_doc").alias("sample_doc"),
+        )
+    )
