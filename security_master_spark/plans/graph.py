@@ -270,3 +270,103 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+_TRI_SAMPLE_PCT = 20  # DOULION edge-sampling probability (percent)
+
+
+@register(
+    "g3_triangle_estimate",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT
+               LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+        SELECT u, v FROM e0
+        WHERE CAST(('0x' || substr(md5(CAST(u AS VARCHAR) || '_'
+                                       || CAST(v AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 100 < {_TRI_SAMPLE_PCT}
+    ), tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_sampled_edges,
+           tri.n_sampled_triangles,
+           {sql_dround(
+               f"tri.n_sampled_triangles"
+               f" * POW(100.0 / {_TRI_SAMPLE_PCT}, 3)", 4
+           )} AS triangle_estimate
+    FROM tri
+    """,
+)
+def g3_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle ESTIMATOR — the 100-TB sibling of
+    g2's exact count: keep each edge with probability p (here
+    {_TRI_SAMPLE_PCT}%, decided by a DETERMINISTIC md5 of the edge
+    key, so the sample — and therefore this whole query — is
+    reproducible across engines, runs, and partitionings), count
+    triangles on the sampled graph, scale by 1/p³. The wedge join —
+    the expensive stage — shrinks by ~p² and the estimator's relative
+    standard error is ≈ sqrt(p⁻³/T): under 1% on this graph's ~1.9M
+    triangles (tests/test_operators.py pins estimate-vs-exact within
+    tolerance against g2's hash-certified count). Determinism makes
+    the sketch FULLY SQL-oracle-checkable — same discipline as l51's
+    hash-keyed weighted sampling, vs the rows-only checks
+    engine-specific sketches (a8's HLL) are stuck with."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("u").cast("string"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < _TRI_SAMPLE_PCT
+    )
+    e = e0.filter(keep).persist()
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y1"))
+    e2 = e.select(F.col("u").alias("x"), F.col("v").alias("y2"))
+    wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
+    tri = wedges.join(
+        e, (F.col("y1") == F.col("u")) & (F.col("y2") == F.col("v"))
+    ).agg(F.count("*").cast("bigint").alias("n_sampled_triangles"))
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_sampled_edges"))
+    scale = (100.0 / _TRI_SAMPLE_PCT) ** 3
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_sampled_edges",
+            "n_sampled_triangles",
+            dround(
+                F.col("n_sampled_triangles").cast("double") * F.lit(scale), 4
+            ).alias("triangle_estimate"),
+        )
+    )

@@ -43,6 +43,9 @@ _NESTED_LOOP_OK = {
     "g2_triangle_count": "1-row triangle-count x 1-row wedge-total x "
     "1-row edge-count final assembly (no join key exists; all sides "
     "single rows)",
+    "g3_triangle_estimate": "1-row sampled-triangle-count x 1-row "
+    "sampled-edge-count final assembly (no join key exists; both "
+    "sides single rows)",
     "dq6_psi_drift": "1-row global (min, max) extent broadcast onto "
     "the scan for binning (the a15-histogram shape; build side is a "
     "single row)",
