@@ -218,3 +218,50 @@ def test_bucket_pruning_reaches_scan(spark, sf_dir):
         )
     finally:
         spark.conf.set(conf, saved)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE runtime skew handling (SURVEY.md §4): a join whose shuffle
+    lands one hot key in an oversized partition must be re-planned at
+    RUNTIME into a split join — SortMergeJoin(skew=true) reading via
+    AQEShuffleRead skewed — so one straggler task stops gating the
+    stage. Thresholds are production-scale, far above the fixtures,
+    so the test pins the surface with lowered thresholds in a
+    save/restore block; salting (operators/skew.py) remains the
+    *planned* fallback for skew AQE can't see (e.g. post-aggregation
+    explosion). The adaptive plan only finalizes on execution, so the
+    assertion runs after a collect."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.rand(1).alias("x")
+        ).unionAll(
+            spark.range(10_000).select(
+                (F.col("id") % 100 + 1).alias("k"), F.rand(2).alias("x")
+            )
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.rand(3).alias("y")
+        )
+        j = left.join(right, "k")
+        # collect() THIS frame: a count() would execute a different
+        # (count-optimized) query and leave j's adaptive plan unfinal.
+        assert len(j.collect()) == 210_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -835,3 +835,47 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_trigger_available_now_drains_and_stops(spark, sf_dir):
+    """Trigger.AvailableNow: the modern batch-drain trigger — process
+    everything available in rate-limited microbatches, then STOP on
+    its own (the production pattern for scheduled incremental jobs;
+    processAllAvailable is a test-only crutch and Trigger.Once is
+    deprecated for losing rate limits). The query must terminate
+    without an explicit stop and its result must equal the batch
+    aggregate."""
+    from security_master_spark.datasets import load_table, normalize_events_ts
+
+    stage = "/tmp/sms_stream/avnow_events"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{stage}/events.parquet").schema
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(stage)
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_avnow")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=_DEADLINE_S), (
+        "availableNow query did not self-terminate"
+    )
+    got = {
+        (r.event_type, r.n) for r in spark.sql("SELECT * FROM t_avnow").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(want) > 0 and got == want
