@@ -54,6 +54,11 @@ _NESTED_LOOP_OK = {
 _QUERIES = registry.queries()
 
 
+#: the ONE query allowed to use a row-at-a-time Python UDF — the u1
+#: demo whose docstring exists to show why you don't do this.
+_ROW_PYTHON_OK = {"u1_python_scalar_udf"}
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_no_unintended_nested_loop_or_cartesian(spark, sf_dir, name):
     df = _QUERIES[name](spark, sf_dir)
@@ -63,6 +68,15 @@ def test_no_unintended_nested_loop_or_cartesian(spark, sf_dir, name):
         assert name in _NESTED_LOOP_OK, (
             f"{name}: nested-loop/cartesian join appeared in the physical plan "
             "— add an equi-key or broadcast, or allowlist with a reason"
+        )
+    # Same sweep, second gate: pickled row-at-a-time Python
+    # (BatchEvalPython) is the 10-100x slow path — every legitimate
+    # Python crossing in this repo is Arrow-batched (ArrowEvalPython /
+    # MapInPandas / MapInArrow / FlatMapGroupsInPandas).
+    if "BatchEvalPython" in plan:
+        assert name in _ROW_PYTHON_OK, (
+            f"{name}: row-at-a-time Python UDF (BatchEvalPython) in the "
+            "physical plan — use a pandas/Arrow UDF or JVM expressions"
         )
 
 
@@ -265,3 +279,19 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """Column pruning: a query touching 3 of documents' 5 columns must
+    scan exactly those 3 — the ReadSchema on the parquet scan is the
+    difference between reading 3 columns and reading the whole 100 TB
+    table. (l50 computes per-language fertility from text/lang/
+    n_chars; doc_id and source must NOT appear in the scan schema.)"""
+    df = _QUERIES["l50_tokenizer_fertility"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    schema = scan.split("ReadSchema:")[1]
+    for col in ("text", "lang", "n_chars"):
+        assert col in schema, f"{col} missing from scan schema: {schema!r}"
+    for col in ("doc_id", "source"):
+        assert col not in schema, f"{col} not pruned from scan: {schema!r}"
