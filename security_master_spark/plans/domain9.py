@@ -345,3 +345,84 @@ def d45_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile("secs", 0.9), 4).alias("p90_secs"),
         dround(F.avg("secs"), 4).alias("mean_secs"),
     )
+
+
+@register(
+    "d46_isin_validation",
+    oracle="""
+    WITH ids AS (
+        SELECT s_suppkey,
+               LPAD(CAST(s_suppkey AS VARCHAR), 7, '0') AS body,
+               s_suppkey % 7 = 0 AS corrupt,
+               CAST(FLOOR(s_suppkey / 1000000) % 10 AS BIGINT) AS d1,
+               CAST(FLOOR(s_suppkey / 100000) % 10 AS BIGINT) AS d2,
+               CAST(FLOOR(s_suppkey / 10000) % 10 AS BIGINT) AS d3,
+               CAST(FLOOR(s_suppkey / 1000) % 10 AS BIGINT) AS d4,
+               CAST(FLOOR(s_suppkey / 100) % 10 AS BIGINT) AS d5,
+               CAST(FLOOR(s_suppkey / 10) % 10 AS BIGINT) AS d6,
+               s_suppkey % 10 AS d7
+        FROM supplier
+    ), checked AS (
+        -- Closed-form ISO 6166 Luhn for the FIXED template
+        -- 'US' 'SM' ddddddd: expansion '30282822' + d1..d7 (15 digits),
+        -- doubled positions contribute ds(d) = 2d if d<5 else 2d-9;
+        -- the fixed prefix contributes the constant 36.
+        SELECT s_suppkey, body, corrupt, d7,
+               (10 - (36
+                      + CASE WHEN d1 < 5 THEN 2*d1 ELSE 2*d1 - 9 END
+                      + d2
+                      + CASE WHEN d3 < 5 THEN 2*d3 ELSE 2*d3 - 9 END
+                      + d4
+                      + CASE WHEN d5 < 5 THEN 2*d5 ELSE 2*d5 - 9 END
+                      + d6
+                      + CASE WHEN d7 < 5 THEN 2*d7 ELSE 2*d7 - 9 END
+                     ) % 10) % 10 AS check_digit
+        FROM ids
+    )
+    SELECT s_suppkey,
+           'USSM'
+               || CASE WHEN corrupt
+                       THEN SUBSTR(body, 1, 6)
+                            || CAST((d7 + 1) % 10 AS VARCHAR)
+                       ELSE body END
+               || CAST(check_digit AS VARCHAR) AS isin,
+           NOT corrupt AS is_valid
+    FROM checked
+    """,
+)
+def d46_isin_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISIN check-digit validation (ISO 6166) — the identity layer of
+    a securities master; every inbound instrument feed runs this
+    screen. Synthetic ISINs are minted from supplier keys on the fixed
+    template US + SM + 7 digits, a deterministic 1-in-7 subset gets a
+    digit corrupted AFTER the check digit is computed, and the GENERIC
+    expression-level Luhn validator (functions/identifiers.py —
+    base-36 expansion + transform/aggregate fold, validated against
+    real-world ISINs in tests) must flag exactly the corrupted ones.
+    The oracle derives validity from an INDEPENDENT closed-form Luhn
+    specialized to the template, so the generic fold is cross-checked
+    digit-by-digit, not self-certified. All JVM expressions in the
+    scan projection — zero shuffles, zero Python."""
+    from security_master_spark.functions.identifiers import (
+        isin_check_digit,
+        isin_is_valid,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    s = F.col("s_suppkey")
+    body = F.lpad(s.cast("string"), 7, "0")
+    corrupt = s % 7 == 0
+    d7 = (s % 10).cast("int")
+    check = isin_check_digit(F.concat(F.lit("USSM"), body))
+    body_out = F.when(
+        corrupt,
+        F.concat(F.substring(body, 1, 6), ((d7 + 1) % 10).cast("string")),
+    ).otherwise(body)
+    isin = F.concat(
+        F.lit("USSM"), body_out, check.cast("string")
+    )
+    return supp.select(
+        "s_suppkey",
+        isin.alias("isin"),
+        isin_is_valid(isin).alias("is_valid"),
+    )

@@ -879,3 +879,23 @@ def test_triangle_estimate_close_to_exact(spark, sf_dir_mid):
     ]
     assert exact > 0
     assert abs(est - exact) / exact <= 0.15, (est, exact)
+
+
+def test_isin_luhn_on_real_world_identifiers(spark):
+    """The generic expression-level ISIN validator must agree with
+    published real-world check digits (ISO 6166 Luhn over the base-36
+    expansion) and reject a single-digit corruption."""
+    from security_master_spark.functions.identifiers import isin_is_valid
+
+    cases = [
+        ("US5949181045", True),   # Microsoft
+        ("US0378331005", True),   # Apple
+        ("GB0002634946", True),   # BAE Systems
+        ("DE0007164600", True),   # SAP
+        ("US5949181044", False),  # corrupted check digit
+        ("US5949181055", False),  # corrupted body digit
+    ]
+    df = spark.createDataFrame(cases, "isin string, want boolean")
+    rows = df.select("isin", "want", isin_is_valid(F.col("isin")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, r.isin
