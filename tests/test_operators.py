@@ -899,3 +899,26 @@ def test_isin_luhn_on_real_world_identifiers(spark):
     rows = df.select("isin", "want", isin_is_valid(F.col("isin")).alias("got")).collect()
     for r in rows:
         assert r.got == r.want, r.isin
+
+
+def test_catalog_surface(spark, sf_dir):
+    """Catalog API surface: temp-view registration, SHOW/DESCRIBE
+    metadata queries, cache/uncache lifecycle — the administrative
+    layer users script against."""
+    from security_master_spark.datasets import load_tables
+
+    load_tables(spark, sf_dir)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert {"orders", "lineitem", "documents"} <= names
+    cols = {c.name for c in spark.catalog.listColumns("orders")}
+    assert "o_orderkey" in cols and "o_totalprice" in cols
+    shown = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert "orders" in shown
+    desc = {r.col_name for r in spark.sql("DESCRIBE TABLE orders").collect()}
+    assert "o_orderdate" in desc
+    spark.sql("CACHE TABLE orders")
+    try:
+        assert spark.catalog.isCached("orders")
+    finally:
+        spark.sql("UNCACHE TABLE orders")
+    assert not spark.catalog.isCached("orders")
