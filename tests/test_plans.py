@@ -69,11 +69,17 @@ def test_no_unintended_nested_loop_or_cartesian(spark, sf_dir, name):
             f"{name}: nested-loop/cartesian join appeared in the physical plan "
             "— add an equi-key or broadcast, or allowlist with a reason"
         )
-    # Same sweep, second gate: pickled row-at-a-time Python
+    # Same sweep, second gate: pickled row-at-a-time SCALAR Python
     # (BatchEvalPython) is the 10-100x slow path — every legitimate
-    # Python crossing in this repo is Arrow-batched (ArrowEvalPython /
-    # MapInPandas / MapInArrow / FlatMapGroupsInPandas).
-    if "BatchEvalPython" in plan:
+    # scalar Python crossing in this repo is Arrow-batched
+    # (ArrowEvalPython / MapInPandas / MapInArrow /
+    # FlatMapGroupsInPandas). BatchEvalPythonUDTF is a different node:
+    # the UDTF surface's standard transfer (u6/u8), Arrow-able only
+    # via the opt-in pythonUDTF.arrow conf with its own type-coercion
+    # semantics — deliberately not gated here.
+    import re
+
+    if re.search(r"BatchEvalPython(?!UDTF)", plan):
         assert name in _ROW_PYTHON_OK, (
             f"{name}: row-at-a-time Python UDF (BatchEvalPython) in the "
             "physical plan — use a pandas/Arrow UDF or JVM expressions"
