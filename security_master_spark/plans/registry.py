@@ -97,6 +97,7 @@ def _load_all_plan_modules() -> None:
         sources_io7,
         aggregates5,
         llm11,
+        udfs4,
     )
 
 
