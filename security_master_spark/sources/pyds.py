@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Knuth multiplicative-hash constant — the deterministic "price" mix.
@@ -120,3 +121,74 @@ def _attach_stream_reader() -> None:
 
 
 _attach_stream_reader()
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    """Per-partition commit message: the file this task wrote (None
+    for empty partitions)."""
+
+    def __init__(self, file):
+        self.file = file
+
+
+class JsonlSinkDataSource(DataSource):
+    """``writeStream.format("jsonl_sink")`` — a custom Python streaming
+    SINK (Spark 4 ``DataSourceStreamWriter``): each microbatch's
+    partitions append newline-JSON files under ``path``, the writer
+    returns per-partition commit messages, and ``commit``/``abort``
+    give the exactly-once hook (a production sink would publish the
+    manifest atomically on commit; this one records the batch's files
+    in a ``_commits/<batchId>`` manifest so incomplete batches are
+    distinguishable). The write path runs ON EXECUTORS — the fourth
+    quadrant of the Python DataSource surface (batch read io11, stream
+    read test_python_datasource_stream, batch write = ordinary sinks,
+    stream write here)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def streamWriter(self, schema, overwrite):
+        from pyspark.sql.datasource import DataSourceStreamWriter
+
+        path = self.options["path"]
+        _Msg = _JsonlCommitMessage
+
+        class _Writer(DataSourceStreamWriter):
+            def write(self, iterator):
+                import json
+                import os
+                import uuid
+
+                from pyspark import TaskContext
+
+                os.makedirs(path, exist_ok=True)
+                pid = TaskContext.get().partitionId()
+                fname = f"{path}/part-{pid}-{uuid.uuid4().hex}.jsonl"
+                n = 0
+                with open(fname, "w") as fh:
+                    for row in iterator:
+                        fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                        n += 1
+                if n == 0:
+                    os.remove(fname)
+                    return _Msg(None)
+                return _Msg(fname)
+
+            def commit(self, messages, batchId):
+                import json
+                import os
+
+                os.makedirs(f"{path}/_commits", exist_ok=True)
+                files = [m.file for m in messages if m and m.file]
+                with open(f"{path}/_commits/{batchId}", "w") as fh:
+                    json.dump(files, fh)
+
+            def abort(self, messages, batchId):
+                import os
+
+                for m in messages:
+                    if m and m.file and os.path.exists(m.file):
+                        os.remove(m.file)
+
+        return _Writer()
