@@ -301,3 +301,32 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
         assert col in schema, f"{col} missing from scan schema: {schema!r}"
     for col in ("doc_id", "source"):
         assert col not in schema, f"{col} not pruned from scan: {schema!r}"
+
+
+def test_sql_join_hints_respected(spark, sf_dir):
+    """SQL hint surface: /*+ BROADCAST(t) */ must force a broadcast
+    join even with auto-broadcast disabled, and /*+ REBALANCE */ must
+    inject an AQE rebalance exchange — the escape hatches for when the
+    optimizer's statistics are wrong (a chronically-underestimated
+    dimension, a skewed output write)."""
+    from security_master_spark.datasets import load_tables
+
+    load_tables(spark, sf_dir)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.sql("""
+            SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) AS n
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, "BROADCAST hint ignored"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    r = spark.sql(
+        "SELECT /*+ REBALANCE(o_orderstatus) */ o_orderstatus, o_totalprice "
+        "FROM orders"
+    )
+    opt = r._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in opt, "REBALANCE hint ignored"
