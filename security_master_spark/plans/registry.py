@@ -76,6 +76,12 @@ def _load_all_plan_modules() -> None:
         sources_io,
         # Round-5 candidates (added in round 4): registered past the
         # ~50-entry cap on purpose — they rotate to the head next round.
+        # ROUND-5 ROTATION PLAN (do this FIRST next round): move this
+        # whole block to the head so the ~60 round-4 additions earn
+        # their first driver rows; backfill remaining slots with the
+        # oldest-evidence rows (t/d-early families last proven r3).
+        # Update tests/test_plans.py::_NEEDS_ROUND4_EVIDENCE to the
+        # new candidate set when rotating.
         domain7,
         llm7,
         aggregates3,

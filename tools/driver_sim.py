@@ -20,7 +20,9 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+import os as _os
+
+SF_DIR = _os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 FLOAT_DP = 9
 
