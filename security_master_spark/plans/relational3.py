@@ -197,3 +197,75 @@ def q21_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("priority").cast("bigint").alias("n_with_priority"),
         dround(F.sum("amount"), 4).alias("amount_total"),
     )
+
+
+@register(
+    "q22_skyline",
+    oracle="""
+    WITH s AS (
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+               CAST(p_size AS BIGINT) AS size
+        FROM part
+    )
+    SELECT a.p_partkey, a.price, a.size
+    FROM s a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.price <= a.price AND b.size >= a.size
+          AND (b.price < a.price OR b.size > a.size)
+    )
+    """,
+)
+def q22_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over parts: the set of parts no other
+    part beats on BOTH price (lower better) and size (higher better)
+    — the multi-criteria shortlist operator ("cheap AND large") that
+    ordinary ORDER BY cannot express. Public framing: 'Integration of
+    Skyline Queries into Spark SQL' (EDBT 2023) — implemented here as
+    a composition of existing operators rather than a Catalyst
+    extension.
+
+    The oracle is the O(n²) NOT-EXISTS dominance definition; the
+    Spark plan is LINEAR after a sort: order by (price asc,
+    size desc), a point is dominated iff a preceding point in that
+    order strictly beats it — split into (a) the running ROWS max of
+    size over earlier rows, which catches strict-size dominance
+    (including same-price larger-size), and (b) the running max over
+    strictly-cheaper PRICE GROUPS (collapse to per-price maxima,
+    cummax, shift one group), which catches equal-size
+    strictly-cheaper dominance. The global sort is the honest exact
+    cost (2-D skyline); at 100 TB it range-partitions on price with
+    the per-price-group pass unchanged — the classic
+    partition-local-skyline-then-merge shape with a one-pass merge."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    s = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_rows = (
+        Window.orderBy(F.asc("price"), F.desc("size"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m1 = F.max("size").over(w_rows)
+    # Per-price-group maxima → cummax → shifted one group back = the
+    # best size among STRICTLY cheaper prices.
+    grp = s.groupBy("price").agg(F.max("size").alias("gmax"))
+    w_price = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    m2 = grp.select(
+        "price", F.max("gmax").over(w_price).alias("cheaper_max")
+    )
+    sentinel = F.lit(-(2**62)).cast("bigint")  # "no preceding point"
+    return (
+        s.withColumn("m1", m1)
+        .join(F.broadcast(m2), "price")
+        .filter(
+            (F.coalesce(F.col("m1"), sentinel) <= F.col("size"))
+            & (F.coalesce(F.col("cheaper_max"), sentinel) < F.col("size"))
+        )
+        .select("p_partkey", "price", "size")
+    )

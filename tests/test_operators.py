@@ -922,3 +922,55 @@ def test_catalog_surface(spark, sf_dir):
     finally:
         spark.sql("UNCACHE TABLE orders")
     assert not spark.catalog.isCached("orders")
+
+
+def test_skyline_duplicate_and_tie_semantics(spark, sf_dir):
+    """Skyline dominance edge cases on a handcrafted frontier:
+    duplicate points (neither dominates — BOTH stay), an equal-size
+    strictly-cheaper point (dominates), an equal-price larger-size
+    point (dominates), verified against a brute-force reference."""
+    import itertools
+
+    from security_master_spark.plans import relational3  # registration
+    from security_master_spark.plans.registry import queries
+
+    pts = [
+        (1, 10.0, 5),   # cheapest, duplicated
+        (2, 10.0, 5),   # duplicate of 1 — both must stay
+        (3, 10.0, 3),   # same price, smaller size → dominated by 1/2
+        (4, 12.0, 5),   # equal size, strictly pricier → dominated
+        (5, 12.0, 7),   # bigger size at higher price → skyline
+        (6, 15.0, 7),   # equal size, pricier than 5 → dominated
+        (7, 15.0, 9),   # skyline
+    ]
+    df = spark.createDataFrame(
+        pts, "p_partkey long, p_retailprice double, p_size int"
+    ).withColumn("p_name", F.lit("x")).withColumn("p_brand", F.lit("x")) \
+     .withColumn("p_type", F.lit("x"))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="skyline_case")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+
+    got = {
+        r.p_partkey
+        for r in queries()["q22_skyline"](spark, d).collect()
+    }
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    want = {
+        a[0]
+        for a in pts
+        if not any(dominated(a, b) for b in pts if b is not a)
+    }
+    assert want == {1, 2, 5, 7}
+    assert got == want
