@@ -59,3 +59,43 @@ def a22_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cell
     GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "a23_rolling_distinct",
+    oracle="""
+    SELECT event_type, event_id,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_users
+    FROM events
+    """,
+)
+def a23_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT cardinality: unique users over each type's
+    trailing 100 events — the sliding-uniques panel (active-user
+    windows, velocity checks) that plain rolling counts can't answer.
+    Spark has no COUNT(DISTINCT) OVER, so the spelling is
+    size(collect_set() OVER) — same frame, same semantics, certified
+    against DuckDB's native distinct-window. Deterministic (ts,
+    event_id) frame ordering on both engines. Scale note: per-row set
+    state is bounded by the frame length (100), so memory is
+    O(frame), not O(partition); for unbounded or very long frames the
+    scale path is a8's HLL sketches merged per window — this is the
+    exact form."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return events.select(
+        "event_type",
+        "event_id",
+        F.size(F.collect_set("user_id").over(w))
+        .cast("bigint")
+        .alias("rolling_users"),
+    )
