@@ -349,3 +349,41 @@ def dq7_message_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zscore"),
         (F.col("n") > F.col("mu") + 3 * F.col("sigma")).alias("is_spike"),
     )
+
+
+@register(
+    "dq8_duplicate_events",
+    oracle="""
+    WITH dup AS (
+        SELECT user_id, ts, event_type, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM events
+        GROUP BY user_id, ts, event_type
+        HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS n_dup_rows,
+           CAST(COALESCE(MAX(n_copies), 0) AS BIGINT) AS worst_fanout
+    FROM dup
+    """,
+)
+def dq8_duplicate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-duplication screen: (user, timestamp, type) groups
+    delivered more than once — the signature of an upstream replay or
+    a doubled subscription, and the precondition check before any
+    sum-based aggregate can be trusted. One hash aggregate on the
+    natural key, HAVING keeps only offenders, and the summary is
+    O(1); the remediation is l2's fingerprint dedup / streaming's
+    dropDuplicatesWithinWatermark, both already certified. COALESCE
+    keeps the zero-duplicates case (this fixture) well-defined rather
+    than null — an empty screen must read 'clean', not 'unknown'."""
+    events = load_table(spark, sf_dir, "events")
+    dup = (
+        events.groupBy("user_id", "ts", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return dup.agg(
+        F.count("*").cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum("n_copies"), F.lit(0)).cast("bigint").alias("n_dup_rows"),
+        F.coalesce(F.max("n_copies"), F.lit(0)).cast("bigint").alias("worst_fanout"),
+    )

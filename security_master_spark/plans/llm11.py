@@ -428,3 +428,59 @@ def l54_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sample_doc").alias("sample_doc"),
         )
     )
+
+
+@register(
+    "l55_langid_confusion",
+    oracle="""
+    WITH lex(lex_lang, word) AS (VALUES {values}),
+    tok AS (
+        SELECT doc_id, lang AS true_lang, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ),
+    scores AS (
+        SELECT doc_id, true_lang, lex_lang, COUNT(*) AS hits
+        FROM tok JOIN lex ON token = word
+        GROUP BY doc_id, true_lang, lex_lang
+    ),
+    best AS (
+        SELECT doc_id, true_lang, lex_lang AS pred_lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY hits DESC, lex_lang
+               ) AS rn
+        FROM scores
+    ),
+    pred AS (
+        SELECT d.doc_id, d.lang AS true_lang,
+               COALESCE(b.pred_lang, 'unknown') AS pred_lang
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b
+          ON d.doc_id = b.doc_id
+    )
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY true_lang, pred_lang
+    """.format(
+        values=", ".join(
+            f"('{lang}', '{w}')" for lang, w in __import__(
+                "security_master_spark.plans.llm", fromlist=["_stopword_rows"]
+            )._stopword_rows()
+        )
+    ),
+)
+def l55_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the l9 classifier's predictions
+    cross-tabulated against the declared language label — the QA
+    panel that turns a classifier into a MONITORED classifier
+    (per-language recall off the diagonal, systematic confusions off
+    it, 'unknown' volume as lexicon-coverage feedback). One extra
+    O(langs²) rollup on top of l9's certified per-doc output; the
+    scan/broadcast-lexicon/argmax machinery is shared, so this panel
+    is effectively free next to the classification pass it audits."""
+    from security_master_spark.plans.llm import l9_language_id
+
+    pred = l9_language_id(spark, sf_dir)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
