@@ -60,11 +60,18 @@ def main() -> None:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink, not count(): count() lets Catalyst PRUNE any
+            # column the row count doesn't need — projection/window
+            # queries were under-measured 2-12x (measured r4; the
+            # worst: a rolling-window query whose WindowExec vanished
+            # entirely). The noop sink materializes every output
+            # column, which is what a consumer of the query pays.
+            # Methodology changed in round 4 — cross-round comparisons
+            # for projection-shaped queries must use rounds >= 4.
+            df.write.mode("overwrite").format("noop").save()
             elapsed = round(time.perf_counter() - t0, 4)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
-            assert n >= 0
             # Inter-query JVM GC, OUTSIDE the timed region (JMH-style):
             # ~100 codegen-heavy plans in one JVM accumulate generated
             # classes and broadcast remnants, and without this the GC

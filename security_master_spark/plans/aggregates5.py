@@ -86,7 +86,9 @@ def a23_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form."""
     from pyspark.sql import Window
 
-    events = load_tables(spark, sf_dir)["events"]
+    from security_master_spark.datasets import load_table
+
+    events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
