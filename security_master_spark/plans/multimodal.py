@@ -100,3 +100,52 @@ def m3_embedding_batch_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", dround(norm_udf("embedding"), 6).alias("l2_norm")
     )
+
+
+@register(
+    "m4_modality_accounting",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'image/jpeg'
+                    ELSE 'video/mp4' END AS mime,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS n_bytes,
+               CAST(doc_id % 640 + 16 AS INT) * CAST(doc_id % 480 + 16 AS INT)
+                   AS pixels
+        FROM documents
+    )
+    SELECT mime,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           {sql_dround("AVG(n_bytes)", 4)} AS avg_bytes,
+           {sql_dround("QUANTILE_CONT(n_bytes, 0.95)", 4)} AS p95_bytes,
+           {sql_dround("AVG(CAST(pixels AS DOUBLE))", 4)} AS avg_pixels
+    FROM feat
+    GROUP BY mime
+    """,
+)
+def m4_modality_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality accounting: per-MIME asset counts, byte totals/
+    averages/p95 and average pixel area — the storage-and-compute
+    budgeting panel a multimodal corpus pipeline runs before any
+    decode pass is scheduled (p95 bytes sizes the Arrow batch budget;
+    pixel area sizes the resize stage). Pure rollup of m1's
+    byte-certified feature stream: the mapInPandas extraction runs
+    once, the shuffle carries O(mime types) keys, and the exact p95
+    uses the a10-proven percentile pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = extract_features(attach_payload(docs))
+    return feat.groupBy("mime").agg(
+        F.count("*").cast("bigint").alias("n_assets"),
+        F.sum(F.col("n_bytes").cast("double")).cast("bigint").alias(
+            "total_bytes"
+        ),
+        dround(F.avg(F.col("n_bytes").cast("double")), 4).alias("avg_bytes"),
+        dround(
+            F.percentile(F.col("n_bytes").cast("double"), 0.95), 4
+        ).alias("p95_bytes"),
+        dround(
+            F.avg((F.col("width") * F.col("height")).cast("double")), 4
+        ).alias("avg_pixels"),
+    )
