@@ -10,6 +10,8 @@ Corpora:
 - events -> /tmp/stress_events/events.parquet  (6M ticks / 90 days / 5 types)
 - emb    -> /tmp/stress_emb/embeddings.parquet (100k x 64, 10 Gaussian
              clusters — the ANN recall/runtime corpus)
+- graph  -> /tmp/gstress/{lineitem,orders}  (8 disjoint key-space
+             copies of the sf0.1 trade graph — the g1/g2 scaling corpus)
 """
 
 from __future__ import annotations
@@ -87,6 +89,39 @@ def gen_emb(path="/tmp/stress_emb"):
     print(f"emb -> {path} ({n} x {d})")
 
 
+def gen_graph(path="/tmp/gstress", sf_dir="/root/testdata/sf0.1", copies=8):
+    """8 disjoint copies of the sf0.1 trade graph (all key spaces
+    offset per copy, so nodes/edges/triangles scale by `copies`) —
+    the corpus behind the PLANS.md graph scaling study."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    od = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"])
+    li_parts, od_parts = [], []
+    for i in range(copies):
+        off = i * 10_000_000
+        li_parts.append(pa.table({
+            "l_orderkey": pc.add(li["l_orderkey"], off),
+            "l_partkey": pc.add(li["l_partkey"], off),
+            "l_suppkey": pc.add(li["l_suppkey"], off),
+        }))
+        od_parts.append(pa.table({
+            "o_orderkey": pc.add(od["o_orderkey"], off),
+            "o_custkey": pc.add(od["o_custkey"], off),
+        }))
+    os.makedirs(f"{path}/lineitem", exist_ok=True)
+    os.makedirs(f"{path}/orders", exist_ok=True)
+    pq.write_table(pa.concat_tables(li_parts), f"{path}/lineitem/part.parquet",
+                   row_group_size=500_000)
+    pq.write_table(pa.concat_tables(od_parts), f"{path}/orders/part.parquet",
+                   row_group_size=500_000)
+    print(f"graph -> {path} ({copies}x sf0.1 key-space copies)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("docs", "all"):
@@ -95,3 +130,5 @@ if __name__ == "__main__":
         gen_events()
     if which in ("emb", "all"):
         gen_emb()
+    if which in ("graph", "all"):
+        gen_graph()
