@@ -104,6 +104,7 @@ def _load_all_plan_modules() -> None:
         aggregates5,
         llm11,
         udfs4,
+        domain10,
     )
 
 

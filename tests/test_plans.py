@@ -49,6 +49,9 @@ _NESTED_LOOP_OK = {
     "dq6_psi_drift": "1-row global (min, max) extent broadcast onto "
     "the scan for binning (the a15-histogram shape; build side is a "
     "single row)",
+    "d47_basket_lift": "1-row order-count aggregate broadcast onto the "
+    "O(brand-pairs) metric assembly (no join key exists; build side is "
+    "a single row)",
 }
 
 _QUERIES = registry.queries()
