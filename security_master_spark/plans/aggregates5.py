@@ -101,3 +101,63 @@ def a23_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rolling_users"),
     )
+
+
+@register("a24_hll_partial_union")  # sketch internals engine-specific → weak
+def a24_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in Datasketches HLL (Spark 4 `hll_sketch_agg` /
+    `hll_union_agg` / `hll_sketch_estimate`): per-type user sketches
+    PERSIST as binary partials, union-fold to the corpus estimate —
+    the production incremental-distinct shape (daily partials, no
+    re-scan at rollup), now first-class SQL functions instead of the
+    library-level a20/a21 path. Weak by design (sketch bytes are
+    engine-specific); the exact corpus distinct rides in-row as the
+    anchor, with the tolerance pinned in tests/test_operators.py."""
+    from security_master_spark.datasets import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("a24_events")
+    return spark.sql("""
+    WITH partials AS (
+        SELECT event_type, hll_sketch_agg(user_id) AS sketch,
+               COUNT(DISTINCT user_id) AS exact_users
+        FROM a24_events GROUP BY event_type
+    )
+    SELECT CAST(hll_sketch_estimate(hll_union_agg(sketch)) AS BIGINT)
+               AS est_total_users,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM a24_events) AS exact_total_users,
+           CAST(SUM(exact_users) AS BIGINT) AS sum_per_type_exact
+    FROM partials
+    """)
+
+
+@register(
+    "a25_approx_top_k",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def a25_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_top_k` (Spark 4): heavy-hitters in one sketch pass.
+    With the tracked-item budget (10k) far above this column's
+    cardinality the sketch degenerates to EXACT counts — so the
+    result is held to the full exact-top-k oracle, hash and all (the
+    same trick as g3: pick the operating point where the approximate
+    operator is provably exact, and the sketch machinery itself gets
+    a value-level certificate). The exploded output re-sorts on
+    (count DESC, item) so tie order is pinned on both engines."""
+    from security_master_spark.datasets import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("a25_events")
+    return spark.sql("""
+    SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+    FROM (SELECT approx_top_k(event_type, 3) AS tk FROM a25_events)
+    LATERAL VIEW explode(tk) AS t
+    ORDER BY n DESC, event_type
+    """)

@@ -974,3 +974,17 @@ def test_skyline_duplicate_and_tie_semantics(spark, sf_dir):
     }
     assert want == {1, 2, 5, 7}
     assert got == want
+
+
+def test_hll_builtin_union_within_tolerance(spark, sf_dir_mid):
+    """a24's built-in HLL union estimate must land within 5% of the
+    in-row exact anchor (default lgConfigK=12 → ~1.6% rsd)."""
+    from security_master_spark.plans.registry import queries
+
+    r = queries()["a24_hll_partial_union"](spark, sf_dir_mid).collect()[0]
+    rel = abs(r.est_total_users - r.exact_total_users) / max(
+        1, r.exact_total_users
+    )
+    assert rel <= 0.05, (r.est_total_users, r.exact_total_users)
+    # sanity: per-type sum >= corpus distinct (users span types)
+    assert r.sum_per_type_exact >= r.exact_total_users
