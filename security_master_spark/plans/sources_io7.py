@@ -192,3 +192,76 @@ def io15_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         dround(F.col("revenue"), 4).alias("revenue"),
     )
+
+
+@register(
+    "io16_malformed_csv_handling",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           {sql_dround(
+               "SUM(CASE WHEN o_orderkey % 13 <> 0 THEN o_totalprice"
+               " ELSE CAST(0 AS DOUBLE) END)", 4
+           )} AS good_total
+    FROM orders
+    """,
+)
+def io16_malformed_csv_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest: a CSV feed where a
+    deterministic 1-in-13 of the rows is corrupted (non-numeric
+    amount), read in PERMISSIVE mode with a `_corrupt_record` column —
+    the quarantine-don't-crash contract every real feed loader needs
+    (DROPMALFORMED silently loses data; FAILFAST takes the job down
+    for one bad row; PERMISSIVE keeps the row, nulls the bad fields,
+    and preserves the raw line for the reprocessing queue). The
+    oracle derives the exact expected good/corrupt split and the
+    good-row checksum from the corruption rule, so the parser's
+    classification is value-certified, not just counted."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orders_malformed_csv")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("o_totalprice").cast("string")
+        ),
+        F.col("o_orderstatus"),
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, o_orderstatus string, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # _corrupt_record columns can't be filtered straight off the scan
+    # (Spark requires a materialization boundary); cache-free trick:
+    # project to a plain column first.
+    back = back.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("is_corrupt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(~F.col("is_corrupt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        dround(
+            F.sum(
+                F.when(~F.col("is_corrupt"), F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("good_total"),
+    )

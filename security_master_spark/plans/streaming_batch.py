@@ -102,3 +102,72 @@ def t3_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "t4_dynamic_session_window",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, value,
+               EPOCH(ts) + CASE WHEN event_type = 'purchase'
+                                THEN 3600 ELSE 1800 END AS end_s,
+               MAX(EPOCH(ts) + CASE WHEN event_type = 'purchase'
+                                    THEN 3600 ELSE 1800 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_end
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_max_end IS NULL
+                         OR EPOCH(ts) >= prev_max_end
+                    THEN 1 ELSE 0 END AS new_session
+        FROM gapped
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dround("SUM(value)", 4)} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t4_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (Spark's `session_window` with a
+    gap EXPRESSION): a purchase keeps the session alive for an hour,
+    anything else for 30 minutes — the per-event-importance
+    sessionization real attribution models use, and a surface the
+    fixed-gap t3 can't express. Unlike t3 (weak by design), the
+    dynamic form IS SQL-expressible through the lag/cumsum
+    sessionization recipe — so the native operator gets a FULL
+    value-level oracle: same session boundaries, counts, and sums,
+    hash-checked. The semantics the oracle pins (and the sf0.01 gate
+    caught getting wrong on the first cut): sessions are the UNION of
+    per-event intervals [ts, ts + own_gap), so a new session starts
+    iff ts ≥ the running MAX window end over all earlier session rows
+    — NOT iff the gap to the previous ROW is exceeded. With mixed
+    gaps a long-gap event can bridge over a short-gap successor, and
+    two rows at sf0.01 did exactly that."""
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dround(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
