@@ -1,0 +1,214 @@
+"""Round-5 LLM-pipeline batch 8 (SURVEY.md §2.12): chunk-level
+first-wins dedup retention and the quality-filter funnel.
+
+l52 REPORTS boilerplate chunks (any chunk seen in ≥2 docs); l56 takes
+the next pipeline step — apply first-occurrence-wins survivorship at
+chunk granularity and measure how much of each document survives,
+the number a curation team actually budgets against. l10/l26 score
+documents; l57 accounts for WHICH rule kills each document per
+source — the funnel report that decides which filter to retune.
+
+Registered past the driver's ~50-entry correctness cap on purpose
+(see plans/registry.py) — driver rows come in round 5; until then the
+local oracle mirror (tests/test_correctness.py) proves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.plans.registry import register
+
+_CHUNK = 16  # tokens per disjoint dedup chunk
+
+
+@register(
+    "l56_chunk_dedup_retention",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+               GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS i
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) // {_CHUNK} AS BIGINT) AS chunk_idx,
+               md5(STRING_AGG(tok, ' ' ORDER BY i)) AS chunk_h,
+               COUNT(*) AS n_tok
+        FROM tok
+        GROUP BY doc_id, CAST((i - 1) // {_CHUNK} AS BIGINT)
+    ), kept AS (
+        SELECT doc_id, chunk_idx, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY chunk_h
+                                  ORDER BY doc_id, chunk_idx) AS occ
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_chunks,
+           {sql_dround(
+               "SUM(CASE WHEN occ = 1 THEN n_tok ELSE 0 END)"
+               " / CAST(SUM(n_tok) AS DOUBLE)", 6)} AS token_retention
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def l56_chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence-wins dedup at chunk granularity: disjoint
+    16-token chunks are deduped corpus-wide (the occurrence with the
+    smallest (doc_id, chunk_idx) survives), and each document reports
+    how many chunks / what token mass it retains. This is the apply
+    step downstream of l52's boilerplate REPORT — the retention
+    column is what you multiply corpus size by before provisioning a
+    training run.
+
+    Scale shape: chunks are materialized by a closed-form slice of
+    the token array (one projection, no explode-then-regroup of raw
+    tokens), immediately reduced to their 16-byte md5 — the global
+    first-wins window partitions on the HASH, so the wide shuffle
+    carries (hash, doc_id, chunk_idx, n_tok), never chunk text. The
+    per-hash partition is tiny (duplicate multiplicity), so the
+    window sort is O(dups) per key — equivalent to the groupBy+min
+    form but one operator fewer. Final per-doc regroup shuffles
+    pre-counted rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / float(_CHUNK)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * _CHUNK + 1, _CHUNK),
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(F.array_join("chunk_toks", " ")).alias("chunk_h"),
+        F.size("chunk_toks").cast("bigint").alias("n_tok"),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("chunk_h").orderBy("doc_id", "chunk_idx")
+    )
+    kept = chunks.withColumn("occ", occ)
+    is_first = F.when(F.col("occ") == 1, 1).otherwise(0)
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(is_first).cast("bigint").alias("kept_chunks"),
+        dround(
+            F.sum(is_first * F.col("n_tok"))
+            / F.sum("n_tok").cast("double"),
+            6,
+        ).alias("token_retention"),
+    )
+
+
+_MIN_TOK, _MAX_TOK = 30, 500  # rule 1: token-count band
+_MIN_MWL, _MAX_MWL = 3.0, 8.0  # rule 2: mean word length band
+_MIN_STOP = 0.02  # rule 3: stopword-fraction floor
+_STOPWORDS = ("the", "a")
+
+
+@register(
+    "l57_filter_funnel",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ), per_doc AS (
+        SELECT d.source,
+               t.n_tokens,
+               (d.n_len - (t.n_tokens - 1)) / CAST(t.n_tokens AS DOUBLE)
+                   AS mean_word_len,
+               t.stop_tokens / CAST(t.n_tokens AS DOUBLE) AS stop_frac
+        FROM (SELECT doc_id, source, LENGTH(text) AS n_len
+              FROM documents) d
+        JOIN (SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN tok IN {_STOPWORDS} THEN 1 ELSE 0 END)
+                         AS stop_tokens
+              FROM tok GROUP BY doc_id) t USING (doc_id)
+    ), flags AS (
+        SELECT source,
+               (n_tokens BETWEEN {_MIN_TOK} AND {_MAX_TOK}) AS r1,
+               (mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}) AS r2,
+               (stop_frac >= {_MIN_STOP}) AS r3
+        FROM per_doc
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_length,
+           CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_word_len,
+           CAST(SUM(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_stopword,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS survivors,
+           {sql_dround(
+               "SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 6)} AS survival_rate
+    FROM flags
+    GROUP BY source
+    """,
+)
+def l57_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL per source: documents are pushed through
+    the Gopher-style rule chain (token-count band → mean-word-length
+    band → stopword-fraction floor) in a fixed order, and each source
+    reports how many docs the chain kills at each stage and how many
+    survive — the report that tells a curation team which rule to
+    retune for which source (a 40 % fail_length on one crawl is a
+    chunking bug, not bad data).
+
+    Scale shape: mean word length is CLOSED FORM from (n_chars,
+    n_tokens) — chars minus separators over tokens — so the only
+    token-level pass is the stopword count: one explode → per-doc
+    partial-count groupBy (shuffle carries counts, not text), joined
+    back to the documents scan's projection, then a per-source
+    roll-up of boolean flags. Stage attribution is conditional
+    aggregation, not a chain of anti-joins — one pass, no
+    intermediate corpus copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_stats = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ", -1)).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)
+            ).alias("stop_tokens"),
+        )
+    )
+    per_doc = docs.select(
+        "doc_id", "source", F.length("text").alias("n_len")
+    ).join(tok_stats, "doc_id")
+    nt = F.col("n_tokens").cast("double")
+    r1 = F.col("n_tokens").between(_MIN_TOK, _MAX_TOK)
+    r2 = (
+        (F.col("n_len") - (F.col("n_tokens") - 1)) / nt
+    ).between(_MIN_MWL, _MAX_MWL)
+    r3 = (F.col("stop_tokens") / nt) >= _MIN_STOP
+    flags = per_doc.select(
+        "source", r1.alias("r1"), r2.alias("r2"), r3.alias("r3")
+    )
+    survive = F.col("r1") & F.col("r2") & F.col("r3")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(~F.col("r1")).alias("fail_length"),
+        cnt(F.col("r1") & ~F.col("r2")).alias("fail_word_len"),
+        cnt(F.col("r1") & F.col("r2") & ~F.col("r3")).alias("fail_stopword"),
+        cnt(survive).alias("survivors"),
+        dround(
+            F.sum(F.when(survive, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("survival_rate"),
+    )

@@ -105,6 +105,10 @@ def _load_all_plan_modules() -> None:
         llm11,
         udfs4,
         domain10,
+        domain11,
+        llm12,
+        graph2,
+        aggregates6,
     )
 
 
