@@ -109,6 +109,9 @@ def _load_all_plan_modules() -> None:
         llm12,
         graph2,
         aggregates6,
+        streaming_batch2,
+        dataquality2,
+        udfs5,
     )
 
 
