@@ -112,6 +112,7 @@ def _load_all_plan_modules() -> None:
         streaming_batch2,
         dataquality2,
         udfs5,
+        windows2,
     )
 
 
