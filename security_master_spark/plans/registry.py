@@ -113,6 +113,8 @@ def _load_all_plan_modules() -> None:
         dataquality2,
         udfs5,
         windows2,
+        sources_io8,
+        scalars3,
     )
 
 

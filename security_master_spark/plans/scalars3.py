@@ -1,0 +1,61 @@
+"""Round-5 scalar batch 3 (SURVEY.md §2.8): URL functions —
+`parse_url` component extraction and the `url_encode`/`url_decode`
+roundtrip, the string family every web-corpus pipeline leans on
+(domain caps, per-host dedup, crawl accounting).
+
+Oracle discipline: the URLs are constructed IN the query from fixture
+columns, so DuckDB never needs a URL parser — it derives each
+component independently from the same source columns. A hash match
+therefore certifies Spark's parser against ground truth, not against
+another parser's quirks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "s20_url_functions",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           'q=' || CAST(n_chars AS VARCHAR) AS query,
+           CAST(n_chars AS VARCHAR) AS q_param,
+           lang AS roundtrip_lang
+    FROM documents
+    """,
+)
+def s20_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar functions: build a URL from fixture columns, then
+    recover host / path / full query / a single query parameter with
+    ``parse_url``, plus a ``url_decode(url_encode(x))`` identity. The
+    oracle reconstructs every component straight from the source
+    columns — ground truth, not a second parser — so the hash match
+    certifies Spark's extraction exactly. All JVM expressions in the
+    scan projection; zero shuffles (the per-host groupBys these feed
+    are l41/l57-shaped rollups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("n_chars").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.url_decode(F.url_encode("lang")).alias("roundtrip_lang"),
+    )
