@@ -115,6 +115,8 @@ def _load_all_plan_modules() -> None:
         windows2,
         sources_io8,
         scalars3,
+        dataquality3,
+        relational4,
     )
 
 
