@@ -59,3 +59,37 @@ def s20_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
         F.url_decode(F.url_encode("lang")).alias("roundtrip_lang"),
     )
+
+
+@register(
+    "s21_data_protection",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_name,
+           c_name AS decrypted_name
+    FROM customer
+    """,
+)
+def s21_data_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data protection: ``mask`` (upper→X, lower→x,
+    digit→n — the redacted-display form PII policies mandate) and an
+    ``aes_decrypt(aes_encrypt(x, k), k)`` roundtrip (AES-GCM, the
+    at-rest column-encryption primitive). The mask oracle derives the
+    same redaction from three regexp passes — ground truth per the
+    documented character classes; the encryption oracle is the
+    identity (GCM ciphertext is IV-randomized, so only the roundtrip
+    is deterministic — which is also the only part with portable
+    semantics). Both are JVM expressions in the scan projection; the
+    AES pair stays inside whole-stage codegen, so "encrypted at rest,
+    decrypted in the projection" costs no extra pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")
+    return cust.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.aes_decrypt(F.aes_encrypt(F.col("c_name"), key), key)
+        .cast("string")
+        .alias("decrypted_name"),
+    )
