@@ -93,3 +93,75 @@ def s21_data_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("decrypted_name"),
     )
+
+
+@register(
+    "s22_outer_explode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_chars >= 250 THEN NULL ELSE 'short' END AS tag
+    FROM documents
+    """,
+)
+def s22_outer_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: the empty-collection-preserving explode.
+    Documents get a tag array that is EMPTY for long docs ('short'
+    only below the length cutoff); a plain ``explode`` silently drops
+    every long doc from the output — the classic row-loss bug in
+    tag/entity pipelines — while ``explode_outer`` keeps them with a
+    NULL element. The oracle derives the expected (doc, tag-or-NULL)
+    rows closed-form, so the hash certifies exactly the preserved
+    rows. Pure projection + generator in one codegen stage, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tags = F.when(
+        F.col("n_chars") < 250, F.array(F.lit("short"))
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode_outer(tags).alias("tag")
+    )
+
+
+@register(
+    "s23_map_higher_order",
+    oracle="""
+    SELECT doc_id,
+           'LANG=' || lang AS lang_entry,
+           n_chars * 2 AS doubled_chars,
+           CAST(LENGTH(text) >= 250 AS BIGINT) AS n_long_flags
+    FROM documents
+    """,
+)
+def s23_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — ``transform_keys``,
+    ``transform_values``, ``map_filter`` — exercised on a map built
+    from fixture columns and read back out to scalars so DuckDB can
+    derive every output closed-form from the SOURCE columns (ground
+    truth; DuckDB's map surface differs too much to mirror the calls
+    themselves). transform_keys upcases the key ('LANG=' prefix),
+    transform_values doubles the metric, map_filter keeps only
+    entries whose value clears the length cutoff (count of survivors
+    returned). All three stay JVM-side generator-free expressions in
+    one projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"))
+    metrics = F.create_map(F.lit("chars"), F.col("n_chars"))
+    lens = F.create_map(F.lit("len"), F.length("text").cast("bigint"))
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.transform_keys(m, lambda k, _v: F.concat(F.upper(k), F.lit("="))),
+            "LANG=",
+        ).alias("lang_entry_raw"),
+        F.element_at(
+            F.transform_values(metrics, lambda _k, v: v * 2), "chars"
+        ).alias("doubled_chars"),
+        F.size(
+            F.map_filter(lens, lambda _k, v: v >= 250)
+        ).cast("bigint").alias("n_long_flags"),
+    ).select(
+        "doc_id",
+        F.concat(F.lit("LANG="), F.col("lang_entry_raw")).alias("lang_entry"),
+        "doubled_chars",
+        "n_long_flags",
+    )
