@@ -191,3 +191,56 @@ def test_exclude_current_row_equals_manual_loo(spark, sf_dir):
         want = sum(peers) / len(peers)
         got = by_id[ids[i]]
         assert math.isclose(got, want, rel_tol=0, abs_tol=5e-7), (i, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape assertions (SURVEY.md scale claims, pinned)
+# ---------------------------------------------------------------------------
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_g4_topk_plans_take_ordered_not_global_sort(spark, sf_dir):
+    """g4's final top-K must plan TakeOrderedAndProject (parallel
+    per-partition top-K + merge), never a single-partition global
+    sort."""
+    plan = _plan(_Q["g4_link_prediction"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_io17_and_scalar_families_have_no_exchange(spark, sf_dir):
+    """Pure projection queries (text-source read-back, URL parsing,
+    masking/AES, outer explode, map higher-order) must not shuffle:
+    zero Exchange operators in the executed plan."""
+    for name in (
+        "io17_text_roundtrip",
+        "s20_url_functions",
+        "s21_data_protection",
+        "s22_outer_explode",
+        "s23_map_higher_order",
+    ):
+        plan = _plan(_Q[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan[:800])
+
+
+def test_l56_window_partitions_on_hash_not_text(spark, sf_dir):
+    """l56's first-wins window must partition on the 16-byte chunk
+    hash — the shuffle carries hashes, never chunk text."""
+    plan = _plan(_Q["l56_chunk_dedup_retention"](spark, sf_dir))
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("chunk_h" in ln for ln in win_lines), win_lines
+
+
+def test_a26_sketch_build_partially_aggregates_before_exchange(spark, sf_dir):
+    """The CMS build must collapse to (i, bucket) partial counts
+    map-side: a partial HashAggregate below the Exchange on the
+    sketch subtree (the shuffle moves sketch rows, not data rows)."""
+    plan = _plan(_Q["a26_count_min_sketch"](spark, sf_dir))
+    # Executed-plan text interleaves subtrees; assert the partial-agg
+    # marker exists and an exchange hash-partitions on (i, bucket).
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:600]
+    assert any(
+        "hashpartitioning(i" in ln.replace("#", " #") or "hashpartitioning(i#" in ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+    ), [ln for ln in plan.splitlines() if "Exchange" in ln][:6]
