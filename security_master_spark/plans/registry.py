@@ -76,12 +76,14 @@ def _load_all_plan_modules() -> None:
         sources_io,
         # Round-5 candidates (added in round 4): registered past the
         # ~50-entry cap on purpose — they rotate to the head next round.
-        # ROUND-5 ROTATION PLAN (do this FIRST next round): move this
-        # whole block to the head so the ~60 round-4 additions earn
-        # their first driver rows; backfill remaining slots with the
-        # oldest-evidence rows (t/d-early families last proven r3).
+        # ROUND-5 ROTATION PLAN (do this FIRST next round): the
+        # candidate block below now holds ~85 queries — MORE than the
+        # cap — so rotate in two waves: round 5 heads with the FIRST
+        # ~50 candidates in their current order (domain7 … aggregates5
+        # families), round 6 with the remainder (llm11 … relational4,
+        # i.e. everything from llm11 down) plus any round-5 reds.
         # Update tests/test_plans.py::_NEEDS_ROUND4_EVIDENCE to the
-        # new candidate set when rotating.
+        # wave being rotated in each time.
         domain7,
         llm7,
         aggregates3,
