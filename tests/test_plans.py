@@ -139,11 +139,13 @@ def test_registration_order_puts_unproven_queries_first():
         n for n in names
         if n.startswith(("q", "w", "u", "m"))
         and n[1].isdigit()
-        # round-4 additions (u7…, q16…, m4…) are deliberate round-5
-        # candidates, not part of the round-1/2 freshness backfill
+        # round-4 additions (u7…, q16…, m4…, w7…) are deliberate
+        # round-5 candidates, not part of the round-1/2 freshness
+        # backfill
         and not (n[0] == "u" and int(n[1:].split("_", 1)[0]) >= 7)
         and not (n[0] == "q" and int(n[1:].split("_", 1)[0]) >= 16)
         and not (n[0] == "m" and int(n[1:].split("_", 1)[0]) >= 4)
+        and not (n[0] == "w" and int(n[1:].split("_", 1)[0]) >= 7)
     ]
     assert set(stale) <= head, (
         f"round-1/2 freshness backfill spilled past the cap: "
