@@ -151,3 +151,53 @@ def a26_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") - F.col("exact_cnt")).cast("bigint")
         .alias("overestimate"),
     )
+
+
+@register(
+    "a27_transpose",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n_items,
+               FLOOR(SUM(l_quantity) * 1e4 + 0.5) / 1e4 AS sum_qty,
+               FLOOR(AVG(l_extendedprice) * 1e4 + 0.5) / 1e4 AS avg_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n_items' AS key,
+           (SELECT n_items FROM m WHERE l_returnflag = 'A') AS A,
+           (SELECT n_items FROM m WHERE l_returnflag = 'N') AS N,
+           (SELECT n_items FROM m WHERE l_returnflag = 'R') AS R
+    UNION ALL
+    SELECT 'sum_qty',
+           (SELECT sum_qty FROM m WHERE l_returnflag = 'A'),
+           (SELECT sum_qty FROM m WHERE l_returnflag = 'N'),
+           (SELECT sum_qty FROM m WHERE l_returnflag = 'R')
+    UNION ALL
+    SELECT 'avg_price',
+           (SELECT avg_price FROM m WHERE l_returnflag = 'A'),
+           (SELECT avg_price FROM m WHERE l_returnflag = 'N'),
+           (SELECT avg_price FROM m WHERE l_returnflag = 'R')
+    """,
+)
+def a27_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): flip a collapsed metrics
+    table so metrics become rows and group values become columns —
+    the report-layout pivot analysts ask for after every groupBy.
+    The oracle hand-builds the transposed layout from scalar
+    subqueries (ground truth), certifying both the value placement
+    and Spark's column-from-value naming.
+
+    Scale note: transpose COLLECTS the index column to the driver to
+    name the output columns — it is a small-result operator by
+    contract (here 3×3 after a full aggregate collapses the fact
+    table; the aggregate itself is the usual partial+final hash agg).
+    Never transpose an uncollapsed table."""
+    from security_master_spark.functions.rounding import dround
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n_items"),
+        dround(F.sum("l_quantity"), 4).alias("sum_qty"),
+        dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+    return m.transpose("l_returnflag")
