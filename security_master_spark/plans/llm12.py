@@ -212,3 +212,161 @@ def l57_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival_rate"),
     )
+
+
+@register(
+    "l58_corpus_build_pipeline",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+               GENERATE_SUBSCRIPTS(string_split(text, ' '), 1) AS i
+        FROM documents
+    ), per_doc AS (
+        SELECT d.doc_id, d.source,
+               t.n_tokens,
+               (d.n_len - (t.n_tokens - 1)) / CAST(t.n_tokens AS DOUBLE)
+                   AS mean_word_len,
+               t.stop_tokens / CAST(t.n_tokens AS DOUBLE) AS stop_frac
+        FROM (SELECT doc_id, source, LENGTH(text) AS n_len
+              FROM documents) d
+        JOIN (SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN tok IN {_STOPWORDS} THEN 1 ELSE 0 END)
+                         AS stop_tokens
+              FROM tok GROUP BY doc_id) t USING (doc_id)
+    ), survivors AS (
+        SELECT doc_id, source, n_tokens FROM per_doc
+        WHERE n_tokens BETWEEN {_MIN_TOK} AND {_MAX_TOK}
+          AND mean_word_len BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+          AND stop_frac >= {_MIN_STOP}
+    ), chunks AS (
+        SELECT tok.doc_id,
+               CAST((i - 1) // {_CHUNK} AS BIGINT) AS chunk_idx,
+               md5(STRING_AGG(tok, ' ' ORDER BY i)) AS chunk_h,
+               COUNT(*) AS n_tok
+        FROM tok JOIN survivors USING (doc_id)
+        GROUP BY tok.doc_id, CAST((i - 1) // {_CHUNK} AS BIGINT)
+    ), kept AS (
+        SELECT doc_id, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY chunk_h
+                                  ORDER BY doc_id, chunk_idx) AS occ
+        FROM chunks
+    ), doc_kept AS (
+        SELECT doc_id,
+               SUM(CASE WHEN occ = 1 THEN n_tok ELSE 0 END) AS kept_tok
+        FROM kept GROUP BY doc_id
+    ), final AS (
+        SELECT s.source, s.n_tokens, dk.kept_tok,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS
+                         VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(s.doc_id AS
+                         VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM survivors s JOIN doc_kept dk USING (doc_id)
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(kept_tok) AS BIGINT) AS kept_tokens,
+           {sql_dround(
+               "SUM(kept_tok) / CAST(SUM(n_tokens) AS DOUBLE)", 6)}
+               AS dedup_retention
+    FROM final
+    GROUP BY split, source
+    """,
+)
+def l58_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus build, end-to-end and
+    oracle-certified: Gopher-rule quality gate (l57's exact rules) →
+    chunk-level first-wins dedup over the SURVIVORS (l56's rule —
+    dedup after filtering, so boilerplate in rejected docs can't
+    steal canonical slots) → deterministic id-hash split (l18's rule)
+    → the per-(split, source) token ledger a training run is
+    provisioned from. The stage queries certify the pieces; this
+    certifies the HANDOFFS — filter-before-dedup ordering, dedup
+    keyed on post-filter population, split independence from content.
+
+    One corpus scan feeds both the token stats and the chunk stream;
+    everything that crosses a shuffle is counts or 16-byte hashes.
+    The composition adds NO new shuffle class beyond its stages; at
+    100 TB the same plan runs with the chunk window partitioned on
+    the hash exactly as in l56."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_stats = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)
+            ).alias("stop_tokens"),
+        )
+    )
+    nt = F.col("n_tokens").cast("double")
+    survivors = (
+        docs.select("doc_id", "source", F.length("text").alias("n_len"))
+        .join(tok_stats, "doc_id")
+        .filter(
+            F.col("n_tokens").between(_MIN_TOK, _MAX_TOK)
+            & (
+                (F.col("n_len") - (F.col("n_tokens") - 1)) / nt
+            ).between(_MIN_MWL, _MAX_MWL)
+            & ((F.col("stop_tokens") / nt) >= _MIN_STOP)
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+    toks = F.split(F.col("text"), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / float(_CHUNK)).cast("int")
+    chunks = (
+        docs.join(survivors.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(toks, i * _CHUNK + 1, _CHUNK),
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.md5(F.array_join("chunk_toks", " ")).alias("chunk_h"),
+            F.size("chunk_toks").cast("bigint").alias("n_tok"),
+        )
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("chunk_h").orderBy("doc_id", "chunk_idx")
+    )
+    doc_kept = (
+        chunks.withColumn("occ", occ)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("occ") == 1, F.col("n_tok")).otherwise(0)
+            ).alias("kept_tok")
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    final = survivors.join(doc_kept, "doc_id").select(
+        "source",
+        "n_tokens",
+        "kept_tok",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return final.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum("kept_tok").cast("bigint").alias("kept_tokens"),
+        dround(
+            F.sum("kept_tok") / F.sum("n_tokens").cast("double"), 6
+        ).alias("dedup_retention"),
+    )
