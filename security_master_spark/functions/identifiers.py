@@ -55,3 +55,82 @@ def isin_is_valid(isin: Column) -> Column:
             == isin_check_digit(F.substring(isin, 1, 11))
         )
     )
+
+
+def _cusip_char_value(c: Column) -> Column:
+    """CUSIP character value: '0'-'9' → 0-9, 'A'-'Z' → 10-35,
+    '*' → 36, '@' → 37, '#' → 38."""
+    return (
+        F.when(c.between("0", "9"), c.cast("int"))
+        .when(c == "*", F.lit(36))
+        .when(c == "@", F.lit(37))
+        .when(c == "#", F.lit(38))
+        .otherwise(F.ascii(c) - 55)
+    )
+
+
+def cusip_check_digit(base8: Column) -> Column:
+    """CUSIP check digit (ANSI X9.6 modulus-10 double-add-double) for
+    the 8-char base: positions 2,4,6,8 double their character value,
+    every product contributes its DIGIT SUM (v//10 + v%10), check =
+    (10 − total mod 10) mod 10. Expression-level fold, no UDF."""
+    chars = F.split(base8, "")
+    contrib = F.transform(
+        chars,
+        lambda c, i: F.when(
+            (i + 1) % 2 == 0, 2 * _cusip_char_value(c)
+        ).otherwise(_cusip_char_value(c)),
+    )
+    total = F.aggregate(
+        contrib,
+        F.lit(0),
+        lambda acc, v: acc + F.floor(v / 10).cast("int") + (v % 10),
+    )
+    return ((10 - total % 10) % 10).cast("int")
+
+
+def cusip_is_valid(cusip: Column) -> Column:
+    """True iff the 9-char CUSIP's final digit matches the check digit
+    of its first 8 characters."""
+    return (
+        (F.length(cusip) == 9)
+        & F.substring(cusip, 9, 1).between("0", "9")
+        & (
+            F.substring(cusip, 9, 1).cast("int")
+            == cusip_check_digit(F.substring(cusip, 1, 8))
+        )
+    )
+
+
+_SEDOL_WEIGHTS = (1, 3, 1, 7, 3, 9)
+
+
+def sedol_check_digit(base6: Column) -> Column:
+    """SEDOL check digit: weighted sum of character values (digits /
+    consonants, 'A'-'Z' → 10-35) with weights (1,3,1,7,3,9), check =
+    (10 − sum mod 10) mod 10."""
+    chars = F.split(base6, "")
+    weights = F.array(*[F.lit(w) for w in _SEDOL_WEIGHTS])
+    contrib = F.zip_with(
+        chars,
+        weights,
+        lambda c, w: w
+        * F.when(c.between("0", "9"), c.cast("int")).otherwise(
+            F.ascii(c) - 55
+        ),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
+    return ((10 - total % 10) % 10).cast("int")
+
+
+def sedol_is_valid(sedol: Column) -> Column:
+    """True iff the 7-char SEDOL's final digit matches the check digit
+    of its first 6 characters."""
+    return (
+        (F.length(sedol) == 7)
+        & F.substring(sedol, 7, 1).between("0", "9")
+        & (
+            F.substring(sedol, 7, 1).cast("int")
+            == sedol_check_digit(F.substring(sedol, 1, 6))
+        )
+    )

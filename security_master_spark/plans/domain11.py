@@ -266,3 +266,127 @@ def d52_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.regr_slope("dp", "signed_vol"), 10).alias("kyle_lambda"),
         dround(F.regr_r2("dp", "signed_vol"), 8).alias("r2"),
     )
+
+
+@register(
+    "d53_cusip_sedol_validation",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               LPAD(CAST(p_partkey AS VARCHAR), 6, '0') AS body,
+               p_partkey % 5 = 0 AS corrupt,
+               CAST(FLOOR(p_partkey / 100000) % 10 AS BIGINT) AS d1,
+               CAST(FLOOR(p_partkey / 10000) % 10 AS BIGINT) AS d2,
+               CAST(FLOOR(p_partkey / 1000) % 10 AS BIGINT) AS d3,
+               CAST(FLOOR(p_partkey / 100) % 10 AS BIGINT) AS d4,
+               CAST(FLOOR(p_partkey / 10) % 10 AS BIGINT) AS d5,
+               p_partkey % 10 AS d6
+        FROM part
+    ), pc AS (
+        -- closed-form CUSIP mod-10 double-add-double for the FIXED
+        -- template 'S''M' dddddd: 'S'=28 (odd pos, digit-sum 10),
+        -- 'M'=22 (even pos, doubled 44 -> 8); digit positions 3..8
+        -- alternate single/double starting single.
+        SELECT p_partkey, body, corrupt, d6,
+               (10 - (10 + 8
+                      + d1 + CASE WHEN d2 < 5 THEN 2*d2 ELSE 2*d2 - 9 END
+                      + d3 + CASE WHEN d4 < 5 THEN 2*d4 ELSE 2*d4 - 9 END
+                      + d5 + CASE WHEN d6 < 5 THEN 2*d6 ELSE 2*d6 - 9 END
+                     ) % 10) % 10 AS check_digit
+        FROM p
+    ), cusips AS (
+        SELECT 'CUSIP' AS id_type, p_partkey AS entity_key,
+               'SM' || CASE WHEN corrupt
+                            THEN SUBSTR(body, 1, 5)
+                                 || CAST((d6 + 1) % 10 AS VARCHAR)
+                            ELSE body END
+                    || CAST(check_digit AS VARCHAR) AS identifier,
+               NOT corrupt AS is_valid
+        FROM pc
+    ), s AS (
+        SELECT s_suppkey,
+               LPAD(CAST(s_suppkey AS VARCHAR), 5, '0') AS body,
+               s_suppkey % 4 = 0 AS corrupt,
+               CAST(FLOOR(s_suppkey / 10000) % 10 AS BIGINT) AS d1,
+               CAST(FLOOR(s_suppkey / 1000) % 10 AS BIGINT) AS d2,
+               CAST(FLOOR(s_suppkey / 100) % 10 AS BIGINT) AS d3,
+               CAST(FLOOR(s_suppkey / 10) % 10 AS BIGINT) AS d4,
+               s_suppkey % 10 AS d5
+        FROM supplier
+    ), sc AS (
+        -- closed-form SEDOL weighted mod-10 for the FIXED template
+        -- 'B' ddddd: 'B'=11 at weight 1; digit weights 3,1,7,3,9.
+        SELECT s_suppkey, body, corrupt, d5,
+               (10 - (11 + 3*d1 + d2 + 7*d3 + 3*d4 + 9*d5) % 10) % 10
+                   AS check_digit
+        FROM s
+    ), sedols AS (
+        SELECT 'SEDOL' AS id_type, s_suppkey AS entity_key,
+               'B' || CASE WHEN corrupt
+                           THEN SUBSTR(body, 1, 4)
+                                || CAST((d5 + 1) % 10 AS VARCHAR)
+                           ELSE body END
+                   || CAST(check_digit AS VARCHAR) AS identifier,
+               NOT corrupt AS is_valid
+        FROM sc
+    )
+    SELECT * FROM cusips UNION ALL SELECT * FROM sedols
+    """,
+)
+def d53_cusip_sedol_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSIP (ANSI X9.6) and SEDOL check-digit validation — the two
+    remaining identifier layers of a securities master next to d46's
+    ISIN. Synthetic identifiers are minted on fixed templates (CUSIP
+    'SM'+6 digits from part keys, SEDOL 'B'+5 digits from supplier
+    keys), deterministic subsets get a digit corrupted AFTER the
+    check digit is computed, and the GENERIC expression-level
+    validators (functions/identifiers.py — transform/zip_with +
+    aggregate folds, no UDF) must flag exactly the corrupted ones.
+    The oracle derives validity from INDEPENDENT closed-form
+    specializations of each algorithm to its template — the generic
+    folds are cross-checked digit-by-digit, not self-certified. All
+    JVM expressions in the scan projections; the union is two
+    dimension scans, zero shuffles."""
+    from security_master_spark.functions.identifiers import (
+        cusip_check_digit,
+        cusip_is_valid,
+        sedol_check_digit,
+        sedol_is_valid,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    pbody = F.lpad(pk.cast("string"), 6, "0")
+    pcorrupt = pk % 5 == 0
+    pd6 = (pk % 10).cast("int")
+    pcheck = cusip_check_digit(F.concat(F.lit("SM"), pbody))
+    pbody_out = F.when(
+        pcorrupt,
+        F.concat(F.substring(pbody, 1, 5), ((pd6 + 1) % 10).cast("string")),
+    ).otherwise(pbody)
+    cusip = F.concat(F.lit("SM"), pbody_out, pcheck.cast("string"))
+    cusips = part.select(
+        F.lit("CUSIP").alias("id_type"),
+        pk.alias("entity_key"),
+        cusip.alias("identifier"),
+        cusip_is_valid(cusip).alias("is_valid"),
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    sbody = F.lpad(sk.cast("string"), 5, "0")
+    scorrupt = sk % 4 == 0
+    sd5 = (sk % 10).cast("int")
+    scheck = sedol_check_digit(F.concat(F.lit("B"), sbody))
+    sbody_out = F.when(
+        scorrupt,
+        F.concat(F.substring(sbody, 1, 4), ((sd5 + 1) % 10).cast("string")),
+    ).otherwise(sbody)
+    sedol = F.concat(F.lit("B"), sbody_out, scheck.cast("string"))
+    sedols = supp.select(
+        F.lit("SEDOL").alias("id_type"),
+        sk.alias("entity_key"),
+        sedol.alias("identifier"),
+        sedol_is_valid(sedol).alias("is_valid"),
+    )
+    return cusips.unionByName(sedols)
