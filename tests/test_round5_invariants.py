@@ -244,3 +244,39 @@ def test_a26_sketch_build_partially_aggregates_before_exchange(spark, sf_dir):
         for ln in plan.splitlines()
         if "Exchange" in ln
     ), [ln for ln in plan.splitlines() if "Exchange" in ln][:6]
+
+
+def test_cusip_sedol_on_real_world_identifiers(spark):
+    """The generic CUSIP and SEDOL validators must agree with
+    published real-world check digits and reject single-digit
+    corruptions."""
+    from security_master_spark.functions.identifiers import (
+        cusip_is_valid,
+        sedol_is_valid,
+    )
+
+    cusips = [
+        ("037833100", True),   # Apple
+        ("594918104", True),   # Microsoft
+        ("17275R102", True),   # Cisco
+        ("68389X105", True),   # Oracle
+        ("037833101", False),  # corrupted check digit
+        ("037843100", False),  # corrupted body digit
+    ]
+    df = spark.createDataFrame(cusips, "id string, want boolean")
+    for r in df.select(
+        "id", "want", cusip_is_valid(F.col("id")).alias("got")
+    ).collect():
+        assert r.got == r.want, ("CUSIP", r.id)
+
+    sedols = [
+        ("0263494", True),   # BAE Systems (the ISO example)
+        ("B0YBKJ7", True),   # published SEDOL example
+        ("0263493", False),  # corrupted check digit
+        ("0264494", False),  # corrupted body digit
+    ]
+    df = spark.createDataFrame(sedols, "id string, want boolean")
+    for r in df.select(
+        "id", "want", sedol_is_valid(F.col("id")).alias("got")
+    ).collect():
+        assert r.got == r.want, ("SEDOL", r.id)
