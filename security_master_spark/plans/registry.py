@@ -119,6 +119,7 @@ def _load_all_plan_modules() -> None:
         scalars3,
         dataquality3,
         relational4,
+        domain12,
     )
 
 
