@@ -123,3 +123,129 @@ def d54_bond_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("conv_num") / (F.col("price") * F.pow(one_y, 2)), 6
         ).alias("convexity"),
     )
+
+
+_YTM_ITERS = 4
+_Y0 = 0.05  # Newton starting point (5%)
+
+
+def _pv_sql(y: str) -> str:
+    """DuckDB: price of the bond at yield ``y`` (decimal)."""
+    return (
+        f"list_sum(list_transform(range(1, years + 1), t -> "
+        f"(coupon + CASE WHEN t = years THEN face ELSE 0 END)"
+        f" * POWER(1 + {y}, -t)))"
+    )
+
+
+def _dpv_sql(y: str) -> str:
+    """DuckDB: dPrice/dy at yield ``y``."""
+    return (
+        f"list_sum(list_transform(range(1, years + 1), t -> "
+        f"-t * (coupon + CASE WHEN t = years THEN face ELSE 0 END)"
+        f" * POWER(1 + {y}, -t - 1)))"
+    )
+
+
+@register(
+    "d55_ytm_newton",
+    oracle=f"""
+    WITH bonds AS (
+        SELECT s_suppkey,
+               100.0 AS face,
+               100.0 * (2.0 + (s_suppkey % 7)) / 100 AS coupon,
+               2 + (s_suppkey % 9) AS years,
+               3.0 + (s_suppkey % 5) AS true_yield_pct
+        FROM supplier
+    ), priced AS (
+        SELECT *, {_pv_sql("true_yield_pct / 100")} AS price
+        FROM bonds
+    ), i0 AS (
+        SELECT *, {_Y0} AS y FROM priced
+    ), i1 AS (
+        SELECT * REPLACE (y - ({_pv_sql("y")} - price) / {_dpv_sql("y")}
+                          AS y) FROM i0
+    ), i2 AS (
+        SELECT * REPLACE (y - ({_pv_sql("y")} - price) / {_dpv_sql("y")}
+                          AS y) FROM i1
+    ), i3 AS (
+        SELECT * REPLACE (y - ({_pv_sql("y")} - price) / {_dpv_sql("y")}
+                          AS y) FROM i2
+    ), i4 AS (
+        SELECT * REPLACE (y - ({_pv_sql("y")} - price) / {_dpv_sql("y")}
+                          AS y) FROM i3
+    )
+    SELECT s_suppkey,
+           {sql_dround("price", 6)} AS price,
+           {sql_dround("100 * y", 6)} AS ytm_pct,
+           {sql_dround("100 * y - true_yield_pct", 6)} AS recovery_err
+    FROM i4
+    """,
+)
+def d55_ytm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield-to-maturity by Newton's method — an ITERATIVE numerical
+    root-find run entirely as Catalyst expressions: price and dPrice/dy
+    are higher-order ``aggregate`` folds over the tenor sequence, and
+    each Newton step is one projection that rebinds the yield column,
+    so four iterations are four stacked Projects — ZERO shuffles, zero
+    Python, no driver loop. Each step references the previous yield as
+    a bound ATTRIBUTE (not an inlined expression tree), which sidesteps
+    the no-CSE blowup of nested higher-order functions (the SKILL.md
+    gotcha). Bonds are priced at a known yield first, so the query is
+    self-validating: recovery_err must round to 0.0 for every bond
+    (Newton from 5% converges to machine precision in 4 steps on
+    3-8 % yields — asserted by the oracle hash AND the invariant
+    test)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    s = F.col("s_suppkey")
+    face = F.lit(100.0)
+
+    def pv(y):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("years")),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (
+                F.col("coupon")
+                + F.when(t == F.col("years"), face).otherwise(0.0)
+            )
+            * F.pow(1 + y, -t.cast("double")),
+        )
+
+    def dpv(y):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("years")),
+            F.lit(0.0),
+            lambda acc, t: acc
+            - t.cast("double")
+            * (
+                F.col("coupon")
+                + F.when(t == F.col("years"), face).otherwise(0.0)
+            )
+            * F.pow(1 + y, -t.cast("double") - 1),
+        )
+
+    df = supp.select(
+        "s_suppkey",
+        (face * (F.lit(2.0) + (s % 7)) / 100).alias("coupon"),
+        (F.lit(2) + (s % 9)).alias("years"),
+        (F.lit(3.0) + (s % 5)).alias("true_yield_pct"),
+    )
+    df = df.withColumn("price", pv(F.col("true_yield_pct") / 100))
+    df = df.withColumn("y", F.lit(_Y0))
+    for _ in range(_YTM_ITERS):
+        step = F.col("y") - (pv(F.col("y")) - F.col("price")) / dpv(
+            F.col("y")
+        )
+        df = df.select(
+            "s_suppkey", "coupon", "years", "true_yield_pct", "price",
+            step.alias("y"),
+        )
+    return df.select(
+        "s_suppkey",
+        dround(F.col("price"), 6).alias("price"),
+        dround(100 * F.col("y"), 6).alias("ytm_pct"),
+        dround(100 * F.col("y") - F.col("true_yield_pct"), 6).alias(
+            "recovery_err"
+        ),
+    )

@@ -280,3 +280,12 @@ def test_cusip_sedol_on_real_world_identifiers(spark):
         "id", "want", sedol_is_valid(F.col("id")).alias("got")
     ).collect():
         assert r.got == r.want, ("SEDOL", r.id)
+
+
+def test_ytm_newton_recovers_the_pricing_yield(spark, sf_dir):
+    """d55 prices each bond at a known yield then root-finds it back:
+    after 4 Newton steps the recovered YTM must equal the pricing
+    yield to 6dp for EVERY bond (quadratic convergence from 5% on
+    3-8% yields)."""
+    for r in _Q["d55_ytm_newton"](spark, sf_dir).collect():
+        assert r["recovery_err"] == 0.0, (r["s_suppkey"], r["recovery_err"])
