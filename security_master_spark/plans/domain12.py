@@ -249,3 +249,126 @@ def d55_ytm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recovery_err"
         ),
     )
+
+
+# Abramowitz & Stegun 7.1.26 erf coefficients (|error| < 1.5e-7)
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _norm_cdf_sql(x: str) -> str:
+    """DuckDB: Φ(x) via the same A&S 7.1.26 erf polynomial, with sign
+    reflection so Φ(-x) = 1 - Φ(x) holds EXACTLY."""
+    z = f"(ABS({x}) / SQRT(2))"
+    t = f"(1 / (1 + {_AS_P} * {z}))"
+    poly = (
+        f"({t} * ({_AS_A[0]} + {t} * ({_AS_A[1]} + {t} * ({_AS_A[2]}"
+        f" + {t} * ({_AS_A[3]} + {t} * {_AS_A[4]})))))"
+    )
+    erf = f"(1 - {poly} * EXP(-{z} * {z}))"
+    return (
+        f"(0.5 * (1 + CASE WHEN {x} >= 0 THEN {erf} ELSE -{erf} END))"
+    )
+
+
+def _norm_cdf(x):
+    z = F.abs(x) / F.sqrt(F.lit(2.0))
+    t = 1 / (1 + _AS_P * z)
+    poly = t * (
+        _AS_A[0]
+        + t * (_AS_A[1] + t * (_AS_A[2] + t * (_AS_A[3] + t * _AS_A[4])))
+    )
+    erf = 1 - poly * F.exp(-z * z)
+    return 0.5 * (1 + F.when(x >= 0, erf).otherwise(-erf))
+
+
+@register(
+    "d56_black_scholes",
+    oracle=f"""
+    WITH opts AS (
+        SELECT p_partkey,
+               80.0 + (p_partkey % 40) AS s,
+               100.0 AS k,
+               0.02 + (p_partkey % 3) / 100.0 AS r,
+               0.25 * (1 + (p_partkey % 8)) AS tt,
+               0.15 + (p_partkey % 10) / 100.0 AS sigma
+        FROM part
+    ), d AS (
+        SELECT *,
+               (LN(s / k) + (r + sigma * sigma / 2) * tt)
+                   / (sigma * SQRT(tt)) AS d1,
+               (LN(s / k) + (r - sigma * sigma / 2) * tt)
+                   / (sigma * SQRT(tt)) AS d2
+        FROM opts
+    ), priced AS (
+        SELECT p_partkey, s, k, r, tt,
+               s * {_norm_cdf_sql("d1")}
+                   - k * EXP(-r * tt) * {_norm_cdf_sql("d2")} AS call,
+               k * EXP(-r * tt) * {_norm_cdf_sql("(-d2)")}
+                   - s * {_norm_cdf_sql("(-d1)")} AS put,
+               {_norm_cdf_sql("d1")} AS delta_call
+        FROM d
+    )
+    SELECT p_partkey,
+           {sql_dround("call", 6)} AS call,
+           {sql_dround("put", 6)} AS put,
+           {sql_dround("delta_call", 6)} AS delta_call,
+           {sql_dround("call - put - (s - k * EXP(-r * tt))", 6)}
+               AS parity_residual
+    FROM priced
+    """,
+)
+def d56_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Black-Scholes European call/put pricing and call delta,
+    entirely as JVM expressions: the normal CDF is the Abramowitz &
+    Stegun 7.1.26 erf polynomial (|err| < 1.5e-7) with sign
+    reflection, so Φ(−x) = 1 − Φ(x) holds EXACTLY and put-call
+    parity (C − P = S − K·e^(−rT)) is an algebraic identity of the
+    implementation — the parity_residual column must round to 0 for
+    every option, certified by the oracle hash and the invariant
+    test. Option terms are minted deterministically from part keys.
+
+    Shape: pure scan projection — ln/exp/sqrt and one polynomial per
+    row, whole-stage codegen, zero shuffles. Pricing a billion
+    options is a map; both engines run the IDENTICAL polynomial so
+    the 6dp hash certifies the numerics, not just the shape."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    opts = part.select(
+        "p_partkey",
+        (F.lit(80.0) + (p % 40)).alias("s"),
+        F.lit(100.0).alias("k"),
+        (F.lit(0.02) + (p % 3) / 100.0).alias("r"),
+        (F.lit(0.25) * (1 + (p % 8))).alias("tt"),
+        (F.lit(0.15) + (p % 10) / 100.0).alias("sigma"),
+    )
+    sig_sqt = F.col("sigma") * F.sqrt(F.col("tt"))
+    d1 = (
+        F.log(F.col("s") / F.col("k"))
+        + (F.col("r") + F.col("sigma") * F.col("sigma") / 2) * F.col("tt")
+    ) / sig_sqt
+    d = opts.select(
+        "p_partkey", "s", "k", "r", "tt",
+        d1.alias("d1"), (d1 - sig_sqt).alias("d2"),
+    )
+    disc = F.col("k") * F.exp(-F.col("r") * F.col("tt"))
+    call = F.col("s") * _norm_cdf(F.col("d1")) - disc * _norm_cdf(
+        F.col("d2")
+    )
+    put = disc * _norm_cdf(-F.col("d2")) - F.col("s") * _norm_cdf(
+        -F.col("d1")
+    )
+    priced = d.select(
+        "p_partkey", "s", "tt", "r", "k",
+        call.alias("call"), put.alias("put"),
+        _norm_cdf(F.col("d1")).alias("delta_call"),
+    )
+    return priced.select(
+        "p_partkey",
+        dround(F.col("call"), 6).alias("call"),
+        dround(F.col("put"), 6).alias("put"),
+        dround(F.col("delta_call"), 6).alias("delta_call"),
+        dround(
+            F.col("call") - F.col("put") - (F.col("s") - disc), 6
+        ).alias("parity_residual"),
+    )

@@ -289,3 +289,34 @@ def test_ytm_newton_recovers_the_pricing_yield(spark, sf_dir):
     3-8% yields)."""
     for r in _Q["d55_ytm_newton"](spark, sf_dir).collect():
         assert r["recovery_err"] == 0.0, (r["s_suppkey"], r["recovery_err"])
+
+
+def test_black_scholes_parity_and_reference_value(spark, sf_dir):
+    """Put-call parity must hold to 6dp for every option, bounds must
+    hold (prices ≥ 0, delta ∈ [0,1]), and the CDF polynomial must hit
+    its analytic anchors within the published A&S error bound."""
+    rows = _Q["d56_black_scholes"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["parity_residual"] == 0.0, r["p_partkey"]
+        assert r["call"] >= 0 and r["put"] >= 0
+        assert 0.0 <= r["delta_call"] <= 1.0
+    import pandas as pd
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"p_partkey": pd.array([0], dtype="int64")})
+    )
+    # Analytic anchors through the same polynomial, within the A&S
+    # 7.1.26 error bound (|err| < 1.5e-7): N(0)=0.5 and the
+    # reflection identity N(x)+N(-x)=1 (exact by construction).
+    from security_master_spark.plans.domain12 import _norm_cdf
+    from pyspark.sql import functions as F2
+
+    row = ref.select(
+        _norm_cdf(F2.lit(0.0)).alias("n0"),
+        (_norm_cdf(F2.lit(1.23)) + _norm_cdf(F2.lit(-1.23))).alias("refl"),
+        _norm_cdf(F2.lit(1.96)).alias("n196"),
+    ).collect()[0]
+    assert abs(row["n0"] - 0.5) < 1.5e-7
+    assert abs(row["refl"] - 1.0) < 1e-15
+    assert abs(row["n196"] - 0.9750021) < 1.5e-6
