@@ -372,3 +372,119 @@ def d56_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("call") - F.col("put") - (F.col("s") - disc), 6
         ).alias("parity_residual"),
     )
+
+
+_MC_PATHS = 20_000
+
+
+def _unif_sql(tag: str, lo: int) -> str:
+    """DuckDB: uniform(0,1) from md5 hex slice [lo, lo+8)."""
+    return (
+        f"((CAST(('0x' || substr(md5({tag}), {lo}, 8)) AS UBIGINT) + 0.5)"
+        f" / 4294967296.0)"
+    )
+
+
+@register(
+    "d57_monte_carlo_pricing",
+    oracle=f"""
+    WITH opts AS (
+        SELECT p_partkey,
+               80.0 + (p_partkey % 40) AS s,
+               100.0 AS k,
+               0.02 + (p_partkey % 3) / 100.0 AS r,
+               0.25 * (1 + (p_partkey % 8)) AS tt,
+               0.15 + (p_partkey % 10) / 100.0 AS sigma
+        FROM part WHERE p_partkey <= 5
+    ), paths AS (
+        SELECT o.*, i.i,
+               {_unif_sql("CAST(o.p_partkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)", 1)} AS u1,
+               {_unif_sql("CAST(o.p_partkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)", 9)} AS u2
+        FROM opts o, LATERAL (
+            SELECT UNNEST(generate_series(1, {_MC_PATHS})) AS i
+        ) i
+    ), term AS (
+        SELECT p_partkey, s, k, r, tt,
+               s * EXP((r - sigma * sigma / 2) * tt
+                       + sigma * SQRT(tt)
+                         * SQRT(-2 * LN(u1)) * COS(2 * PI() * u2)) AS st
+        FROM paths
+    )
+    SELECT p_partkey,
+           {sql_dround(
+               "EXP(-MAX(r) * MAX(tt))"
+               " * AVG(CASE WHEN st > k THEN st - k ELSE 0 END)", 4)}
+               AS mc_call,
+           {sql_dround(
+               "EXP(-MAX(r) * MAX(tt))"
+               " * STDDEV_SAMP(CASE WHEN st > k THEN st - k ELSE 0 END)"
+               f" / SQRT({_MC_PATHS})", 4)} AS std_err,
+           COUNT(*) AS n_paths
+    FROM term
+    GROUP BY p_partkey
+    """,
+)
+def d57_monte_carlo_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Monte Carlo option pricing: geometric Brownian
+    motion terminal prices from hash-seeded uniforms (md5 of
+    (option, path) sliced into two 32-bit words → Box-Muller normal),
+    so the simulation is bit-reproducible across engines, partitions,
+    retries, and cluster sizes — the property that makes distributed
+    MC auditable (rerunning the job CANNOT silently change the
+    price). The oracle replays the identical paths in DuckDB; the
+    invariant test closes the loop by requiring each MC price to sit
+    within 4 standard errors of d56's closed-form Black-Scholes
+    value — the estimator converges to the analytic answer it has
+    never seen.
+
+    Shape: options × explode(sequence(1, N)) — path generation is a
+    pure projection (hash, ln, cos — all codegen), and ONE hash
+    aggregate per option folds payoffs into mean/stderr map-side.
+    Paths never materialize beyond their Arrow batch; scaling to 1e9
+    paths changes only the sequence bound."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    opts = part.filter(p <= 5).select(
+        "p_partkey",
+        (F.lit(80.0) + (p % 40)).alias("s"),
+        F.lit(100.0).alias("k"),
+        (F.lit(0.02) + (p % 3) / 100.0).alias("r"),
+        (F.lit(0.25) * (1 + (p % 8))).alias("tt"),
+        (F.lit(0.15) + (p % 10) / 100.0).alias("sigma"),
+    )
+    paths = opts.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_MC_PATHS))).alias("i")
+    )
+    tag = F.concat(
+        F.col("p_partkey").cast("string"), F.lit(":"), F.col("i").cast("string")
+    )
+    h = F.md5(tag)
+
+    def unif(lo: int):
+        return (
+            F.conv(F.substring(h, lo, 8), 16, 10).cast("double") + 0.5
+        ) / 4294967296.0
+
+    z = F.sqrt(-2 * F.log(unif(1))) * F.cos(
+        2 * F.lit(3.141592653589793) * unif(9)
+    )
+    st = F.col("s") * F.exp(
+        (F.col("r") - F.col("sigma") * F.col("sigma") / 2) * F.col("tt")
+        + F.col("sigma") * F.sqrt(F.col("tt")) * z
+    )
+    term = paths.select(
+        "p_partkey", "k", "r", "tt", st.alias("st")
+    )
+    payoff = F.when(F.col("st") > F.col("k"), F.col("st") - F.col("k")).otherwise(0.0)
+    return term.groupBy("p_partkey").agg(
+        dround(
+            F.exp(-F.max("r") * F.max("tt")) * F.avg(payoff), 4
+        ).alias("mc_call"),
+        dround(
+            F.exp(-F.max("r") * F.max("tt"))
+            * F.stddev_samp(payoff)
+            / F.lit(float(_MC_PATHS) ** 0.5),
+            4,
+        ).alias("std_err"),
+        F.count("*").alias("n_paths"),
+    )

@@ -320,3 +320,25 @@ def test_black_scholes_parity_and_reference_value(spark, sf_dir):
     assert abs(row["n0"] - 0.5) < 1.5e-7
     assert abs(row["refl"] - 1.0) < 1e-15
     assert abs(row["n196"] - 0.9750021) < 1.5e-6
+
+
+def test_monte_carlo_converges_to_black_scholes(spark, sf_dir):
+    """Each hash-seeded MC price must sit within 4 standard errors of
+    the closed-form Black-Scholes value for the same option — the
+    estimator converges to an analytic answer it never saw."""
+    mc = {
+        r["p_partkey"]: r
+        for r in _Q["d57_monte_carlo_pricing"](spark, sf_dir).collect()
+    }
+    bs = {
+        r["p_partkey"]: r["call"]
+        for r in _Q["d56_black_scholes"](spark, sf_dir)
+        .filter(F.col("p_partkey") <= 5)
+        .collect()
+    }
+    assert set(mc) == set(bs) and mc
+    for k, r in mc.items():
+        assert r["n_paths"] == 20_000
+        assert abs(r["mc_call"] - bs[k]) <= 4 * r["std_err"] + 1e-9, (
+            k, r["mc_call"], bs[k], r["std_err"],
+        )
