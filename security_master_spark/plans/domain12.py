@@ -1,10 +1,13 @@
-"""Round-5 securities-master batch 6 (SURVEY.md §2.11): fixed-income
-analytics — bond present value, Macaulay/modified duration, and
-convexity.
+"""Round-5 securities-master batch 6 (SURVEY.md §2.11): the
+fixed-income and derivatives ladder — bond PV/duration/convexity
+(d54), YTM Newton root-finding as stacked expression projections
+(d55), Black-Scholes with an expression-level normal CDF (d56), and
+deterministic hash-seeded Monte Carlo pricing converging to it (d57).
 
 The equity-side risk stack (d39 VaR/ES, d24 beta, d15/d51 drawdown)
-had no fixed-income sibling; this adds the cash-flow-discounting
-family every securities master carries next to its instrument table.
+had no fixed-income/derivatives sibling; this adds the
+cash-flow-discounting and option-pricing families every securities
+master carries next to its instrument table.
 
 Registered past the driver's ~50-entry correctness cap on purpose
 (see plans/registry.py) — driver rows come in round 5; until then the

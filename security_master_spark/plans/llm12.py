@@ -370,3 +370,164 @@ def l58_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept_tok") / F.sum("n_tokens").cast("double"), 6
         ).alias("dedup_retention"),
     )
+
+
+@register(
+    "l59_bleu_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.doc_id AS pid, a.text AS ctext, b.text AS rtext
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0
+    ), ctok AS (
+        SELECT pid, UNNEST(string_split(ctext, ' ')) AS tok,
+               GENERATE_SUBSCRIPTS(string_split(ctext, ' '), 1) AS i
+        FROM pairs
+    ), rtok AS (
+        SELECT pid, UNNEST(string_split(rtext, ' ')) AS tok,
+               GENERATE_SUBSCRIPTS(string_split(rtext, ' '), 1) AS i
+        FROM pairs
+    ), lens AS (
+        SELECT c.pid, c.n AS clen, r.n AS rlen
+        FROM (SELECT pid, COUNT(*) AS n FROM ctok GROUP BY pid) c
+        JOIN (SELECT pid, COUNT(*) AS n FROM rtok GROUP BY pid) r
+          USING (pid)
+    ), c1 AS (
+        SELECT pid, tok, COUNT(*) AS c FROM ctok GROUP BY 1, 2
+    ), r1 AS (
+        SELECT pid, tok, COUNT(*) AS c FROM rtok GROUP BY 1, 2
+    ), prec1 AS (
+        SELECT c1.pid,
+               SUM(LEAST(c1.c, COALESCE(r1.c, 0))) AS clip,
+               SUM(c1.c) AS tot
+        FROM c1 LEFT JOIN r1 USING (pid, tok)
+        GROUP BY c1.pid
+    ), cbg AS (
+        SELECT pid, tok || ' ' || LEAD(tok) OVER w AS bg
+        FROM ctok WINDOW w AS (PARTITION BY pid ORDER BY i)
+        QUALIFY bg IS NOT NULL
+    ), rbg AS (
+        SELECT pid, tok || ' ' || LEAD(tok) OVER w AS bg
+        FROM rtok WINDOW w AS (PARTITION BY pid ORDER BY i)
+        QUALIFY bg IS NOT NULL
+    ), c2 AS (
+        SELECT pid, bg, COUNT(*) AS c FROM cbg GROUP BY 1, 2
+    ), r2 AS (
+        SELECT pid, bg, COUNT(*) AS c FROM rbg GROUP BY 1, 2
+    ), prec2 AS (
+        SELECT c2.pid,
+               SUM(LEAST(c2.c, COALESCE(r2.c, 0))) AS clip,
+               SUM(c2.c) AS tot
+        FROM c2 LEFT JOIN r2 USING (pid, bg)
+        GROUP BY c2.pid
+    ), scored AS (
+        SELECT lens.pid,
+               prec1.clip / CAST(prec1.tot AS DOUBLE) AS p1,
+               COALESCE(prec2.clip / CAST(prec2.tot AS DOUBLE), 0) AS p2,
+               CASE WHEN lens.clen > lens.rlen THEN 1.0
+                    ELSE EXP(1 - lens.rlen / CAST(lens.clen AS DOUBLE))
+               END AS bp
+        FROM lens
+        JOIN prec1 USING (pid)
+        LEFT JOIN prec2 USING (pid)
+    )
+    SELECT pid AS cand_doc_id,
+           FLOOR(p1 * 1e6 + 0.5) / 1e6 AS p1,
+           FLOOR(p2 * 1e6 + 0.5) / 1e6 AS p2,
+           FLOOR(bp * 1e6 + 0.5) / 1e6 AS brevity_penalty,
+           FLOOR(CASE WHEN p1 > 0 AND p2 > 0
+                      THEN bp * EXP(0.5 * LN(p1) + 0.5 * LN(p2))
+                      ELSE 0 END * 1e6 + 0.5) / 1e6 AS bleu2
+    FROM scored
+    """,
+)
+def l59_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 between deterministic candidate/reference document
+    pairs (doc 2k scored against doc 2k+1): modified n-gram precision
+    with CLIPPED multiset counts (each candidate n-gram credits at
+    most its reference multiplicity — the part Jaccard l4 and
+    containment l44 cannot express), geometric mean over n ∈ {{1,2}},
+    and the brevity penalty. The eval-suite scoring primitive
+    (Papineni et al. 2002) run as a corpus job — generation QA at
+    ingest scale.
+
+    Shape per n-gram order: explode → per-(pair, gram) counts on BOTH
+    sides (shuffles carry counts, not text), one LEFT key join, one
+    per-pair sum. The bigram stream reuses the materialized token
+    arrays via shingles_of (the no-CSE discipline from
+    functions/text.py). All joins are on (pair, gram) keys — no
+    all-pairs anything; candidate/reference pairing is an input, as
+    in any eval harness."""
+    from security_master_spark.functions.text import shingles_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 2 == 0)
+        .select(
+            F.col("a.doc_id").alias("pid"),
+            F.split(F.col("a.text"), " ", -1).alias("ctoks"),
+            F.split(F.col("b.text"), " ", -1).alias("rtoks"),
+        )
+    )
+
+    def gram_counts(col, n, out):
+        src = pairs.select(
+            "pid",
+            F.explode(
+                F.col(col) if n == 1 else shingles_of(F.col(col), 2)
+            ).alias("g"),
+        )
+        return src.groupBy("pid", "g").agg(F.count("*").alias(out))
+
+    def clipped(n):
+        c = gram_counts("ctoks", n, "c")
+        r = gram_counts("rtoks", n, "r")
+        return (
+            c.join(r, ["pid", "g"], "left")
+            .groupBy("pid")
+            .agg(
+                F.sum(F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0))))
+                .alias("clip"),
+                F.sum("c").alias("tot"),
+            )
+            .select(
+                "pid",
+                (F.col("clip") / F.col("tot").cast("double")).alias(
+                    f"p{n}_raw"
+                ),
+            )
+        )
+
+    lens = pairs.select(
+        "pid",
+        F.size("ctoks").alias("clen"),
+        F.size("rtoks").alias("rlen"),
+    )
+    bp = F.when(F.col("clen") > F.col("rlen"), F.lit(1.0)).otherwise(
+        F.exp(1 - F.col("rlen") / F.col("clen").cast("double"))
+    )
+    scored = (
+        lens.join(clipped(1), "pid")
+        .join(clipped(2), "pid", "left")
+        .select(
+            "pid",
+            "p1_raw",
+            F.coalesce("p2_raw", F.lit(0.0)).alias("p2_raw"),
+            bp.alias("bp_raw"),
+        )
+    )
+    bleu = F.when(
+        (F.col("p1_raw") > 0) & (F.col("p2_raw") > 0),
+        F.col("bp_raw")
+        * F.exp(0.5 * F.log("p1_raw") + 0.5 * F.log("p2_raw")),
+    ).otherwise(0.0)
+    return scored.select(
+        F.col("pid").alias("cand_doc_id"),
+        dround(F.col("p1_raw"), 6).alias("p1"),
+        dround(F.col("p2_raw"), 6).alias("p2"),
+        dround(F.col("bp_raw"), 6).alias("brevity_penalty"),
+        dround(bleu, 6).alias("bleu2"),
+    )
