@@ -446,7 +446,7 @@ def l59_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (doc 2k scored against doc 2k+1): modified n-gram precision
     with CLIPPED multiset counts (each candidate n-gram credits at
     most its reference multiplicity — the part Jaccard l4 and
-    containment l44 cannot express), geometric mean over n ∈ {{1,2}},
+    containment l44 cannot express), geometric mean over n ∈ {1,2},
     and the brevity penalty. The eval-suite scoring primitive
     (Papineni et al. 2002) run as a corpus job — generation QA at
     ingest scale.
