@@ -491,3 +491,140 @@ def d57_monte_carlo_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("std_err"),
         F.count("*").alias("n_paths"),
     )
+
+
+_IV_ITERS = 8
+_IV_SIG0 = 0.25  # Newton starting vol (25%)
+_SQRT_2PI = 2.5066282746310002
+
+
+def _bs_call_sql(sig: str) -> str:
+    d1 = (
+        f"((LN(s / k) + (r + {sig} * {sig} / 2) * tt)"
+        f" / ({sig} * SQRT(tt)))"
+    )
+    d2 = f"({d1} - {sig} * SQRT(tt))"
+    return (
+        f"(s * {_norm_cdf_sql(d1)}"
+        f" - k * EXP(-r * tt) * {_norm_cdf_sql(d2)})"
+    )
+
+
+def _vega_sql(sig: str) -> str:
+    d1 = (
+        f"((LN(s / k) + (r + {sig} * {sig} / 2) * tt)"
+        f" / ({sig} * SQRT(tt)))"
+    )
+    return (
+        f"(s * SQRT(tt) * EXP(-{d1} * {d1} / 2) / {_SQRT_2PI})"
+    )
+
+
+@register(
+    "d58_implied_volatility",
+    oracle=f"""
+    WITH opts AS (
+        SELECT p_partkey,
+               80.0 + (p_partkey % 40) AS s,
+               100.0 AS k,
+               0.02 + (p_partkey % 3) / 100.0 AS r,
+               0.25 * (1 + (p_partkey % 8)) AS tt,
+               0.15 + (p_partkey % 10) / 100.0 AS true_sigma
+        FROM part WHERE p_partkey <= 400
+    ), priced AS (
+        SELECT *, {_bs_call_sql("true_sigma")} AS price FROM opts
+    ), i0 AS (
+        SELECT *, {_IV_SIG0} AS sig FROM priced
+    ), i1 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i0
+    ), i2 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i1
+    ), i3 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i2
+    ), i4 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i3
+    ), i5 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i4
+    ), i6 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i5
+    ), i7 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i6
+    ), i8 AS (
+        SELECT * REPLACE (sig - ({_bs_call_sql("sig")} - price)
+                          / {_vega_sql("sig")} AS sig) FROM i7
+    )
+    SELECT p_partkey,
+           {sql_dround("price", 6)} AS price,
+           {sql_dround("100 * sig", 4)} AS implied_vol_pct,
+           {sql_dround("100 * (sig - true_sigma)", 4)} AS recovery_err
+    FROM i8
+    """,
+)
+def d58_implied_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied volatility by Newton-on-vega — the derivatives desk's
+    daily inverse problem, closing the ladder d56 (price) and d57
+    (simulate) opened: price each option at a known σ, then recover σ
+    from the price alone. Same zero-shuffle iterative discipline as
+    d55: eight Newton steps are eight stacked Projects rebinding the
+    vol ATTRIBUTE (deep-OTM short-dated options need the extra
+    steps — vega is tiny out there, the classic IV conditioning
+    issue); price and vega (S·φ(d1)·√T) reuse the A&S CDF
+    polynomial and closed-form normal pdf, all whole-stage codegen.
+    recovery_err must round to 0 at 4dp for every option (invariant-
+    tested) — Newton from 25 % converges quadratically on the
+    15-24 % vol grid."""
+    part = load_table(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    df = part.filter(p <= 400).select(
+        "p_partkey",
+        (F.lit(80.0) + (p % 40)).alias("s"),
+        F.lit(100.0).alias("k"),
+        (F.lit(0.02) + (p % 3) / 100.0).alias("r"),
+        (F.lit(0.25) * (1 + (p % 8))).alias("tt"),
+        (F.lit(0.15) + (p % 10) / 100.0).alias("true_sigma"),
+    )
+
+    def d1_of(sig):
+        return (
+            F.log(F.col("s") / F.col("k"))
+            + (F.col("r") + sig * sig / 2) * F.col("tt")
+        ) / (sig * F.sqrt(F.col("tt")))
+
+    def call_of(sig):
+        d1 = d1_of(sig)
+        d2 = d1 - sig * F.sqrt(F.col("tt"))
+        return F.col("s") * _norm_cdf(d1) - F.col("k") * F.exp(
+            -F.col("r") * F.col("tt")
+        ) * _norm_cdf(d2)
+
+    def vega_of(sig):
+        d1 = d1_of(sig)
+        return (
+            F.col("s")
+            * F.sqrt(F.col("tt"))
+            * F.exp(-d1 * d1 / 2)
+            / _SQRT_2PI
+        )
+
+    df = df.withColumn("price", call_of(F.col("true_sigma")))
+    df = df.withColumn("sig", F.lit(_IV_SIG0))
+    cols = ["p_partkey", "s", "k", "r", "tt", "true_sigma", "price"]
+    for _ in range(_IV_ITERS):
+        step = F.col("sig") - (call_of(F.col("sig")) - F.col("price")) / \
+            vega_of(F.col("sig"))
+        df = df.select(*cols, step.alias("sig"))
+    return df.select(
+        "p_partkey",
+        dround(F.col("price"), 6).alias("price"),
+        dround(100 * F.col("sig"), 4).alias("implied_vol_pct"),
+        dround(100 * (F.col("sig") - F.col("true_sigma")), 4).alias(
+            "recovery_err"
+        ),
+    )

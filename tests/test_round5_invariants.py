@@ -342,3 +342,12 @@ def test_monte_carlo_converges_to_black_scholes(spark, sf_dir):
         assert abs(r["mc_call"] - bs[k]) <= 4 * r["std_err"] + 1e-9, (
             k, r["mc_call"], bs[k], r["std_err"],
         )
+
+
+def test_implied_vol_recovers_the_pricing_sigma(spark, sf_dir):
+    """d58 prices at a known sigma then inverts: recovered implied
+    vol must equal the pricing vol to 4dp for every option."""
+    rows = _Q["d58_implied_volatility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["recovery_err"] == 0.0, (r["p_partkey"], r["recovery_err"])
