@@ -257,6 +257,7 @@ def d55_ytm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Abramowitz & Stegun 7.1.26 erf coefficients (|error| < 1.5e-7)
 _AS_P = 0.3275911
 _AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT_2PI = 2.5066282746310002
 
 
 def _norm_cdf_sql(x: str) -> str:
@@ -304,18 +305,26 @@ def _norm_cdf(x):
                    / (sigma * SQRT(tt)) AS d2
         FROM opts
     ), priced AS (
-        SELECT p_partkey, s, k, r, tt,
+        SELECT p_partkey, s, k, r, tt, sigma, d1,
                s * {_norm_cdf_sql("d1")}
                    - k * EXP(-r * tt) * {_norm_cdf_sql("d2")} AS call,
                k * EXP(-r * tt) * {_norm_cdf_sql("(-d2)")}
                    - s * {_norm_cdf_sql("(-d1)")} AS put,
-               {_norm_cdf_sql("d1")} AS delta_call
+               {_norm_cdf_sql("d1")} AS delta_call,
+               EXP(-d1 * d1 / 2) / {_SQRT_2PI} AS pdf1,
+               {_norm_cdf_sql("d2")} AS nd2
         FROM d
     )
     SELECT p_partkey,
            {sql_dround("call", 6)} AS call,
            {sql_dround("put", 6)} AS put,
            {sql_dround("delta_call", 6)} AS delta_call,
+           {sql_dround("pdf1 / (s * sigma * SQRT(tt))", 8)} AS gamma,
+           {sql_dround("s * pdf1 * SQRT(tt)", 6)} AS vega,
+           {sql_dround(
+               "-s * pdf1 * sigma / (2 * SQRT(tt))"
+               " - r * k * EXP(-r * tt) * nd2", 6)} AS theta_call,
+           {sql_dround("k * tt * EXP(-r * tt) * nd2", 6)} AS rho_call,
            {sql_dround("call - put - (s - k * EXP(-r * tt))", 6)}
                AS parity_residual
     FROM priced
@@ -351,7 +360,7 @@ def d56_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("r") + F.col("sigma") * F.col("sigma") / 2) * F.col("tt")
     ) / sig_sqt
     d = opts.select(
-        "p_partkey", "s", "k", "r", "tt",
+        "p_partkey", "s", "k", "r", "tt", "sigma",
         d1.alias("d1"), (d1 - sig_sqt).alias("d2"),
     )
     disc = F.col("k") * F.exp(-F.col("r") * F.col("tt"))
@@ -361,16 +370,30 @@ def d56_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
     put = disc * _norm_cdf(-F.col("d2")) - F.col("s") * _norm_cdf(
         -F.col("d1")
     )
+    pdf1 = F.exp(-F.col("d1") * F.col("d1") / 2) / _SQRT_2PI
     priced = d.select(
-        "p_partkey", "s", "tt", "r", "k",
+        "p_partkey", "s", "tt", "r", "k", "sigma",
         call.alias("call"), put.alias("put"),
         _norm_cdf(F.col("d1")).alias("delta_call"),
+        pdf1.alias("pdf1"),
+        _norm_cdf(F.col("d2")).alias("nd2"),
     )
+    sqt = F.sqrt(F.col("tt"))
     return priced.select(
         "p_partkey",
         dround(F.col("call"), 6).alias("call"),
         dround(F.col("put"), 6).alias("put"),
         dround(F.col("delta_call"), 6).alias("delta_call"),
+        dround(
+            F.col("pdf1") / (F.col("s") * F.col("sigma") * sqt), 8
+        ).alias("gamma"),
+        dround(F.col("s") * F.col("pdf1") * sqt, 6).alias("vega"),
+        dround(
+            -F.col("s") * F.col("pdf1") * F.col("sigma") / (2 * sqt)
+            - F.col("r") * disc * F.col("nd2"),
+            6,
+        ).alias("theta_call"),
+        dround(F.col("tt") * disc * F.col("nd2"), 6).alias("rho_call"),
         dround(
             F.col("call") - F.col("put") - (F.col("s") - disc), 6
         ).alias("parity_residual"),
@@ -495,7 +518,6 @@ def d57_monte_carlo_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IV_ITERS = 8
 _IV_SIG0 = 0.25  # Newton starting vol (25%)
-_SQRT_2PI = 2.5066282746310002
 
 
 def _bs_call_sql(sig: str) -> str:
