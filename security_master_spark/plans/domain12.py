@@ -650,3 +650,118 @@ def d58_implied_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recovery_err"
         ),
     )
+
+
+@register(
+    "d59_min_variance_pairs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               value,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                  DATE_TRUNC('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, value AS close
+        FROM ranked WHERE rn = 1
+    ), rets AS (
+        SELECT event_type, day,
+               close / LAG(close) OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS r
+        FROM daily
+    ), aligned AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, a.r AS ra, b.r AS rb
+        FROM rets a JOIN rets b
+          ON b.day = a.day AND a.event_type < b.event_type
+        WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+    ), stats AS (
+        SELECT ta, tb, COUNT(*) AS n_days,
+               VAR_SAMP(ra) AS v1, VAR_SAMP(rb) AS v2,
+               COVAR_SAMP(ra, rb) AS c12
+        FROM aligned GROUP BY ta, tb
+    )
+    SELECT ta AS type_a, tb AS type_b, n_days,
+           {sql_dround("(v2 - c12) / (v1 + v2 - 2 * c12)", 6)} AS w_a,
+           {sql_dround(
+               "SQRT(POWER((v2 - c12) / (v1 + v2 - 2 * c12), 2) * v1"
+               " + POWER(1 - (v2 - c12) / (v1 + v2 - 2 * c12), 2) * v2"
+               " + 2 * ((v2 - c12) / (v1 + v2 - 2 * c12))"
+               "     * (1 - (v2 - c12) / (v1 + v2 - 2 * c12)) * c12)",
+               8)} AS min_var_vol
+    FROM stats
+    """,
+)
+def d59_min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-asset minimum-variance portfolio weights per symbol pair —
+    the closed-form Markowitz cell (w_a = (σ_b² − σ_ab)/(σ_a² + σ_b²
+    − 2σ_ab), unconstrained), plus the resulting portfolio vol. The
+    2-asset case has an analytic inverse, so unlike a full N-asset
+    optimizer (whose Σ⁻¹ is the l48/IVF driver-holds-constants
+    pattern) every number here is SQL-derivable and the driver hash
+    certifies the whole computation.
+
+    Shape: ticks collapse to daily closes FIRST (last tick per day
+    via a per-day rank), returns via one lag window over the
+    collapsed frame, the
+    pair join aligns day keys on O(symbols·days) rows, and var/covar
+    are algebraic aggregates folding map-side — the d28/d44
+    collapse-then-join discipline; nothing quadratic ever sees tick
+    data."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    rnw = Window.partitionBy(
+        "event_type", F.date_trunc("day", "ts")
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+            F.row_number().over(rnw).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "day", F.col("value").alias("close"))
+    )
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = daily.select(
+        "event_type",
+        "day",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a, b = rets.alias("a"), rets.alias("b")
+    aligned = a.join(
+        b,
+        (F.col("b.day") == F.col("a.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.r").alias("ra"),
+        F.col("b.r").alias("rb"),
+    )
+    stats = aligned.groupBy("ta", "tb").agg(
+        F.count("*").alias("n_days"),
+        F.var_samp("ra").alias("v1"),
+        F.var_samp("rb").alias("v2"),
+        F.covar_samp("ra", "rb").alias("c12"),
+    )
+    w_a = (F.col("v2") - F.col("c12")) / (
+        F.col("v1") + F.col("v2") - 2 * F.col("c12")
+    )
+    w_b = 1 - w_a
+    vol = F.sqrt(
+        w_a * w_a * F.col("v1")
+        + w_b * w_b * F.col("v2")
+        + 2 * w_a * w_b * F.col("c12")
+    )
+    return stats.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_days",
+        dround(w_a, 6).alias("w_a"),
+        dround(vol, 8).alias("min_var_vol"),
+    )
