@@ -45,11 +45,13 @@ def isin_check_digit(payload: Column) -> Column:
 
 
 def isin_is_valid(isin: Column) -> Column:
-    """True iff the 12-char ISIN's final digit matches the Luhn check
-    digit of its first 11 characters."""
+    """True iff the 12-char ISIN is well-formed (2-letter country code,
+    9 alphanumerics, digit check) AND its final digit matches the Luhn
+    check digit of its first 11 characters. The character-class guard
+    matters: without it any out-of-class char (lowercase, punctuation)
+    falls through ``ascii(c)-55`` and can coincidentally validate."""
     return (
-        (F.length(isin) == 12)
-        & F.substring(isin, 12, 1).between("0", "9")
+        isin.rlike("^[A-Z]{2}[0-9A-Z]{9}[0-9]$")
         & (
             F.substring(isin, 12, 1).cast("int")
             == isin_check_digit(F.substring(isin, 1, 11))
@@ -90,11 +92,13 @@ def cusip_check_digit(base8: Column) -> Column:
 
 
 def cusip_is_valid(cusip: Column) -> Column:
-    """True iff the 9-char CUSIP's final digit matches the check digit
-    of its first 8 characters."""
+    """True iff the 9-char CUSIP is well-formed (8 chars in the CUSIP
+    alphabet [0-9A-Z*@#], digit check) AND its final digit matches the
+    check digit of its first 8 characters. The rlike guard keeps
+    out-of-class chars (lowercase, punctuation) from coincidentally
+    validating via the ``ascii(c)-55`` fallthrough."""
     return (
-        (F.length(cusip) == 9)
-        & F.substring(cusip, 9, 1).between("0", "9")
+        cusip.rlike("^[0-9A-Z*@#]{8}[0-9]$")
         & (
             F.substring(cusip, 9, 1).cast("int")
             == cusip_check_digit(F.substring(cusip, 1, 8))
@@ -124,11 +128,12 @@ def sedol_check_digit(base6: Column) -> Column:
 
 
 def sedol_is_valid(sedol: Column) -> Column:
-    """True iff the 7-char SEDOL's final digit matches the check digit
-    of its first 6 characters."""
+    """True iff the 7-char SEDOL is well-formed (6 alphanumerics, digit
+    check) AND its final digit matches the check digit of its first 6
+    characters. The rlike guard keeps out-of-class chars from
+    coincidentally validating via the ``ascii(c)-55`` fallthrough."""
     return (
-        (F.length(sedol) == 7)
-        & F.substring(sedol, 7, 1).between("0", "9")
+        sedol.rlike("^[0-9A-Z]{6}[0-9]$")
         & (
             F.substring(sedol, 7, 1).cast("int")
             == sedol_check_digit(F.substring(sedol, 1, 6))

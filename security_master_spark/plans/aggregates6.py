@@ -191,8 +191,11 @@ def a27_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     name the output columns — it is a small-result operator by
     contract (here 3×3 after a full aggregate collapses the fact
     table; the aggregate itself is the usual partial+final hash agg).
-    Never transpose an uncollapsed table."""
+    The contract is ENFORCED, not advisory: ``transpose_small``
+    (operators/transpose.py) probes cardinality with a bounded
+    limit+count and raises on an uncollapsed input."""
     from security_master_spark.functions.rounding import dround
+    from security_master_spark.operators.transpose import transpose_small
 
     li = load_table(spark, sf_dir, "lineitem")
     m = li.groupBy("l_returnflag").agg(
@@ -200,4 +203,4 @@ def a27_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("l_quantity"), 4).alias("sum_qty"),
         dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
     )
-    return m.transpose("l_returnflag")
+    return transpose_small(m, "l_returnflag")

@@ -18,6 +18,12 @@ from security_master_spark.functions.rounding import dround, sql_dround
 
 from security_master_spark.plans.registry import register
 
+# Hard cap on distinct brands per order in the d47 pair stage: bounds
+# the per-order quadratic at 64*63/2 pairs regardless of data shape
+# (the g4 hub-cap discipline). TPC-H orders carry <= 7 line items, so
+# the fixture result is provably unchanged.
+_MAX_BASKET_BREADTH = 64
+
 
 @register(
     "d47_basket_lift",
@@ -29,10 +35,13 @@ from security_master_spark.plans.registry import register
         SELECT CAST(COUNT(DISTINCT okey) AS DOUBLE) AS n_orders FROM ob
     ), sup AS (
         SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n FROM ob GROUP BY brand
+    ), capped AS (
+        SELECT okey FROM ob GROUP BY okey HAVING COUNT(*) <= 64
     ), pairs AS (
         SELECT a.brand AS brand_a, b.brand AS brand_b,
                CAST(COUNT(*) AS DOUBLE) AS n_both
         FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+        JOIN capped c ON c.okey = a.okey
         GROUP BY a.brand, b.brand
     )
     SELECT p.brand_a, p.brand_b,
@@ -56,11 +65,18 @@ def d47_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift > 1 = bought together more than chance — the
     cross-sell/bundling panel). Collapse-first discipline twice over:
     line items collapse to DISTINCT (order, brand) before any pair
-    work, and the quadratic stage runs per order over its ~few
-    distinct brands — the same bounded fan-out argument as the g2
-    wedge join, with the n_both floor dropping the noise tail before
-    the metric arithmetic. Support tables broadcast; the 1-row
-    order-count crossJoin is the allowlisted a15 shape."""
+    work, and the quadratic stage runs per order over its distinct
+    brands with a HARD breadth cap (orders with > 64 distinct brands
+    — ``_MAX_BASKET_BREADTH`` — are dropped before the pair join — the g4 hub-cap
+    reasoning: the bound is a property of the PLAN, not a hope about
+    the data; on TPC-H-shaped orders, ≤7 lines each, nothing is ever
+    dropped, and at scale a pathological mega-basket can no longer
+    go quadratic). Support/total denominators stay over the FULL
+    basket set, so capping only under-counts pair support for dropped
+    mega-baskets — the same documented trade-off as g4's dropped
+    hubs. The n_both floor drops the noise tail before the metric
+    arithmetic. Support tables broadcast; the 1-row order-count
+    crossJoin is the allowlisted a15 shape."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ob = (
@@ -73,7 +89,15 @@ def d47_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ob.agg(F.countDistinct("okey").cast("double").alias("n_orders"))
     sup = ob.groupBy("brand").agg(F.count("*").cast("double").alias("n"))
-    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    capped = (
+        ob.groupBy("okey")
+        .count()
+        .filter(F.col("count") <= _MAX_BASKET_BREADTH)
+        .select("okey")
+    )
+    a = ob.join(capped, "okey").select(
+        "okey", F.col("brand").alias("brand_a")
+    )
     b = ob.select("okey", F.col("brand").alias("brand_b"))
     pairs = (
         a.join(b, "okey")

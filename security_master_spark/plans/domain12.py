@@ -683,12 +683,12 @@ def d58_implied_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM aligned GROUP BY ta, tb
     )
     SELECT ta AS type_a, tb AS type_b, n_days,
-           {sql_dround("(v2 - c12) / (v1 + v2 - 2 * c12)", 6)} AS w_a,
+           {sql_dround("(v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0)", 6)} AS w_a,
            {sql_dround(
-               "SQRT(POWER((v2 - c12) / (v1 + v2 - 2 * c12), 2) * v1"
-               " + POWER(1 - (v2 - c12) / (v1 + v2 - 2 * c12), 2) * v2"
-               " + 2 * ((v2 - c12) / (v1 + v2 - 2 * c12))"
-               "     * (1 - (v2 - c12) / (v1 + v2 - 2 * c12)) * c12)",
+               "SQRT(POWER((v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0), 2) * v1"
+               " + POWER(1 - (v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0), 2) * v2"
+               " + 2 * ((v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0))"
+               "     * (1 - (v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0)) * c12)",
                8)} AS min_var_vol
     FROM stats
     """,
@@ -749,8 +749,12 @@ def d59_min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp("rb").alias("v2"),
         F.covar_samp("ra", "rb").alias("c12"),
     )
-    w_a = (F.col("v2") - F.col("c12")) / (
-        F.col("v1") + F.col("v2") - 2 * F.col("c12")
+    # NULLIF-guarded denominator: identical / perfectly-correlated
+    # return series make v1+v2-2*c12 == 0, which would be a
+    # data-dependent DIVIDE_BY_ZERO under ANSI mode. NULL (not inf)
+    # on both engines keeps the oracle hash aligned.
+    w_a = (F.col("v2") - F.col("c12")) / F.nullif(
+        F.col("v1") + F.col("v2") - 2 * F.col("c12"), F.lit(0.0)
     )
     w_b = 1 - w_a
     vol = F.sqrt(

@@ -51,20 +51,27 @@ def w7_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     each observation to its neighborhood WITHOUT letting it pull the
     average toward itself (the standard form for peer-deviation
     signals and leave-one-out baselines). Portable rewrite: the
-    excluded mean is algebra over the plain frame, (sum − x)/(cnt −
-    1), so Spark evaluates one ordinary 21-row frame computing sum
-    and count — same single WindowExec, no second pass. The oracle
-    runs DuckDB's NATIVE `EXCLUDE CURRENT ROW`, so the hash match
-    certifies the rewrite law itself."""
+    excluded mean is algebra over the plain frame, (sum −
+    coalesce(x,0))/(cnt − [x not null]), so Spark evaluates one
+    ordinary 21-row frame computing sum and count — same single
+    WindowExec, no second pass. The null-aware form matters:
+    count('value') already excludes null rows, so a NULL current row
+    must subtract nothing from either side — the naive (sum−x)/(cnt−1)
+    would go NULL and double-discount while the frame clause still
+    averages the peers. The oracle runs DuckDB's NATIVE `EXCLUDE
+    CURRENT ROW`, so the hash match certifies the rewrite law
+    itself."""
     events = load_table(spark, sf_dir, "events")
     frame = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(-_HALF, _HALF)
     )
+    x = F.col("value")
     loo = F.try_divide(
-        F.sum("value").over(frame) - F.col("value"),
-        F.count("value").over(frame) - 1,
+        F.sum("value").over(frame) - F.coalesce(x, F.lit(0.0)),
+        F.count("value").over(frame)
+        - F.when(x.isNotNull(), 1).otherwise(0),
     )
     return events.select(
         "event_id",
