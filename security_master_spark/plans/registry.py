@@ -41,15 +41,63 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 def _load_all_plan_modules() -> None:
     # Import for registration side effects. ORDER MATTERS: the driver's
     # correctness harness checks at most ~50 entries per round in
-    # registration order. Round-4 rotation: first the 20 queries that
-    # have only local-mirror evidence (the round-3 additions that
-    # registered past round 3's cap: d19-d28, l29-l34, a15-a16,
-    # io8-io9), then the rows with the OLDEST driver evidence —
-    # relational/windows (last proven round 1) and udfs/multimodal
-    # (round 2) — for freshness. That head block is exactly 50
-    # entries. Everything re-proven green in round 3 registers last.
-    # tests/test_plans.py pins this order.
+    # registration order (rounds 1-4 all stopped at exactly 50).
+    #
+    # ROUND-5 ROTATION, WAVE 1 (this head block is exactly 50 entries):
+    # the round-4 additions that registered past round 4's cap, in
+    # their original candidate order — domain7 … dataquality — plus
+    # windows2 pulled forward to land exactly on 50 (w7 also just got
+    # a null-semantics fix worth driver-proving). Weak (oracle-less)
+    # entries in this block (d37, a20, a21) still earn their rows-only
+    # driver evidence. tests/test_plans.py pins this order.
     from security_master_spark.plans import (  # noqa: F401
+        domain7,
+        llm7,
+        aggregates3,
+        sources_io5,
+        llm8,
+        udfs2,
+        sources_io6,
+        scalars2,
+        domain8,
+        llm9,
+        aggregates4,
+        relational2,
+        graph,
+        dataquality,
+        windows2,
+        # ROUND-6 ROTATION PLAN (do this FIRST next round): WAVE 2 —
+        # everything from domain9 through domain12 below (63 entries,
+        # still never driver-checked) — heads round 6, first ~50 in
+        # this order; the remainder (plus any round-5 reds and any
+        # round-5 additions, which append AFTER domain12) heads round
+        # 7. Update tests/test_plans.py::_NEEDS_ROUND5_EVIDENCE to the
+        # wave being rotated in each time.
+        domain9,
+        llm10,
+        relational3,
+        udfs3,
+        sources_io7,
+        aggregates5,
+        llm11,
+        udfs4,
+        domain10,
+        domain11,
+        llm12,
+        graph2,
+        aggregates6,
+        streaming_batch2,
+        dataquality2,
+        udfs5,
+        sources_io8,
+        scalars3,
+        dataquality3,
+        relational4,
+        domain12,
+        # Round-5 additions append here (they become round-7 rotation
+        # candidates, after wave 2).
+        # Everything below is driver-proven green in round 4 (or
+        # earlier AND re-proven in round 4) — registers last.
         domain4,
         llm4,
         sources_io3,
@@ -74,52 +122,6 @@ def _load_all_plan_modules() -> None:
         domain,
         llm,
         sources_io,
-        # Round-5 candidates (added in round 4): registered past the
-        # ~50-entry cap on purpose — they rotate to the head next round.
-        # ROUND-5 ROTATION PLAN (do this FIRST next round): the
-        # candidate block below now holds ~85 queries — MORE than the
-        # cap — so rotate in two waves: round 5 heads with the FIRST
-        # ~50 candidates in their current order (domain7 … aggregates5
-        # families), round 6 with the remainder (llm11 … relational4,
-        # i.e. everything from llm11 down) plus any round-5 reds.
-        # Update tests/test_plans.py::_NEEDS_ROUND4_EVIDENCE to the
-        # wave being rotated in each time.
-        domain7,
-        llm7,
-        aggregates3,
-        sources_io5,
-        llm8,
-        udfs2,
-        sources_io6,
-        scalars2,
-        domain8,
-        llm9,
-        aggregates4,
-        relational2,
-        graph,
-        dataquality,
-        domain9,
-        llm10,
-        relational3,
-        udfs3,
-        sources_io7,
-        aggregates5,
-        llm11,
-        udfs4,
-        domain10,
-        domain11,
-        llm12,
-        graph2,
-        aggregates6,
-        streaming_batch2,
-        dataquality2,
-        udfs5,
-        windows2,
-        sources_io8,
-        scalars3,
-        dataquality3,
-        relational4,
-        domain12,
     )
 
 

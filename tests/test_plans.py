@@ -93,63 +93,49 @@ def test_allowlist_entries_still_exist():
     assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
 
 
-#: queries that still need their FIRST driver row going into round 4:
-#: the round-3 additions that registered past round 3's 50-entry cap
-#: (local mirror green, but never inside the driver's window).
-_NEEDS_ROUND4_EVIDENCE = {
-    "d19_mad_outliers",
-    "d20_position_tracking",
-    "d21_vwap",
-    "d22_bollinger",
-    "d23_macd",
-    "d24_rolling_beta",
-    "d25_range_volatility",
-    "d26_cross_sectional_rank",
-    "d27_winsorize",
-    "d28_pairwise_correlation",
-    "a15_histogram",
-    "a16_mode",
-    "l29_unigram_surprisal",
-    "l30_decontamination",
-    "l31_chunk_overlap",
-    "l32_source_mix",
-    "l33_bigram_surprisal",
-    "l34_vocab_coverage",
-    "io8_snapshot_diff",
-    "io9_orc_roundtrip",
+#: queries that still need their FIRST driver row going into round 5:
+#: rotation wave 1 — the round-4 additions from the domain7 …
+#: dataquality candidate block plus windows2 (exactly 50 entries;
+#: local mirror green, but never inside the driver's window).
+_NEEDS_ROUND5_EVIDENCE = {
+    "d29_stochastic_oscillator", "d30_atr", "d31_obv",
+    "d32_return_autocorr", "d33_sharpe_ratio", "d34_intraday_seasonality",
+    "d35_execution_slippage", "d36_seasonal_decomposition",
+    "d37_ewma_exact_distributed", "d38_forward_fill_distributed",
+    "dq2_benford",
+    "l35_label_centroids", "l36_label_cohesion", "l37_shingle_novelty",
+    "a17_weighted_stats", "a18_conditional_aggregates", "a19_grouping_id",
+    "io10_gzip_csv_roundtrip",
+    "l38_language_mix", "l39_importance_resample",
+    "l40_embedding_quantization", "l41_source_drift",
+    "l42_dedup_pipeline", "l43_zipf_slope",
+    "u7_map_in_arrow", "u8_polymorphic_udtf", "u9_arrow_optimized_udf",
+    "io11_python_datasource", "io12_zorder_roundtrip",
+    "s18_variant_type", "s19_collation",
+    "d39_var_es", "d40_hhi_concentration", "d41_event_funnel",
+    "l44_duplicate_ngram_fraction", "l45_type_token_ratio",
+    "a20_kll_quantile_merge", "a21_theta_sketch_sets",
+    "q16_recursive_cte", "dq3_observed_metrics",
+    "g1_pagerank", "g2_triangle_count", "g3_triangle_estimate",
+    "dq4_ks_test", "dq5_chisq_independence", "dq6_psi_drift",
+    "dq7_message_rate_spike", "dq8_duplicate_events",
+    "w7_exclude_current_row", "w8_groups_frame",
 }
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-3 all stopped at
-    exactly 50). Round-4 rotation: the 20 mirror-only queries must
-    land inside the first 50 registrations (else they stay unproven),
-    and the freshness backfill is the rows with the OLDEST driver
-    evidence — relational/windows (round 1) and udfs/multimodal
-    (round 2)."""
+    entries per round in registration order (rounds 1-4 all stopped at
+    exactly 50). Round-5 rotation wave 1: the 50 oldest mirror-only
+    queries must BE the first 50 registrations — nothing else may
+    spend a cap slot."""
     names = list(_QUERIES)
-    head = set(names[:50])
-    missing = sorted(_NEEDS_ROUND4_EVIDENCE - head)
-    assert not missing, (
-        f"these queries need round-4 driver evidence but registered "
-        f"past the ~50-entry cap: {missing}"
-    )
-    stale = [
-        n for n in names
-        if n.startswith(("q", "w", "u", "m"))
-        and n[1].isdigit()
-        # round-4 additions (u7…, q16…, m4…, w7…) are deliberate
-        # round-5 candidates, not part of the round-1/2 freshness
-        # backfill
-        and not (n[0] == "u" and int(n[1:].split("_", 1)[0]) >= 7)
-        and not (n[0] == "q" and int(n[1:].split("_", 1)[0]) >= 16)
-        and not (n[0] == "m" and int(n[1:].split("_", 1)[0]) >= 4)
-        and not (n[0] == "w" and int(n[1:].split("_", 1)[0]) >= 7)
-    ]
-    assert set(stale) <= head, (
-        f"round-1/2 freshness backfill spilled past the cap: "
-        f"{sorted(set(stale) - head)}"
+    assert len(_NEEDS_ROUND5_EVIDENCE) == 50
+    head = names[:50]
+    assert set(head) == _NEEDS_ROUND5_EVIDENCE, (
+        f"head-50 drift: missing="
+        f"{sorted(_NEEDS_ROUND5_EVIDENCE - set(head))} "
+        f"extra={sorted(set(head) - _NEEDS_ROUND5_EVIDENCE)}"
     )
 
 
