@@ -139,6 +139,26 @@ def test_registration_order_puts_unproven_queries_first():
     )
 
 
+def test_every_registered_query_has_an_inventory_mention():
+    """The judged operator inventory (SURVEY.md §2, with COVERAGE.md
+    as its name-bearing companion) must be a SUPERSET of the registry.
+    A query registered without an inventory mention is invisible to
+    the coverage audit (the round-4 drift: a23/a25/q22/l51 were
+    implemented and mirror-green but absent from the checklist)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inventory = ""
+    for doc in ("SURVEY.md", "COVERAGE.md"):
+        with open(os.path.join(root, doc), encoding="utf-8") as f:
+            inventory += f.read()
+    missing = sorted(n for n in _QUERIES if n not in inventory)
+    assert not missing, (
+        f"registered queries with no SURVEY.md/COVERAGE.md mention: "
+        f"{missing} — add an inventory row for each"
+    )
+
+
 def test_partition_pruning_reaches_scan(spark, sf_dir):
     """The io3 partitioned-sink read-back must prune to one partition
     directory at PLANNING time: the l_returnflag predicate has to show
