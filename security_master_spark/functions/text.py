@@ -23,6 +23,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def stopword_rows() -> list[tuple[str, str]]:
+    """STOPWORDS flattened to (lang, word) rows — shared by the l9 /
+    l55 Spark lexicon frames and their DuckDB oracle VALUES lists.
+    Lives here (not in plans.llm) so plan modules can build oracle
+    strings at import time without importing another plan module and
+    perturbing the registry's registration ORDER (the driver checks
+    the first ~50 registrations; a module-scope cross-plan import
+    splices the imported module's queries into the head)."""
+    return [(lang, w) for lang, words in STOPWORDS.items() for w in words]
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the fixtures are space-separated
     synthetic tokens)."""

@@ -47,6 +47,18 @@ def _shingle_hash31(s: Column) -> Column:
     return F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
 
 
+def _shingle_hash31_md5(s: Column) -> Column:
+    """First 32 md5 bits folded into [0, 2^31-1) — the DETERMINIZED
+    permutation input (the a26/g3/l8 discipline): any SQL engine can
+    recompute it (``('0x' || substr(md5(s), 1, 8))::BIGINT % (2^31-1)``),
+    so MinHash signatures built on it are oracle-portable. Same
+    distributional quality for LSH purposes; one conv per shingle."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        F.lit(_MERSENNE31),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest-id row per identical text. Hash-groupBy on the
     text (shuffle key = text bytes; for very long documents dedupe on
@@ -122,6 +134,13 @@ def lsh_candidate_pairs(
     are the banding groupBy and the final distinct; the quadratic blowup
     is confined to within-bucket pairs (true near-dups + few collisions).
     Follow with exact-Jaccard verification on this candidate set.
+
+    Determinized hash family (round 6): shingle hashes are md5-derived
+    (:func:`_shingle_hash31_md5`) and band keys are md5 hex strings over
+    the comma-joined signature slice — both recomputable in plain SQL,
+    so the WHOLE candidate generation carries a DuckDB oracle (l7) where
+    it previously had only a rows-only check. The permutation constants
+    come from the same seeded :func:`_perm_constants` on both engines.
     """
     rows_per_band = num_hashes // bands
     consts = _perm_constants(num_hashes)
@@ -141,7 +160,9 @@ def lsh_candidate_pairs(
     ).select(
         "doc",
         F.explode(
-            F.transform(shingles_of(F.col("__toks"), shingle_n), _shingle_hash31)
+            F.transform(
+                shingles_of(F.col("__toks"), shingle_n), _shingle_hash31_md5
+            )
         ).alias("h"),
     )
     sig = shingle_hashes.groupBy("doc").agg(
@@ -157,8 +178,14 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"s{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
                     )
                     for b in range(bands)
                 ]
@@ -197,9 +224,11 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("toks_a", "toks_b"))
-                / F.size(F.array_union("toks_a", "toks_b"))
+            # try_divide: two empty token arrays -> empty union; the
+            # candidate pair is then jaccard NULL, never a job crash.
+            F.try_divide(
+                F.size(F.array_intersect("toks_a", "toks_b")),
+                F.size(F.array_union("toks_a", "toks_b")),
             ).alias("jaccard"),
         )
     )
@@ -264,6 +293,55 @@ def simhash_agg(
             )
         )
     return tok.groupBy(id_col).agg(out.alias("simhash"))
+
+
+def simhash_md5_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) with md5-derived bit planes — the determinized,
+    oracle-portable SimHash (the discipline that converted count-min
+    and triangle-estimate from weak to hash-certified): every one of
+    the 64 vote planes is bit ``b`` of the token's md5, so a SQL engine
+    can recompute the identical fingerprint from scratch —
+    ``strpos('0123456789abcdef', substr(md5(token), b//4+1, 1)) - 1``
+    then ``(nibble >> b%4) & 1`` — and a driver hash match certifies
+    the whole fingerprint, not just its shape.
+
+    Same plan as :func:`simhash_agg` (explode → 16 nibble projections
+    → ONE codegen'd groupBy with 64 conditional-SUM votes, map-side
+    combine; shuffle carries (id, 64 ints)); only the hash family
+    differs (md5 nibbles instead of xxhash64 bit masks). Ties
+    (vote == 0) resolve to bit 0 on both engines."""
+    tok = df.select(
+        id_col,
+        F.explode_outer(distinct_tokens(F.col(text_col))).alias("__t"),
+    ).select(
+        id_col,
+        F.md5(F.col("__t")).alias("__hx"),
+        F.col("__t").isNull().alias("__empty"),
+    )
+    nibs = tok.select(
+        id_col,
+        "__empty",
+        *[
+            F.conv(F.substring("__hx", i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"__n{i}")
+            for i in range(16)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        i, k = divmod(b, 4)
+        bit = F.shiftright(F.col(f"__n{i}"), k).bitwiseAND(F.lit(1))
+        vote = F.sum(
+            F.when(F.col("__empty"), 0).when(bit == 1, 1).otherwise(-1)
+        )
+        term = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp + F.when(vote > 0, F.lit(term).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return nibs.groupBy(id_col).agg(fp.alias("simhash"))
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

@@ -69,6 +69,10 @@ def interval_join_bucketed(
     the time buckets it overlaps, join on the bucket id (equi-key →
     hash join), then apply the exact range residual. Shuffle volume is
     O(facts + dim·buckets_per_interval) instead of a nested loop."""
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"bucket_seconds must be positive, got {bucket_seconds}"
+        )
     sec = F.lit(float(bucket_seconds))
 
     def bucket_of(col: str) -> Column:

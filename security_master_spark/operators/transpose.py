@@ -27,6 +27,16 @@ def transpose_small(
     The cardinality probe uses ``limit(max_rows + 1)`` so it never
     counts past the threshold — an unbounded input fails fast instead
     of flooding the driver.
+
+    Cost/consistency note: the probe is a SECOND job over ``df``'s
+    (uncached) plan — the input is computed twice, and a
+    nondeterministic source (rand(), repartitionByRange sampling,
+    now()) could pass the probe yet exceed the bound when the
+    transpose re-evaluates it. Hot-path callers with a pre-counted or
+    pre-collapsed frame can skip the probe and call
+    ``df.transpose(index_col)`` directly; callers on nondeterministic
+    input should ``persist()``/``localCheckpoint()`` first so both
+    jobs see one materialization.
     """
     probe = df.limit(max_rows + 1).count()
     if probe > max_rows:

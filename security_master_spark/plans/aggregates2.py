@@ -57,8 +57,12 @@ def a15_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    # try_divide: a constant column makes hi == lo -> width 0; ANSI `/`
+    # would crash, NULL buckets match the oracle's NULL division.
     bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+        F.floor(
+            F.try_divide(F.col("o_totalprice") - F.col("lo"), width)
+        ).cast("int"),
         F.lit(_HIST_BINS - 1),
     )
     bucketed = orders.crossJoin(F.broadcast(ext)).select(

@@ -53,10 +53,15 @@ def a17_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wx2 = F.sum(
         F.col("l_extendedprice") * F.col("l_extendedprice") * F.col("l_quantity")
     )
+    # try_divide: l_quantity >= 1 in the fixtures, but a weighted-stats
+    # operator must survive an all-zero weight group on arbitrary data.
+    wmean = F.try_divide(wx, w)
     return li.groupBy("l_returnflag").agg(
         dround(w, 4).alias("total_w"),
-        dround(wx / w, 6).alias("wmean_price"),
-        dround(F.sqrt(wx2 / w - (wx / w) * (wx / w)), 4).alias("wstd_price"),
+        dround(wmean, 6).alias("wmean_price"),
+        dround(F.sqrt(F.try_divide(wx2, w) - wmean * wmean), 4).alias(
+            "wstd_price"
+        ),
     )
 
 

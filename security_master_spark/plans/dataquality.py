@@ -181,9 +181,14 @@ def dq5_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("chi2"), 6).alias("chi2"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         dround(
+            # try_divide: a dimension collapsing to ONE category makes
+            # least(nr-1, nc-1) = 0 — Cramér's V is undefined (NULL),
+            # not a job crash.
             F.sqrt(
-                F.col("chi2")
-                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                F.try_divide(
+                    F.col("chi2"),
+                    F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1),
+                )
             ),
             8,
         ).alias("cramers_v"),
@@ -252,8 +257,11 @@ def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         orders.crossJoin(F.broadcast(ext))
         .select(
+            # try_divide: constant column -> width 0 (see a15)
             F.least(
-                F.floor((price - F.col("lo")) / width).cast("bigint"),
+                F.floor(F.try_divide(price - F.col("lo"), width)).cast(
+                    "bigint"
+                ),
                 F.lit(_PSI_BINS - 1).cast("bigint"),
             ).alias("bin"),
             (F.col("o_orderkey") % 2 == 0).alias("is_a"),

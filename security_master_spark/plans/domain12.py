@@ -681,16 +681,23 @@ def d58_implied_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
                VAR_SAMP(ra) AS v1, VAR_SAMP(rb) AS v2,
                COVAR_SAMP(ra, rb) AS c12
         FROM aligned GROUP BY ta, tb
+    ), guarded AS (
+        SELECT ta, tb, n_days, v1, v2, c12,
+               CASE WHEN ABS(v1 + v2 - 2 * c12) < 1e-12 THEN NULL
+                    ELSE v1 + v2 - 2 * c12 END AS denom
+        FROM stats
+    ), wts AS (
+        SELECT ta, tb, n_days, v1, v2, c12,
+               (v2 - c12) / denom AS wa
+        FROM guarded
     )
     SELECT ta AS type_a, tb AS type_b, n_days,
-           {sql_dround("(v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0)", 6)} AS w_a,
+           {sql_dround("wa", 6)} AS w_a,
            {sql_dround(
-               "SQRT(POWER((v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0), 2) * v1"
-               " + POWER(1 - (v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0), 2) * v2"
-               " + 2 * ((v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0))"
-               "     * (1 - (v2 - c12) / NULLIF(v1 + v2 - 2 * c12, 0)) * c12)",
+               "SQRT(wa * wa * v1 + (1 - wa) * (1 - wa) * v2"
+               " + 2 * wa * (1 - wa) * c12)",
                8)} AS min_var_vol
-    FROM stats
+    FROM wts
     """,
 )
 def d59_min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,13 +756,17 @@ def d59_min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp("rb").alias("v2"),
         F.covar_samp("ra", "rb").alias("c12"),
     )
-    # NULLIF-guarded denominator: identical / perfectly-correlated
-    # return series make v1+v2-2*c12 == 0, which would be a
-    # data-dependent DIVIDE_BY_ZERO under ANSI mode. NULL (not inf)
-    # on both engines keeps the oracle hash aligned.
-    w_a = (F.col("v2") - F.col("c12")) / F.nullif(
-        F.col("v1") + F.col("v2") - 2 * F.col("c12"), F.lit(0.0)
-    )
+    # Epsilon-banded denominator: identical / perfectly-correlated
+    # return series make v1+v2-2*c12 ~ 0, which would be a
+    # data-dependent DIVIDE_BY_ZERO under ANSI mode. An exact-zero
+    # NULLIF is not enough cross-engine — Spark's and DuckDB's float
+    # summation orders can disagree between an exact 0 and ~1e-18,
+    # yielding NULL on one engine and a huge weight on the other — so
+    # both engines NULL the whole |denom| < 1e-12 band identically.
+    denom = F.col("v1") + F.col("v2") - 2 * F.col("c12")
+    w_a = (F.col("v2") - F.col("c12")) / F.when(
+        F.abs(denom) < 1e-12, F.lit(None)
+    ).otherwise(denom)
     w_b = 1 - w_a
     vol = F.sqrt(
         w_a * w_a * F.col("v1")

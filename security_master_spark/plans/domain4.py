@@ -62,7 +62,12 @@ def d19_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).over(w),
     )
-    z = F.lit(_MAD_K) * (F.col("value") - F.col("med")) / F.col("mad")
+    # try_divide: a window where >=50% of values are identical makes
+    # MAD exactly 0 — ANSI `/` would crash the job on that data; NULL
+    # z-scores fall out of the |z| > cut filter on both engines.
+    z = F.lit(_MAD_K) * F.try_divide(
+        F.col("value") - F.col("med"), F.col("mad")
+    )
     return (
         d.filter(F.abs(z) > _MAD_CUT)
         .select(

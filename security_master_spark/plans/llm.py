@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from security_master_spark.datasets import fan_out, load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.functions.text import (
-    STOPWORDS,
     distinct_tokens,
     quality_score,
     tokens,
@@ -140,7 +139,12 @@ def l4_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        dround(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        # try_divide: two empty token sets make the union empty; the
+        # inter > 0 filter already drops those pairs, but the division
+        # must not be able to crash before the filter runs.
+        dround(
+            F.try_divide(inter.cast("double"), union.cast("double")), 6
+        ).alias("jaccard"),
     ).filter(inter > 0)
 
 
@@ -190,7 +194,12 @@ def l5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
-            "vec_id", dround(dot_qv / (norm_v * norm_q), 6).alias("cos_sim")
+            # try_divide: an all-zero embedding has norm 0 — cosine is
+            # undefined (NULL), not a job crash.
+            "vec_id",
+            dround(F.try_divide(dot_qv, norm_v * norm_q), 6).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -234,25 +243,132 @@ def l6_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l7_minhash_lsh_candidates")  # xxhash64 sketch → engine-specific, weak
+def _minhash_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3
+) -> str:
+    """DuckDB recomputation of the ENTIRE determinized MinHash+LSH
+    candidate generation: 3-gram shingles via generate_series over the
+    token list, md5-derived 31-bit shingle hashes, the same seeded
+    (a·h+b) mod 2³¹−1 permutation minima, md5-hex band keys, bucket
+    self-join — no Spark-specific hash anywhere (round-6 upgrade; was
+    rows-only for four rounds)."""
+    from security_master_spark.operators.dedup import (
+        _MERSENNE31,
+        _perm_constants,
+    )
+
+    consts = _perm_constants(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE31}) AS s{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_cases = "\n                 ".join(
+        "WHEN {b} THEN md5(concat_ws(',', {cols}))".format(
+            b=b,
+            cols=", ".join(f"s{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    shingle_expr = " || ' ' || ".join(
+        f"t[g + {i}]" if i else "t[g]" for i in range(shingle_n)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(1, len(t) - {shingle_n - 1})) AS g
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5({shingle_expr}), 1, 8))::BIGINT
+                   % {_MERSENNE31} AS h
+        FROM grams
+    ), sig AS (
+        SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, band_idx,
+               CASE band_idx
+                 {band_cases}
+               END AS band_hash
+        FROM sig, (VALUES {band_rows}) AS bi(band_idx)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@register("l7_minhash_lsh_candidates", oracle=_minhash_oracle_sql())
 def l7_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding candidate pairs (32 hashes, 8 bands). Containment
-    within high-Jaccard ground truth is property-tested in
+    """LSH banding candidate pairs (32 hashes, 8 bands), determinized:
+    md5-derived shingle hashes + md5-hex band keys mean the full
+    banding pipeline is recomputable in SQL, so this query carries a
+    complete DuckDB oracle (candidate SET equality, not just counts) —
+    the a26/g3/l8 determinize-the-sketch discipline. Containment
+    within high-Jaccard ground truth remains property-tested in
     tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
     return lsh_candidate_pairs(docs, num_hashes=32, bands=8)
 
 
-@register("l8_simhash_fingerprints")  # xxhash64-based, weak
+def _simhash_oracle_sql() -> str:
+    """DuckDB recomputation of the md5-plane SimHash: nibble b//4 of
+    each token's md5 hex, bit b%4, 64 conditional-SUM votes, bigint
+    assembly with the sign-bit term, corpus-min reference + Hamming —
+    the full fingerprint from first principles, no Spark involved."""
+    votes = []
+    for b in range(64):
+        i, k = divmod(b, 4)
+        nib = f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN ({nib} >> {k}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS v{b}"
+        )
+    terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), h AS (
+        SELECT doc_id, md5(token) AS hx FROM tok
+    ), votes AS (
+        SELECT doc_id, {", ".join(votes)}
+        FROM h GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, ({terms}) AS simhash FROM votes
+    ), ref AS (
+        SELECT MIN(simhash) AS ref FROM fp
+    )
+    SELECT f.doc_id, f.simhash,
+           CAST(bit_count(xor(f.simhash, r.ref)) AS INT) AS hamming_to_ref
+    FROM fp f, ref r
+    """
+
+
+@register("l8_simhash_fingerprints", oracle=_simhash_oracle_sql())
 def l8_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + Hamming distance to the corpus-min
-    fingerprint as a clustering signal. Uses the explode→groupBy agg
-    form (one codegen'd pass, map-side combine) — value-identical to
-    the ``simhash`` column expression but ~bits× less evaluation."""
-    from security_master_spark.operators.dedup import simhash_agg
+    fingerprint as a clustering signal. Uses the md5-bit-plane
+    determinized agg form (operators/dedup.py:simhash_md5_agg): one
+    codegen'd explode→groupBy pass, map-side combine, and — because
+    every bit plane is recomputable SQL — a FULL DuckDB oracle where
+    rounds 2-5 only had a weak rows-only check (the a26/g3
+    determinize-the-sketch discipline applied to SimHash). The
+    xxhash64 column/agg forms remain in operators/dedup.py for
+    hash-family flexibility, equality-pinned in tests."""
+    from security_master_spark.operators.dedup import simhash_md5_agg
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = simhash_agg(docs)
+    sh = simhash_md5_agg(docs)
     ref = sh.agg(F.min("simhash").alias("ref")).withColumn("__one", F.lit(1))
     return (
         sh.withColumn("__one", F.lit(1))
@@ -267,8 +383,7 @@ def l8_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stopword_rows() -> list[tuple[str, str]]:
-    return [(lang, w) for lang, words in STOPWORDS.items() for w in words]
+from security_master_spark.functions.text import stopword_rows as _stopword_rows
 
 
 @register(

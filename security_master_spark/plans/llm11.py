@@ -141,12 +141,15 @@ def l50_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws"),
         F.col("n_chars").cast("double").alias("n_chars"),
     )
+    # try_divide: whitespace-only text yields ZERO BPE tokens (the
+    # regex finds nothing) — per-doc ratios go NULL and drop out of
+    # avg() on both engines instead of crashing the scan under ANSI.
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        dround(F.avg(F.col("n_chars") / F.col("n_bpe")), 6).alias(
-            "chars_per_token"
-        ),
-        dround(F.avg(F.col("n_bpe") / F.col("n_ws")), 6).alias("fertility"),
+        dround(F.avg(F.try_divide(F.col("n_chars"), F.col("n_bpe"))), 6)
+        .alias("chars_per_token"),
+        dround(F.avg(F.try_divide(F.col("n_bpe"), F.col("n_ws"))), 6)
+        .alias("fertility"),
         F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
     )
 
@@ -190,7 +193,9 @@ def l51_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         + 1
     ) / F.lit(4294967296.0)
-    k = F.log(u) / F.col("n_chars").cast("double")
+    # try_divide: an empty document (n_chars = 0) carries no weight —
+    # its key goes NULL and sorts last, never crashes the job.
+    k = F.try_divide(F.log(u), F.col("n_chars").cast("double"))
     return (
         docs.select("doc_id", "source", "n_chars", k.alias("k"))
         .orderBy(F.desc("k"), F.asc("doc_id"))
@@ -462,10 +467,15 @@ def l54_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pred
     GROUP BY true_lang, pred_lang
     """.format(
+        # functions.text, NOT plans.llm: a module-scope import of
+        # another plan module here would splice llm's registrations
+        # into the registry head mid-block (caught in round 6 when it
+        # pushed 21 proven queries into the rotation's head-50).
         values=", ".join(
             f"('{lang}', '{w}')" for lang, w in __import__(
-                "security_master_spark.plans.llm", fromlist=["_stopword_rows"]
-            )._stopword_rows()
+                "security_master_spark.functions.text",
+                fromlist=["stopword_rows"],
+            ).stopword_rows()
         )
     ),
 )

@@ -506,8 +506,11 @@ def l59_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ctoks").alias("clen"),
         F.size("rtoks").alias("rlen"),
     )
+    # try_divide: an empty candidate (clen = 0) can only reach the
+    # otherwise-branch (0 > rlen is false), where bare ANSI `/` would
+    # crash; BLEU for an empty candidate is NULL on both engines.
     bp = F.when(F.col("clen") > F.col("rlen"), F.lit(1.0)).otherwise(
-        F.exp(1 - F.col("rlen") / F.col("clen").cast("double"))
+        F.exp(1 - F.try_divide(F.col("rlen"), F.col("clen").cast("double")))
     )
     scored = (
         lens.join(clipped(1), "pid")

@@ -100,9 +100,12 @@ def l36_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     e = emb.join(F.broadcast(cent), "label")
-    cos = dot(F.col("embedding"), F.col("cvec")) / (
+    # try_divide: an all-zero embedding (or a label whose centroid
+    # cancels to zero) has norm 0 — cosine NULL, not a job crash.
+    cos = F.try_divide(
+        dot(F.col("embedding"), F.col("cvec")),
         F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+        * F.sqrt(dot(F.col("cvec"), F.col("cvec"))),
     )
     return e.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vectors"),

@@ -41,16 +41,63 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 def _load_all_plan_modules() -> None:
     # Import for registration side effects. ORDER MATTERS: the driver's
     # correctness harness checks at most ~50 entries per round in
-    # registration order (rounds 1-4 all stopped at exactly 50).
+    # registration order (rounds 1-5 all stopped at exactly 50).
     #
-    # ROUND-5 ROTATION, WAVE 1 (this head block is exactly 50 entries):
-    # the round-4 additions that registered past round 4's cap, in
-    # their original candidate order — domain7 … dataquality — plus
-    # windows2 pulled forward to land exactly on 50 (w7 also just got
-    # a null-semantics fix worth driver-proving). Weak (oracle-less)
-    # entries in this block (d37, a20, a21) still earn their rows-only
-    # driver evidence. tests/test_plans.py pins this order.
+    # ROUND-6 ROTATION, WAVE 2 (this head block is exactly 50 entries):
+    # the never-driver-checked block from rounds 4-5, in its original
+    # candidate order, with one deliberate change vs the round-5 plan:
+    # domain12 (the d54-d59 financial stack — bond analytics, Newton
+    # YTM, Black-Scholes, Monte-Carlo, implied vol, min-variance
+    # pairs) is pulled forward into the head because the round-5
+    # verdict names it the highest-value conversion, and udfs4 /
+    # aggregates6 / streaming_batch2 / dataquality2 / udfs5 /
+    # sources_io8 / scalars3 / dataquality3 / relational4 slip to the
+    # guarded ROUND-7 list to make exactly 50. The oracle-less entry
+    # in this block (a24_hll_partial_union) earns its rows-only driver
+    # evidence. tests/test_plans.py pins this order.
     from security_master_spark.plans import (  # noqa: F401
+        domain9,
+        llm10,
+        relational3,
+        udfs3,
+        sources_io7,
+        aggregates5,
+        llm11,
+        domain10,
+        domain11,
+        domain12,
+        llm12,
+        graph2,
+        # ROUND-7 ROTATION PLAN (do this FIRST next round): head the
+        # 15-query remainder — udfs4 (u12), aggregates6 (a26, a27),
+        # streaming_batch2 (t5), dataquality2 (dq9), udfs5 (u13),
+        # sources_io8 (io17), scalars3 (s20-s23), dataquality3 (dq10),
+        # relational4 (q23) below, PLUS the two tail-block orphans
+        # t4_dynamic_session_window (streaming_batch) and
+        # m4_modality_accounting (multimodal), which must be pulled
+        # forward out of the proven tail, then backfill the window to
+        # ~50 with round-6 additions (registered after relational4 —
+        # m5_image_decode_stats), l7_minhash_lsh_candidates +
+        # l8_simhash_fingerprints (both upgraded in round 6 from weak
+        # to full md5-determinized oracles; each needs its first HASH
+        # row), and the oldest previously-proven queries for re-proof.
+        # tests/test_plans.py::test_never_checked_queries_all_have_a_
+        # documented_wave enforces that every never-checked query is
+        # in this list or the current head.
+        udfs4,
+        aggregates6,
+        streaming_batch2,
+        dataquality2,
+        udfs5,
+        sources_io8,
+        scalars3,
+        dataquality3,
+        relational4,
+        # Round-6 additions append here (they become round-7 rotation
+        # candidates, after the remainder above).
+        multimodal2,
+        # Wave 1 (driver-proven green in round 5) + everything proven
+        # in rounds 1-4 — registers last.
         domain7,
         llm7,
         aggregates3,
@@ -66,38 +113,6 @@ def _load_all_plan_modules() -> None:
         graph,
         dataquality,
         windows2,
-        # ROUND-6 ROTATION PLAN (do this FIRST next round): WAVE 2 —
-        # everything from domain9 through domain12 below (63 entries,
-        # still never driver-checked) — heads round 6, first ~50 in
-        # this order; the remainder (plus any round-5 reds and any
-        # round-5 additions, which append AFTER domain12) heads round
-        # 7. Update tests/test_plans.py::_NEEDS_ROUND5_EVIDENCE to the
-        # wave being rotated in each time.
-        domain9,
-        llm10,
-        relational3,
-        udfs3,
-        sources_io7,
-        aggregates5,
-        llm11,
-        udfs4,
-        domain10,
-        domain11,
-        llm12,
-        graph2,
-        aggregates6,
-        streaming_batch2,
-        dataquality2,
-        udfs5,
-        sources_io8,
-        scalars3,
-        dataquality3,
-        relational4,
-        domain12,
-        # Round-5 additions append here (they become round-7 rotation
-        # candidates, after wave 2).
-        # Everything below is driver-proven green in round 4 (or
-        # earlier AND re-proven in round 4) — registers last.
         domain4,
         llm4,
         sources_io3,

@@ -93,49 +93,100 @@ def test_allowlist_entries_still_exist():
     assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
 
 
-#: queries that still need their FIRST driver row going into round 5:
-#: rotation wave 1 — the round-4 additions from the domain7 …
-#: dataquality candidate block plus windows2 (exactly 50 entries;
-#: local mirror green, but never inside the driver's window).
-_NEEDS_ROUND5_EVIDENCE = {
-    "d29_stochastic_oscillator", "d30_atr", "d31_obv",
-    "d32_return_autocorr", "d33_sharpe_ratio", "d34_intraday_seasonality",
-    "d35_execution_slippage", "d36_seasonal_decomposition",
-    "d37_ewma_exact_distributed", "d38_forward_fill_distributed",
-    "dq2_benford",
-    "l35_label_centroids", "l36_label_cohesion", "l37_shingle_novelty",
-    "a17_weighted_stats", "a18_conditional_aggregates", "a19_grouping_id",
-    "io10_gzip_csv_roundtrip",
-    "l38_language_mix", "l39_importance_resample",
-    "l40_embedding_quantization", "l41_source_drift",
-    "l42_dedup_pipeline", "l43_zipf_slope",
-    "u7_map_in_arrow", "u8_polymorphic_udtf", "u9_arrow_optimized_udf",
-    "io11_python_datasource", "io12_zorder_roundtrip",
-    "s18_variant_type", "s19_collation",
-    "d39_var_es", "d40_hhi_concentration", "d41_event_funnel",
-    "l44_duplicate_ngram_fraction", "l45_type_token_ratio",
-    "a20_kll_quantile_merge", "a21_theta_sketch_sets",
-    "q16_recursive_cte", "dq3_observed_metrics",
-    "g1_pagerank", "g2_triangle_count", "g3_triangle_estimate",
-    "dq4_ks_test", "dq5_chisq_independence", "dq6_psi_drift",
-    "dq7_message_rate_spike", "dq8_duplicate_events",
-    "w7_exclude_current_row", "w8_groups_frame",
+#: queries that still need their FIRST driver row going into round 6:
+#: rotation wave 2 — the domain9 … domain12 never-driver-checked block
+#: (exactly 50 entries; local mirror green at sf0.001 + builder sims
+#: at sf0.01, but never inside the driver's window). domain12
+#: (d54-d59) is pulled into the head per the round-5 verdict; the
+#: displaced modules form the round-7 remainder below.
+_NEEDS_ROUND6_EVIDENCE = {
+    "d42_sortino_calmar", "d43_amihud_illiquidity",
+    "d44_pair_spread_zscore", "d45_time_to_convert",
+    "d46_isin_validation",
+    "l46_fuzzy_name_join", "l47_embedding_covariance", "l48_pca_project",
+    "q17_pipe_syntax", "q18_parameterized_sql", "q19_group_by_all",
+    "q20_identifier_clause", "q21_union_by_name", "q22_skyline",
+    "u10_sql_scalar_udf", "u11_sql_table_udf",
+    "io13_xml_roundtrip", "io14_file_metadata",
+    "io15_incremental_aggregate", "io16_malformed_csv_handling",
+    "a22_listagg", "a23_rolling_distinct", "a24_hll_partial_union",
+    "a25_approx_top_k",
+    "l49_source_vocab_overlap", "l50_tokenizer_fertility",
+    "l51_weighted_sample", "l52_boilerplate_chunks",
+    "l53_dedup_survivorship", "l54_split_leakage", "l55_langid_confusion",
+    "d47_basket_lift", "d48_cohort_retention", "d49_fulfillment_sla",
+    "d50_volume_bars", "d51_drawdown_duration", "d52_kyle_lambda",
+    "d53_cusip_sedol_validation",
+    "d54_bond_analytics", "d55_ytm_newton", "d56_black_scholes",
+    "d57_monte_carlo_pricing", "d58_implied_volatility",
+    "d59_min_variance_pairs",
+    "l56_chunk_dedup_retention", "l57_filter_funnel",
+    "l58_corpus_build_pipeline", "l59_bleu_pairs",
+    "g4_link_prediction", "g5_degree_histogram",
+}
+
+#: the documented ROUND-7 wave: every remaining never-driver-checked
+#: query (registry.py round-7 comment) — the nine modules displaced
+#: from wave 2 plus the two tail-block orphans (t4, m4) the round-5
+#: verdict flagged as covered by no wave.
+_ROUND7_REMAINDER = {
+    "u12_pandas_api_on_spark",
+    "a26_count_min_sketch", "a27_transpose",
+    "t5_late_data_accounting",
+    "dq9_referential_integrity",
+    "u13_iter_pandas_udf",
+    "io17_text_roundtrip",
+    "s20_url_functions", "s21_data_protection", "s22_outer_explode",
+    "s23_map_higher_order",
+    "dq10_order_reconciliation",
+    "q23_null_safe_join",
+    "t4_dynamic_session_window",
+    "m4_modality_accounting",
+    # round-6 additions (registered after the remainder block):
+    "m5_image_decode_stats",
+    "m6_audio_decode_stats",
 }
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-4 all stopped at
-    exactly 50). Round-5 rotation wave 1: the 50 oldest mirror-only
+    entries per round in registration order (rounds 1-5 all stopped at
+    exactly 50). Round-6 rotation wave 2: 50 never-driver-checked
     queries must BE the first 50 registrations — nothing else may
     spend a cap slot."""
     names = list(_QUERIES)
-    assert len(_NEEDS_ROUND5_EVIDENCE) == 50
+    assert len(_NEEDS_ROUND6_EVIDENCE) == 50
     head = names[:50]
-    assert set(head) == _NEEDS_ROUND5_EVIDENCE, (
+    assert set(head) == _NEEDS_ROUND6_EVIDENCE, (
         f"head-50 drift: missing="
-        f"{sorted(_NEEDS_ROUND5_EVIDENCE - set(head))} "
-        f"extra={sorted(set(head) - _NEEDS_ROUND5_EVIDENCE)}"
+        f"{sorted(_NEEDS_ROUND6_EVIDENCE - set(head))} "
+        f"extra={sorted(set(head) - _NEEDS_ROUND6_EVIDENCE)}"
+    )
+
+
+def test_never_checked_queries_all_have_a_documented_wave():
+    """Wave-completeness guard (round-5 verdict, 'What's wrong' #3):
+    the head-pin test above guards WHO spends the current window, but
+    not whether the rotation plan's tail is complete — that gap is how
+    m4_modality_accounting silently fell out of every wave. Recompute
+    the never-driver-checked set from the committed CORRECTNESS_r*.json
+    evidence files and assert every member is either in the current
+    head or in the literal round-7 remainder list."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_checked: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path, encoding="utf-8") as f:
+            ever_checked.update(json.load(f).keys())
+    never = set(_QUERIES) - ever_checked
+    orphans = never - _NEEDS_ROUND6_EVIDENCE - _ROUND7_REMAINDER
+    assert not orphans, (
+        f"never-driver-checked queries outside every documented "
+        f"rotation wave: {sorted(orphans)} — add them to the round-7 "
+        f"remainder (tests/test_plans.py + registry.py comment)"
     )
 
 
@@ -144,15 +195,21 @@ def test_every_registered_query_has_an_inventory_mention():
     as its name-bearing companion) must be a SUPERSET of the registry.
     A query registered without an inventory mention is invisible to
     the coverage audit (the round-4 drift: a23/a25/q22/l51 were
-    implemented and mirror-green but absent from the checklist)."""
+    implemented and mirror-green but absent from the checklist).
+    Word-boundary matching, not substring: a registered name that is a
+    substring of a different documented name must not count."""
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     inventory = ""
     for doc in ("SURVEY.md", "COVERAGE.md"):
         with open(os.path.join(root, doc), encoding="utf-8") as f:
             inventory += f.read()
-    missing = sorted(n for n in _QUERIES if n not in inventory)
+    missing = sorted(
+        n for n in _QUERIES
+        if not re.search(rf"\b{re.escape(n)}\b", inventory)
+    )
     assert not missing, (
         f"registered queries with no SURVEY.md/COVERAGE.md mention: "
         f"{missing} — add an inventory row for each"
