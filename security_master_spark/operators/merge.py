@@ -225,6 +225,42 @@ def _stage_snapshot(spark, base_dir: str, df: DataFrame) -> str:
     return staging
 
 
+def sweep_orphaned_staging(
+    base_dir: str, min_age_seconds: float = 3600.0
+) -> list[str]:
+    """Remove crash-orphaned staging directories older than
+    ``min_age_seconds``; returns the paths removed.
+
+    A writer that dies between staging and commit leaves an inert
+    directory under ``_staging/`` — invisible to readers (only
+    ``v000N`` dirs are data) but consuming storage. The age guard is
+    the correctness condition: a LIVE writer's staging dir must never
+    be swept mid-commit, so the threshold should comfortably exceed
+    the longest plausible stage→commit gap (the rename itself is
+    instantaneous; the gap is the staging write). Committed versions
+    are untouchable by construction — they live outside ``_staging/``.
+    """
+    import os
+    import shutil
+    import time
+
+    root = f"{base_dir}/_staging"
+    if not os.path.isdir(root):
+        return []
+    removed = []
+    now = time.time()
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # concurrently committed (renamed away) — done
+        if age >= min_age_seconds:
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 def try_commit_staged(base_dir: str, staging_path: str, version: int) -> bool:
     """Atomically commit a staged snapshot as ``version``: a single
     POSIX ``rename(staging, v000N)``. Rename onto an existing directory

@@ -68,22 +68,32 @@ def d16_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "event_type", "ts", "value", F.row_number().over(w).alias("rn")
     )
-    decay = F.pow(F.lit(1 - _EWMA_ALPHA), F.col("k"))
     # The k=0 contribution row carries the target row's own (ts, value)
     # payload, so the aggregate REBUILDS the output row and no join
     # back to `base` is needed — one Exchange fewer, measured ~9%
     # faster at sf0.1 (interleaved A/B minimums; join form 2.28 s,
     # this form 2.09 s). Phantom rn_t past a series' end have no k=0
-    # row → null ts → filtered.
-    contrib = base.withColumn(
-        "k", F.explode(F.sequence(F.lit(0), F.lit(_EWMA_LAGS - 1)))
+    # row → null ts → filtered. The lag kernel is a PLAN-TIME literal
+    # (operators/ewma.py:lag_weight_structs) — no per-row pow
+    # (measured 2.3× on the same shape in d23's stage 1).
+    from security_master_spark.operators.ewma import lag_weight_structs
+
+    e = F.col("e")
+    contrib = base.select(
+        "event_type",
+        "rn",
+        "ts",
+        "value",
+        F.explode(
+            lag_weight_structs(_EWMA_LAGS, w=1 - _EWMA_ALPHA)
+        ).alias("e"),
     ).select(
         "event_type",
-        (F.col("rn") + F.col("k")).alias("rn_t"),
-        (F.col("value") * decay).alias("wx"),
-        decay.alias("w"),
-        F.when(F.col("k") == 0, F.col("ts")).alias("ts0"),
-        F.when(F.col("k") == 0, F.col("value")).alias("v0"),
+        (F.col("rn") + e.k).alias("rn_t"),
+        (F.col("value") * e.w).alias("wx"),
+        e.w.alias("w"),
+        F.when(e.k == 0, F.col("ts")).alias("ts0"),
+        F.when(e.k == 0, F.col("value")).alias("v0"),
     )
     agg = contrib.groupBy("event_type", "rn_t").agg(
         F.sum("wx").alias("num"),

@@ -181,21 +181,34 @@ def d23_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "event_type", "ts", "value", F.row_number().over(w).alias("rn")
     )
-    k = F.col("k")
-    fast, slow = F.pow(F.lit(1 - _MACD_FAST_A), k), F.pow(
-        F.lit(1 - _MACD_SLOW_A), k
-    )
-    contrib = base.withColumn(
-        "k", F.explode(F.sequence(F.lit(0), F.lit(_MACD_LAGS - 1)))
+    # Both decay kernels ride ONE explode as plan-time literal struct
+    # fields (operators/ewma.py:lag_weight_structs) — no per-row pow:
+    # measured 2.50 s → 1.10 s for this stage at sf0.1 (fresh-JVM
+    # interleaved minimums; the round-6 bench audit showed the ~4 s
+    # battery number was real cost, and pow — 4 evaluations per
+    # exploded record × 7M records — was most of it).
+    from security_master_spark.operators.ewma import lag_weight_structs
+
+    e = F.col("e")
+    contrib = base.select(
+        "event_type",
+        "rn",
+        "ts",
+        "value",
+        F.explode(
+            lag_weight_structs(
+                _MACD_LAGS, fw=1 - _MACD_FAST_A, sw=1 - _MACD_SLOW_A
+            )
+        ).alias("e"),
     ).select(
         "event_type",
-        (F.col("rn") + k).alias("rn_t"),
-        (F.col("value") * fast).alias("fx"),
-        fast.alias("fw"),
-        (F.col("value") * slow).alias("sx"),
-        slow.alias("sw"),
-        F.when(k == 0, F.col("ts")).alias("ts0"),
-        F.when(k == 0, F.col("value")).alias("v0"),
+        (F.col("rn") + e.k).alias("rn_t"),
+        (F.col("value") * e.fw).alias("fx"),
+        e.fw.alias("fw"),
+        (F.col("value") * e.sw).alias("sx"),
+        e.sw.alias("sw"),
+        F.when(e.k == 0, F.col("ts")).alias("ts0"),
+        F.when(e.k == 0, F.col("value")).alias("v0"),
     )
     macd = (
         contrib.groupBy("event_type", "rn_t")
@@ -209,17 +222,21 @@ def d23_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .withColumnRenamed("rn_t", "rn")
     )
-    sig_decay = F.pow(F.lit(1 - _SIG_A), k)
-    sig_contrib = macd.withColumn(
-        "k", F.explode(F.sequence(F.lit(0), F.lit(_SIG_LAGS - 1)))
+    sig_contrib = macd.select(
+        "event_type",
+        "rn",
+        "ts",
+        "value",
+        "macd",
+        F.explode(lag_weight_structs(_SIG_LAGS, gw=1 - _SIG_A)).alias("e"),
     ).select(
         "event_type",
-        (F.col("rn") + k).alias("rn_t"),
-        (F.col("macd") * sig_decay).alias("gx"),
-        sig_decay.alias("gw"),
-        F.when(k == 0, F.col("ts")).alias("ts0"),
-        F.when(k == 0, F.col("value")).alias("v0"),
-        F.when(k == 0, F.col("macd")).alias("m0"),
+        (F.col("rn") + e.k).alias("rn_t"),
+        (F.col("macd") * e.gw).alias("gx"),
+        e.gw.alias("gw"),
+        F.when(e.k == 0, F.col("ts")).alias("ts0"),
+        F.when(e.k == 0, F.col("value")).alias("v0"),
+        F.when(e.k == 0, F.col("macd")).alias("m0"),
     )
     out = (
         sig_contrib.groupBy("event_type", "rn_t")

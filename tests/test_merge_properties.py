@@ -188,3 +188,58 @@ def test_concurrent_upsert_threads_all_survive(spark, tmp_path):
     final = {(r.k, r.v) for r in read_snapshot(spark, base).collect()}
     want = {(i * 10 + j, float(i)) for i in range(4) for j in range(3)}
     assert final == want
+
+
+def test_crash_between_stage_and_commit_recovers(spark, tmp_path):
+    """A writer that dies AFTER staging but BEFORE the commit rename
+    must leave the table fully usable: readers see only committed
+    versions, the next writer commits normally (the orphan never
+    blocks a version number), and sweep_orphaned_staging removes the
+    orphan by age without touching committed data or a fresh staging
+    dir that could belong to a live writer."""
+    import os
+
+    from security_master_spark.operators.merge import (
+        _stage_snapshot,
+        latest_snapshot_version,
+        merge_upsert,
+        read_snapshot,
+        sweep_orphaned_staging,
+        upsert_parquet_snapshot_concurrent,
+    )
+
+    base = str(tmp_path / "ds")
+    seed = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    upsert_parquet_snapshot_concurrent(spark, base, seed, keys=["k"])
+
+    # writer "crashes" here: staged, never committed
+    t = read_snapshot(spark, base)
+    dead = spark.createDataFrame([(9, 90.0)], ["k", "v"])
+    orphan = _stage_snapshot(spark, base, merge_upsert(t, dead, ["k"]))
+    assert os.path.isdir(orphan)
+
+    # table is undisturbed and the next writer proceeds normally
+    assert latest_snapshot_version(spark, base) == 1
+    upd = spark.createDataFrame([(3, 30.0)], ["k", "v"])
+    upsert_parquet_snapshot_concurrent(spark, base, upd, keys=["k"])
+    assert latest_snapshot_version(spark, base) == 2
+    assert {(r.k, r.v) for r in read_snapshot(spark, base).collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+        (3, 30.0),
+    }
+    # the crashed writer's keys never leaked into any committed version
+    assert 9 not in {r.k for r in read_snapshot(spark, base).collect()}
+
+    # a fresh (young) staging dir survives a guarded sweep...
+    assert sweep_orphaned_staging(base, min_age_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    # ...and an aged orphan is removed, committed versions untouched
+    removed = sweep_orphaned_staging(base, min_age_seconds=0)
+    assert removed == [orphan]
+    assert not os.path.isdir(orphan)
+    assert latest_snapshot_version(spark, base) == 2
+    assert {(r.k, r.v) for r in read_snapshot(spark, base, 1).collect()} == {
+        (1, 10.0),
+        (2, 20.0),
+    }
