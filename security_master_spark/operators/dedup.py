@@ -344,6 +344,42 @@ def simhash_md5_agg(
     return nibs.groupBy(id_col).agg(fp.alias("simhash"))
 
 
+def simhash_fp_ctes() -> str:
+    """DuckDB WITH-clause body (tok, h, votes, fp) rebuilding
+    (doc_id, simhash) from first principles — the SQL twin of
+    :func:`simhash_md5_agg`, kept next to it so the two definitions
+    of the algorithm evolve together. Lives here (registration-free
+    module) so plan modules can embed it in oracle strings at import
+    time without importing another plan module (which would splice
+    registrations into the registry head — see plans/registry.py).
+    Used by the l8 oracle (plans/llm.py) and the l60 dedup-retention
+    oracle (plans/llm13.py)."""
+    votes = []
+    for b in range(64):
+        i, k = divmod(b, 4)
+        nib = f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN ({nib} >> {k}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS v{b}"
+        )
+    terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    return f"""tok AS (
+        SELECT DISTINCT doc_id, t.token AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), h AS (
+        SELECT doc_id, md5(token) AS hx FROM tok
+    ), votes AS (
+        SELECT doc_id, {", ".join(votes)}
+        FROM h GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, ({terms}) AS simhash FROM votes
+    )"""
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash document fingerprint: sign-aggregate per bit of token
     hashes. Hamming-close fingerprints ⇒ similar token distributions.

@@ -317,35 +317,13 @@ def l7_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle_sql() -> str:
-    """DuckDB recomputation of the md5-plane SimHash: nibble b//4 of
-    each token's md5 hex, bit b%4, 64 conditional-SUM votes, bigint
-    assembly with the sign-bit term, corpus-min reference + Hamming —
-    the full fingerprint from first principles, no Spark involved."""
-    votes = []
-    for b in range(64):
-        i, k = divmod(b, 4)
-        nib = f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1)"
-        votes.append(
-            f"SUM(CASE WHEN ({nib} >> {k}) & 1 = 1 THEN 1 ELSE -1 END)"
-            f" AS v{b}"
-        )
-    terms = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN CAST({(1 << b) if b < 63 else -(1 << 63)}"
-        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(64)
-    )
+    """DuckDB recomputation of the md5-plane SimHash (shared fp CTEs,
+    operators/dedup.py:simhash_fp_ctes) + corpus-min reference +
+    Hamming — no Spark involved."""
+    from security_master_spark.operators.dedup import simhash_fp_ctes
+
     return f"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, t.token AS token
-        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
-    ), h AS (
-        SELECT doc_id, md5(token) AS hx FROM tok
-    ), votes AS (
-        SELECT doc_id, {", ".join(votes)}
-        FROM h GROUP BY doc_id
-    ), fp AS (
-        SELECT doc_id, ({terms}) AS simhash FROM votes
-    ), ref AS (
+    WITH {simhash_fp_ctes()}, ref AS (
         SELECT MIN(simhash) AS ref FROM fp
     )
     SELECT f.doc_id, f.simhash,

@@ -96,6 +96,10 @@ def _load_all_plan_modules() -> None:
         # Round-6 additions append here (they become round-7 rotation
         # candidates, after the remainder above).
         multimodal2,
+        domain13,
+        aggregates7,
+        llm13,
+        relational5,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

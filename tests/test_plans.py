@@ -145,6 +145,12 @@ _ROUND7_REMAINDER = {
     # round-6 additions (registered after the remainder block):
     "m5_image_decode_stats",
     "m6_audio_decode_stats",
+    "d60_realized_vol_jump",
+    "d61_tick_rule_imbalance",
+    "a28_weighted_median",
+    "l60_simhash_dedup_retention",
+    "q24_lateral_subquery",
+    "q25_limit_offset",
 }
 
 
