@@ -9,6 +9,8 @@ their driver rows land, the local oracle mirror proves them.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -156,4 +158,131 @@ def d61_tick_rule_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (buys - sells) / F.nullif(buys + sells, F.lit(0)).cast("double"),
             6,
         ).alias("imbalance"),
+    )
+
+
+_VAR_P = 0.05  # 95% one-day VaR
+
+
+@register(
+    "d62_var_backtest",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type,
+               DATE_TRUNC('day', ts) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                  DATE_TRUNC('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, value AS close
+        FROM ranked WHERE rn = 1
+    ), rets AS (
+        SELECT event_type,
+               close / LAG(close) OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS r
+        FROM daily
+    ), scored AS (
+        SELECT event_type, r,
+               QUANTILE_CONT(r, {_VAR_P}) OVER (
+                   PARTITION BY event_type
+               ) AS var95
+        FROM rets WHERE r IS NOT NULL
+    ), agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(var95) AS var95,
+               CAST(SUM(CASE WHEN r < var95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_breaches
+        FROM scored GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           {sql_dround("var95", 6)} AS var_95,
+           n_breaches,
+           {sql_dround("n_breaches / CAST(n_days AS DOUBLE)", 6)}
+               AS breach_rate,
+           {sql_dround(
+               f"-2 * ((n_days - n_breaches) * ln(1 - {_VAR_P})"
+               f" + n_breaches * ln({_VAR_P})"
+               f" - CASE WHEN n_breaches < n_days"
+               f"        THEN (n_days - n_breaches)"
+               f"             * ln(1 - n_breaches / CAST(n_days AS DOUBLE))"
+               f"        ELSE 0 END"
+               f" - CASE WHEN n_breaches > 0"
+               f"        THEN n_breaches"
+               f"             * ln(n_breaches / CAST(n_days AS DOUBLE))"
+               f"        ELSE 0 END)", 6)} AS kupiec_lr
+    FROM agg
+    """,
+)
+def d62_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation VaR with a Kupiec unconditional-coverage
+    backtest per series: the empirical 5th percentile of daily returns
+    is the 95% one-day VaR; breaches (r < VaR) are counted and the
+    Kupiec likelihood ratio −2·ln[L(p)/L(x/n)] scores whether the
+    observed breach rate is consistent with the promised coverage —
+    the regulatory (Basel traffic-light) model-validation primitive.
+    In-sample by construction (the VaR is estimated on the window it
+    is tested against); the operator shape is identical for a proper
+    out-of-sample split.
+
+    Shape: ticks collapse to daily closes first (d59's rank-1
+    discipline), returns via one lag window, the exact windowed
+    percentile runs over the O(series · days) collapsed frame, ONE
+    aggregate folds breaches — the fact table is scanned once. The
+    x = 0 and x = n Kupiec terms use the 0·ln(0) = 0 convention via
+    CASE, written identically on both engines (DuckDB ln() errors on
+    0 where a naive spelling would feed it)."""
+    events = load_table(spark, sf_dir, "events")
+    rnw = Window.partitionBy(
+        "event_type", F.date_trunc("day", "ts")
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+            F.row_number().over(rnw).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "day", F.col("value").alias("close"))
+    )
+    lw = Window.partitionBy("event_type").orderBy("day")
+    rets = daily.select(
+        "event_type",
+        (F.col("close") / F.lag("close").over(lw) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    vw = Window.partitionBy("event_type")
+    scored = rets.select(
+        "event_type",
+        "r",
+        F.percentile("r", F.lit(_VAR_P)).over(vw).alias("var95"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("var95").alias("var95"),
+        F.sum(F.when(F.col("r") < F.col("var95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_breaches"),
+    )
+    n = F.col("n_days").cast("double")
+    x = F.col("n_breaches").cast("double")
+    lr = F.lit(-2.0) * (
+        (n - x) * F.lit(math.log(1 - _VAR_P))
+        + x * F.lit(math.log(_VAR_P))
+        - F.when(
+            F.col("n_breaches") < F.col("n_days"),
+            (n - x) * F.log(1 - x / n),
+        ).otherwise(F.lit(0.0))
+        - F.when(
+            F.col("n_breaches") > 0, x * F.log(x / n)
+        ).otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        dround(F.col("var95"), 6).alias("var_95"),
+        "n_breaches",
+        dround(x / n, 6).alias("breach_rate"),
+        dround(lr, 6).alias("kupiec_lr"),
     )

@@ -100,6 +100,8 @@ def _load_all_plan_modules() -> None:
         aggregates7,
         llm13,
         relational5,
+        sources_io9,
+        dataquality4,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -151,6 +151,9 @@ _ROUND7_REMAINDER = {
     "l60_simhash_dedup_retention",
     "q24_lateral_subquery",
     "q25_limit_offset",
+    "d62_var_backtest",
+    "io18_dynamic_partition_overwrite",
+    "dq11_volume_anomaly",
 }
 
 
