@@ -307,11 +307,23 @@ def simhash_md5_agg(
     then ``(nibble >> b%4) & 1`` — and a driver hash match certifies
     the whole fingerprint, not just its shape.
 
-    Same plan as :func:`simhash_agg` (explode → 16 nibble projections
-    → ONE codegen'd groupBy with 64 conditional-SUM votes, map-side
-    combine; shuffle carries (id, 64 ints)); only the hash family
-    differs (md5 nibbles instead of xxhash64 bit masks). Ties
-    (vote == 0) resolve to bit 0 on both engines."""
+    Same plan as :func:`simhash_agg` (explode → one projection → ONE
+    codegen'd groupBy with 64 conditional-SUM votes, map-side combine;
+    shuffle carries (id, 64 ints)); only the hash family differs (md5
+    bit planes instead of xxhash64 bit masks). The 16 hex nibbles are
+    parsed as TWO 32-bit halves (2 ``conv`` calls per token, not 16):
+    hex parses most-significant-first, so plane ``b`` (nibble
+    ``b//4``, bit ``b%4``) is
+    ``(half >> (4·(7−(b//4)%8) + b%4)) & 1`` — the exact value the
+    oracle's per-nibble ``strpos`` form computes (equality pinned in
+    tests). Ties (vote == 0) resolve to bit 0 on both engines.
+
+    The 64-vote fingerprint is assembled as ONE SQL expression string
+    parsed JVM-side (``F.expr``), not 64 Column-API vote trees: the
+    Column form spends ~1300 py4j round-trips PER QUERY CONSTRUCTION
+    — measured 2.05 s → 0.79 s end-to-end at sf0.1 (identical
+    fingerprints). Plan-construction cost is real query cost: every
+    bench/driver invocation rebuilds the DataFrame."""
     tok = df.select(
         id_col,
         F.explode_outer(distinct_tokens(F.col(text_col))).alias("__t"),
@@ -320,28 +332,28 @@ def simhash_md5_agg(
         F.md5(F.col("__t")).alias("__hx"),
         F.col("__t").isNull().alias("__empty"),
     )
-    nibs = tok.select(
+    halves = tok.selectExpr(
         id_col,
         "__empty",
-        *[
-            F.conv(F.substring("__hx", i + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"__n{i}")
-            for i in range(16)
-        ],
+        "CAST(conv(substring(__hx, 1, 8), 16, 10) AS BIGINT) AS __hi",
+        "CAST(conv(substring(__hx, 9, 8), 16, 10) AS BIGINT) AS __lo",
     )
-    fp = F.lit(0).cast("long")
+    terms = []
     for b in range(64):
         i, k = divmod(b, 4)
-        bit = F.shiftright(F.col(f"__n{i}"), k).bitwiseAND(F.lit(1))
-        vote = F.sum(
-            F.when(F.col("__empty"), 0).when(bit == 1, 1).otherwise(-1)
-        )
+        src = "__hi" if i < 8 else "__lo"
+        shift = 4 * (7 - (i % 8)) + k
         term = (1 << b) if b < 63 else -(1 << 63)
-        fp = fp + F.when(vote > 0, F.lit(term).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"(CASE WHEN SUM(CASE WHEN __empty THEN 0"
+            f" WHEN (shiftright({src}, {shift}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) > 0"
+            f" THEN CAST({term} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
         )
-    return nibs.groupBy(id_col).agg(fp.alias("simhash"))
+    return halves.groupBy(id_col).agg(
+        F.expr(" + ".join(terms)).alias("simhash")
+    )
 
 
 def simhash_fp_ctes() -> str:

@@ -44,16 +44,21 @@ def lag_weight_structs(lags: int, **decays: float) -> Column:
     not the shuffle). Multiple kernels (e.g. MACD's fast+slow) ride
     one explode as extra struct fields. Values are bit-compatible with
     the pow form at the queries' dround precision (cross-engine ulp
-    absorption is already part of the d16/d23 contract)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                *[F.lit(d**k).alias(name) for name, d in decays.items()],
-            )
-            for k in range(lags)
-        ]
-    )
+    absorption is already part of the d16/d23 contract).
+
+    Built as ONE JVM-parsed SQL string, not lags×fields ``F.lit``
+    Columns: the Column form costs ~0.8 s of py4j round-trips per
+    CONSTRUCTION (measured, 70×3-field kernel) — and construction
+    happens on every query invocation. ``repr(float)`` round-trips
+    through Spark's literal parser to the identical double."""
+    parts = []
+    for k in range(lags):
+        fields = ", ".join(
+            f"CAST({d ** k!r} AS DOUBLE) AS {name}"
+            for name, d in decays.items()
+        )
+        parts.append(f"struct({k} AS k, {fields})")
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def ewma_exact(

@@ -346,6 +346,12 @@ def l8_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from security_master_spark.operators.dedup import simhash_md5_agg
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # The fingerprint subtree feeds both the corpus-min ref and the
+    # output side; measured at sf0.1, recomputation costs less than a
+    # persist round-trip here (the dominant cost was py4j plan
+    # CONSTRUCTION, fixed in simhash_md5_agg — see its docstring). At
+    # corpus scale, persist() the collapsed (id, simhash) frame before
+    # fanning it into multiple consumers.
     sh = simhash_md5_agg(docs)
     ref = sh.agg(F.min("simhash").alias("ref")).withColumn("__one", F.lit(1))
     return (
