@@ -57,12 +57,30 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: (sf_dir, table) → inferred read schema. Schema inference reads the
+#: parquet footer on EVERY ``spark.read.parquet`` call (~75 ms of the
+#: ~120 ms per load_table, measured); across a battery that touches
+#: tables hundreds of times that is tens of seconds of pure repeated
+#: footer I/O. The schema of a fixture dir is immutable for the
+#: process lifetime, so infer once and hand it back via
+#: ``reader.schema(...)`` afterwards. Keyed by directory, so tmp-dir
+#: test fixtures and different scale factors never collide.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types (``events.ts`` via
     :func:`normalize_events_ts` — the single choke point for the two
     storage layouts the driver has shipped)."""
     configure_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         df = normalize_events_ts(df)
     if os.environ.get("SPARK_GRAFT_CACHE") == "1":

@@ -203,29 +203,27 @@ def d55_ytm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("s_suppkey")
     face = F.lit(100.0)
 
-    def pv(y):
-        return F.aggregate(
-            F.sequence(F.lit(1), F.col("years")),
-            F.lit(0.0),
-            lambda acc, t: acc
-            + (
-                F.col("coupon")
-                + F.when(t == F.col("years"), face).otherwise(0.0)
-            )
-            * F.pow(1 + y, -t.cast("double")),
+    # Spark-dialect SQL text for the PV fold and its derivative —
+    # the d58 construction finding applied: the Column-API lambda
+    # folds rebuilt ~0.5 s of py4j trees per invocation; one
+    # JVM-parsed string per Newton step is plan-identical. (The
+    # oracle's _pv_sql twins are DuckDB-dialect list_transform; Spark
+    # spells the same fold with aggregate/sequence.)
+    def pv_sql(y: str) -> str:
+        return (
+            f"aggregate(sequence(1, years), CAST(0 AS DOUBLE),"
+            f" (acc, t) -> acc + (coupon + CASE WHEN t = years"
+            f" THEN CAST(100 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+            f" * POWER(1 + {y}, -CAST(t AS DOUBLE)))"
         )
 
-    def dpv(y):
-        return F.aggregate(
-            F.sequence(F.lit(1), F.col("years")),
-            F.lit(0.0),
-            lambda acc, t: acc
-            - t.cast("double")
-            * (
-                F.col("coupon")
-                + F.when(t == F.col("years"), face).otherwise(0.0)
-            )
-            * F.pow(1 + y, -t.cast("double") - 1),
+    def dpv_sql(y: str) -> str:
+        return (
+            f"aggregate(sequence(1, years), CAST(0 AS DOUBLE),"
+            f" (acc, t) -> acc - CAST(t AS DOUBLE)"
+            f" * (coupon + CASE WHEN t = years"
+            f" THEN CAST(100 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+            f" * POWER(1 + {y}, -CAST(t AS DOUBLE) - 1))"
         )
 
     df = supp.select(
@@ -234,15 +232,17 @@ def d55_ytm_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(2) + (s % 9)).alias("years"),
         (F.lit(3.0) + (s % 5)).alias("true_yield_pct"),
     )
-    df = df.withColumn("price", pv(F.col("true_yield_pct") / 100))
+    df = df.selectExpr(
+        "*", f"{pv_sql('(true_yield_pct / 100)')} AS price"
+    )
     df = df.withColumn("y", F.lit(_Y0))
+    step_sql = (
+        f"(y - ({pv_sql('y')} - price) / {dpv_sql('y')}) AS y"
+    )
     for _ in range(_YTM_ITERS):
-        step = F.col("y") - (pv(F.col("y")) - F.col("price")) / dpv(
-            F.col("y")
-        )
-        df = df.select(
+        df = df.selectExpr(
             "s_suppkey", "coupon", "years", "true_yield_pct", "price",
-            step.alias("y"),
+            step_sql,
         )
     return df.select(
         "s_suppkey",
@@ -364,19 +364,20 @@ def d56_black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
         d1.alias("d1"), (d1 - sig_sqt).alias("d2"),
     )
     disc = F.col("k") * F.exp(-F.col("r") * F.col("tt"))
-    call = F.col("s") * _norm_cdf(F.col("d1")) - disc * _norm_cdf(
-        F.col("d2")
-    )
-    put = disc * _norm_cdf(-F.col("d2")) - F.col("s") * _norm_cdf(
-        -F.col("d1")
-    )
-    pdf1 = F.exp(-F.col("d1") * F.col("d1") / 2) / _SQRT_2PI
-    priced = d.select(
+    # The four Φ evaluations are the SAME SQL text the oracle runs
+    # (_norm_cdf_sql), parsed JVM-side in one selectExpr — the
+    # Column-API A&S polynomial cost ~0.5 s of py4j chatter per
+    # CONSTRUCTION (the d58 finding applied here; identical plan and
+    # values).
+    priced = d.selectExpr(
         "p_partkey", "s", "tt", "r", "k", "sigma",
-        call.alias("call"), put.alias("put"),
-        _norm_cdf(F.col("d1")).alias("delta_call"),
-        pdf1.alias("pdf1"),
-        _norm_cdf(F.col("d2")).alias("nd2"),
+        f"s * {_norm_cdf_sql('d1')}"
+        f" - k * EXP(-r * tt) * {_norm_cdf_sql('d2')} AS call",
+        f"k * EXP(-r * tt) * {_norm_cdf_sql('(-d2)')}"
+        f" - s * {_norm_cdf_sql('(-d1)')} AS put",
+        f"{_norm_cdf_sql('d1')} AS delta_call",
+        f"EXP(-d1 * d1 / 2) / {_SQRT_2PI} AS pdf1",
+        f"{_norm_cdf_sql('d2')} AS nd2",
     )
     sqt = F.sqrt(F.col("tt"))
     return priced.select(
