@@ -102,6 +102,8 @@ def _load_all_plan_modules() -> None:
         relational5,
         sources_io9,
         dataquality4,
+        domain14,
+        windows3,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

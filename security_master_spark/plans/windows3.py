@@ -1,0 +1,91 @@
+"""Round-6 window batch 3 (SURVEY.md §2.5): IGNORE NULLS navigation —
+the SQL:2008 null-treatment clause on first/last/nth_value that turns
+a window into forward-fill / backward-fill / nth-observation lookup.
+
+Registered as a round-7 rotation candidate (plans/registry.py); until
+its driver row lands, the local oracle mirror proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from security_master_spark.datasets import load_table
+from security_master_spark.functions.rounding import dround, sql_dround
+from security_master_spark.plans.registry import register
+
+
+@register(
+    "w9_ignore_nulls_navigation",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           {sql_dround("v", 6)} AS v,
+           {sql_dround(
+               "last_value(v IGNORE NULLS) OVER ("
+               "PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6
+           )} AS ffill,
+           {sql_dround(
+               "first_value(v IGNORE NULLS) OVER ("
+               "PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)", 6
+           )} AS bfill,
+           {sql_dround(
+               "nth_value(v, 2 IGNORE NULLS) OVER ("
+               "PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+               6
+           )} AS second_obs
+    FROM gaps
+    """,
+)
+def w9_ignore_nulls_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation functions (SQL:2008 null treatment):
+    forward-fill (last non-null so far), backward-fill (next non-null),
+    and the account's second-ever observation — the gap-repair idioms
+    every sparse time series needs, as pure window surface. NULLs are
+    minted deterministically ('error' events carry no value), so both
+    engines see identical gaps; a row before any observation stays
+    NULL (pinned by the hash — the semantics that separate IGNORE
+    NULLS from COALESCE-over-lag hacks).
+
+    This is the WINDOW-SURFACE sibling of d38_forward_fill_distributed
+    (the segmented-scan operator for series too long for one
+    partition's window): same semantics, different scale regime —
+    window when a key's history fits an executor, segmented scan when
+    it doesn't.
+
+    Shape: three frames over ONE partitioning (account) — one
+    exchange, chained WindowExecs, no joins."""
+    events = load_table(spark, sf_dir, "events")
+    gaps = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wall = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return gaps.select(
+        "event_id",
+        "user_id",
+        dround(F.col("v"), 6).alias("v"),
+        dround(F.last("v", ignorenulls=True).over(wf), 6).alias("ffill"),
+        dround(F.first("v", ignorenulls=True).over(wb), 6).alias("bfill"),
+        dround(
+            F.nth_value("v", 2, ignoreNulls=True).over(wall), 6
+        ).alias("second_obs"),
+    )

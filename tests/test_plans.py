@@ -154,6 +154,8 @@ _ROUND7_REMAINDER = {
     "d62_var_backtest",
     "io18_dynamic_partition_overwrite",
     "dq11_volume_anomaly",
+    "d63_fifo_realized_pnl",
+    "w9_ignore_nulls_navigation",
 }
 
 

@@ -268,3 +268,58 @@ def test_render_test_tone_matches_closed_form():
     assert len(s) == 500
     assert int(s[7]) == (7 * 7 + 13 * 11) % 65536 - 32768
     assert int(s[499]) == (7 * 499 + 13 * 11) % 65536 - 32768
+
+
+def test_fifo_interval_join_equals_sequential_queue(spark, sf_dir):
+    """d63's cumulative-range interval-join FIFO must equal a
+    literal sequential lot-queue simulation (the textbook definition)
+    account by account — including oversells, which match nothing
+    past the available lots."""
+    import collections
+
+    from security_master_spark.plans.registry import queries
+
+    out = {
+        r.user_id: (r.matched_qty, round(r.realized_pnl, 6))
+        for r in queries()["d63_fifo_realized_pnl"](spark, sf_dir).collect()
+    }
+
+    from security_master_spark.datasets import load_table
+    from pyspark.sql import functions as F
+
+    trades = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            (F.col("event_id") % 5 + 1).alias("qty"),
+            F.col("value").alias("px"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    lots: dict = collections.defaultdict(collections.deque)
+    pnl: dict = collections.defaultdict(float)
+    mqty: dict = collections.defaultdict(int)
+    for r in trades:
+        if r.event_type == "view":  # buy
+            lots[r.user_id].append([r.qty, r.px])
+        else:  # sell consumes FIFO
+            need = r.qty
+            q = lots[r.user_id]
+            while need > 0 and q:
+                lot = q[0]
+                take = min(need, lot[0])
+                pnl[r.user_id] += take * (r.px - lot[1])
+                mqty[r.user_id] += take
+                lot[0] -= take
+                need -= take
+                if lot[0] == 0:
+                    q.popleft()
+    expect = {
+        u: (mqty[u], round(pnl[u], 6)) for u in mqty if mqty[u] > 0
+    }
+    assert out == expect, (
+        f"FIFO mismatch; first diffs: "
+        f"{[(u, out.get(u), expect.get(u)) for u in set(out) | set(expect) if out.get(u) != expect.get(u)][:3]}"
+    )
