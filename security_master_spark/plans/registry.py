@@ -104,6 +104,7 @@ def _load_all_plan_modules() -> None:
         dataquality4,
         domain14,
         windows3,
+        scalars4,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

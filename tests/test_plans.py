@@ -156,6 +156,7 @@ _ROUND7_REMAINDER = {
     "dq11_volume_anomaly",
     "d63_fifo_realized_pnl",
     "w9_ignore_nulls_navigation",
+    "s24_try_arithmetic",
 }
 
 
