@@ -168,3 +168,159 @@ def d63_fifo_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "realized_pnl"
         ),
     )
+
+
+@register(
+    "d64_unrealized_pnl",
+    oracle=f"""
+    WITH trades AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 'B' ELSE 'S' END AS side,
+               CAST(event_id % 5 + 1 AS BIGINT) AS qty,
+               value AS px
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ), stream AS (
+        SELECT user_id, ts, event_id, side, qty, px,
+               SUM(CASE WHEN side = 'B' THEN qty ELSE 0 END) OVER w AS cumb,
+               SUM(CASE WHEN side = 'S' THEN qty ELSE 0 END) OVER w AS cums
+        FROM trades
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), filled AS (
+        SELECT user_id,
+               COALESCE(MAX(cums - GREATEST(d, 0)), 0) AS f_total
+        FROM (
+            SELECT user_id, cums,
+                   MAX(CASE WHEN side = 'S' THEN cums - cumb END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS d
+            FROM stream WHERE side = 'S'
+        ) GROUP BY user_id
+    ), last_px AS (
+        SELECT user_id, px AS mark
+        FROM (
+            SELECT user_id, px,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM trades
+        ) WHERE rn = 1
+    ), lots AS (
+        SELECT user_id, px,
+               SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   - qty AS lo,
+               SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS hi
+        FROM trades WHERE side = 'B'
+    ), open_lots AS (
+        SELECT l.user_id,
+               l.hi - GREATEST(l.lo, COALESCE(f.f_total, 0)) AS oqty,
+               l.px
+        FROM lots l LEFT JOIN filled f ON f.user_id = l.user_id
+        WHERE l.hi > COALESCE(f.f_total, 0)
+    )
+    SELECT o.user_id,
+           CAST(SUM(o.oqty) AS BIGINT) AS open_qty,
+           {sql_dround("SUM(o.oqty * o.px)", 6)} AS open_cost,
+           {sql_dround("SUM(o.oqty * (m.mark - o.px))", 6)}
+               AS unrealized_pnl
+    FROM open_lots o JOIN last_px m ON m.user_id = o.user_id
+    GROUP BY o.user_id
+    """,
+)
+def d64_unrealized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark-to-market unrealized PnL — d63's complement, closing the
+    ledger: FIFO matching consumed buy-axis units [0, F_total); every
+    buy-lot unit ABOVE the account's total filled quantity is still
+    open, so each lot's open quantity is the closed form
+    max(0, hi − max(lo, F_total)), costed at its own purchase price
+    and marked at the account's last trade print. open_cost is the
+    position's book value; unrealized = Σ open · (mark − lot px).
+
+    Same lost-demand running-max machinery as d63 (one expression
+    change: the per-account MAX of the fill cumsum instead of the
+    per-sell ranges), then a lot-level projection — no interval join
+    at all on this side, because clipping against a single scalar
+    F_total replaces it.
+
+    Scale: two window passes + two tiny per-account aggregates +
+    one broadcast-sized join of per-account scalars onto the lot
+    stream. Accounts with no open lots drop out on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    trades = events.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "B").otherwise("S").alias(
+            "side"
+        ),
+        (F.col("event_id") % 5 + 1).cast("bigint").alias("qty"),
+        F.col("value").alias("px"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_b = F.col("side") == "B"
+    stream = trades.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        "qty",
+        "px",
+        F.sum(F.when(is_b, F.col("qty")).otherwise(0)).over(wcum).alias(
+            "cumb"
+        ),
+        F.sum(F.when(~is_b, F.col("qty")).otherwise(0)).over(wcum).alias(
+            "cums"
+        ),
+    )
+    deficit = F.max(
+        F.when(~is_b, F.col("cums") - F.col("cumb"))
+    ).over(wcum)
+    filled = (
+        stream.withColumn("d", deficit)
+        .filter(~is_b)
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.max(F.col("cums") - F.greatest(F.col("d"), F.lit(0))),
+                F.lit(0),
+            ).alias("f_total")
+        )
+    )
+    rnw = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last_px = (
+        trades.select(
+            "user_id", "px", F.row_number().over(rnw).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("px").alias("mark"))
+    )
+    lots = trades.filter(is_b).select(
+        "user_id",
+        "px",
+        (F.sum("qty").over(w) - F.col("qty")).alias("lo"),
+        F.sum("qty").over(w).alias("hi"),
+    )
+    f0 = F.coalesce(F.col("f_total"), F.lit(0))
+    open_lots = (
+        lots.join(filled, "user_id", "left")
+        .filter(F.col("hi") > f0)
+        .select(
+            "user_id",
+            (F.col("hi") - F.greatest(F.col("lo"), f0)).alias("oqty"),
+            "px",
+        )
+    )
+    return open_lots.join(last_px, "user_id").groupBy("user_id").agg(
+        F.sum("oqty").cast("bigint").alias("open_qty"),
+        dround(F.sum(F.col("oqty") * F.col("px")), 6).alias("open_cost"),
+        dround(
+            F.sum(F.col("oqty") * (F.col("mark") - F.col("px"))), 6
+        ).alias("unrealized_pnl"),
+    )

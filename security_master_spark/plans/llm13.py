@@ -82,3 +82,76 @@ def l60_simhash_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("prefix") / F.count("*").cast("double"), 6
         ).alias("retention"),
     ).withColumnRenamed("bits", "prefix_bits")
+
+
+@register(
+    "l61_containment_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id <= 120
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.t, b.t)) AS inter,
+               len(a.t) AS na, len(b.t) AS nb
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS n_common,
+           FLOOR(CAST(inter AS DOUBLE)
+                 / NULLIF(LEAST(na, nb), 0) * 1000000 + 0.5) / 1000000
+               AS containment
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / NULLIF(LEAST(na, nb), 0) >= 0.8
+    """,
+)
+def l61_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A∩B| / min(|A|, |B|) — the
+    asymmetric measure that catches SUBSET duplicates (a document
+    embedded verbatim inside a longer one scores ~1.0 here but low
+    Jaccard, because the union is dominated by the longer doc). The
+    standard second pass of a dedup stack after symmetric Jaccard.
+
+    Like l4, this is the deliberately-bounded quadratic ORACLE twin
+    (120-doc slice, broadcast side) — the scale path is identical to
+    l7/l20: LSH candidate generation first, containment verify on the
+    candidate set only (swap jaccard for containment in the verify
+    expression; the banding stage is measure-agnostic).
+
+    try_divide: an empty token set makes min(|A|,|B|) = 0 — pair goes
+    NULL and falls out of the threshold filter on both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") <= 120
+    )
+    from security_master_spark.functions.text import distinct_tokens
+
+    toks = docs.select(
+        "doc_id", distinct_tokens(F.col("text")).alias("t")
+    )
+    a = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("t").alias("ta")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("t").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    cont = F.try_divide(
+        inter.cast("double"),
+        F.least(F.size("ta"), F.size("tb")).cast("double"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("n_common"),
+            cont.alias("__c"),
+        )
+        .filter(F.col("__c") >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            dround(F.col("__c"), 6).alias("containment"),
+        )
+    )

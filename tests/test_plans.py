@@ -15,6 +15,9 @@ from security_master_spark.plans import registry
 _NESTED_LOOP_OK = {
     "q14_cross_join": "intentional 5x25 cartesian demo",
     "l4_jaccard_pairs": "all-pairs over a 30-doc slice, broadcast side <= 30 rows",
+    "l61_containment_dedup": "all-pairs over a 120-doc slice, broadcast "
+    "side <= 120 rows — the deliberately-bounded quadratic oracle twin; "
+    "scale path = LSH candidates + containment verify (docstring)",
     "l5_cosine_topk": "1-row query vector broadcast to the corpus scan",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
@@ -157,6 +160,8 @@ _ROUND7_REMAINDER = {
     "d63_fifo_realized_pnl",
     "w9_ignore_nulls_navigation",
     "s24_try_arithmetic",
+    "d64_unrealized_pnl",
+    "l61_containment_dedup",
 }
 
 

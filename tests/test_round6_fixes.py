@@ -323,3 +323,35 @@ def test_fifo_interval_join_equals_sequential_queue(spark, sf_dir):
         f"FIFO mismatch; first diffs: "
         f"{[(u, out.get(u), expect.get(u)) for u in set(out) | set(expect) if out.get(u) != expect.get(u)][:3]}"
     )
+
+
+def test_fifo_ledger_conserves_buy_units(spark, sf_dir):
+    """d63 + d64 must partition every bought unit exactly once:
+    matched_qty + open_qty == total buy quantity per account."""
+    from pyspark.sql import functions as F
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.plans.registry import queries
+
+    _q = queries()
+    matched = {
+        r.user_id: r.matched_qty
+        for r in _q["d63_fifo_realized_pnl"](spark, sf_dir).collect()
+    }
+    opened = {
+        r.user_id: r.open_qty
+        for r in _q["d64_unrealized_pnl"](spark, sf_dir).collect()
+    }
+    bought = {
+        r.user_id: r.total
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("event_id") % 5 + 1).alias("total"))
+        .collect()
+    }
+    for u, total in bought.items():
+        assert matched.get(u, 0) + opened.get(u, 0) == total, (
+            f"user {u}: matched {matched.get(u, 0)} + open "
+            f"{opened.get(u, 0)} != bought {total}"
+        )
