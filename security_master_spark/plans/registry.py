@@ -105,6 +105,8 @@ def _load_all_plan_modules() -> None:
         domain14,
         windows3,
         scalars4,
+        domain15,
+        llm14,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

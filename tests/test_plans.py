@@ -19,6 +19,8 @@ _NESTED_LOOP_OK = {
     "side <= 120 rows — the deliberately-bounded quadratic oracle twin; "
     "scale path = LSH candidates + containment verify (docstring)",
     "l5_cosine_topk": "1-row query vector broadcast to the corpus scan",
+    "l62_bm25_topk": "1-row corpus-stats (avgdl, N) broadcast onto the "
+    "per-term tf frame",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
     "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
@@ -162,6 +164,10 @@ _ROUND7_REMAINDER = {
     "s24_try_arithmetic",
     "d64_unrealized_pnl",
     "l61_containment_dedup",
+    "d65_spearman_corr",
+    "d66_adjusted_close",
+    "d67_rolling_beta",
+    "l62_bm25_topk",
 }
 
 
