@@ -12,70 +12,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import load_table
+from security_master_spark.functions.daily import (
+    DAILY_SQL as _DAILY_SQL,
+)
+from security_master_spark.functions.daily import (
+    RETS_SQL as _RETS_SQL,
+)
+from security_master_spark.functions.daily import (
+    daily_closes as _daily_closes_shared,
+)
+from security_master_spark.functions.daily import (
+    daily_returns as _daily_returns,
+)
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
-
-#: shared daily-close CTE (the d62-proven discipline: last print of the
-#: day by (ts, event_id) DESC row_number — deterministic cross-engine).
-_DAILY_SQL = """
-    ranked AS (
-        SELECT event_type,
-               DATE_TRUNC('day', ts) AS day, value,
-               ROW_NUMBER() OVER (PARTITION BY event_type,
-                                  DATE_TRUNC('day', ts)
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    ), daily AS (
-        SELECT event_type, day, value AS close
-        FROM ranked WHERE rn = 1
-    )
-"""
-
-
-def _daily_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(event_type, day) last print — the Spark twin of
-    ``_DAILY_SQL``. One shuffle on (event_type, day)."""
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy(
-        "event_type", F.date_trunc("day", F.col("ts"))
-    ).orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        events.select(
-            "event_type",
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            "value",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select("event_type", "day", F.col("value").alias("close"))
-    )
-
-
-def _daily_returns(daily: DataFrame) -> DataFrame:
-    """close/lag(close) − 1 per series; the first day drops out."""
-    w = Window.partitionBy("event_type").orderBy("day")
-    return (
-        daily.select(
-            "event_type",
-            "day",
-            (F.col("close") / F.lag("close").over(w) - 1).alias("r"),
-        )
-        .filter(F.col("r").isNotNull())
-    )
 
 
 @register(
     "d65_spearman_corr",
     oracle=f"""
-    WITH {_DAILY_SQL}, rets AS (
-        SELECT event_type, day,
-               close / LAG(close) OVER (PARTITION BY event_type
-                                        ORDER BY day) - 1 AS r
-        FROM daily
-    ), rr AS (
-        SELECT * FROM rets WHERE r IS NOT NULL
-    ), pairs AS (
+    WITH {_DAILY_SQL}, {_RETS_SQL}, pairs AS (
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                a.day AS day, a.r AS ra, b.r AS rb
         FROM rr a JOIN rr b
@@ -118,7 +74,7 @@ def d65_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs = |types|² not |rows|²), and each rank window partitions
     by pair. The fact scan collapses FIRST; nothing pairwise ever
     touches raw events."""
-    rr = _daily_returns(_daily_closes(spark, sf_dir))
+    rr = _daily_returns(_daily_closes_shared(spark, sf_dir))
     a = rr.select(
         F.col("event_type").alias("type_a"),
         "day",
@@ -200,7 +156,7 @@ def d66_adjusted_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     the suffix window runs on that collapsed frame per series. No
     sequential scan — the suffix sum is the same expanding-window
     machinery as d63's lost-demand max, frame-reversed."""
-    daily = _daily_closes(spark, sf_dir)
+    daily = _daily_closes_shared(spark, sf_dir)
     dom = F.dayofmonth("day")
     marked = daily.withColumn(
         "log2f",
@@ -233,14 +189,7 @@ _BETA_WIN = 20
 @register(
     "d67_rolling_beta",
     oracle=f"""
-    WITH {_DAILY_SQL}, rets AS (
-        SELECT event_type, day,
-               close / LAG(close) OVER (PARTITION BY event_type
-                                        ORDER BY day) - 1 AS r
-        FROM daily
-    ), rr AS (
-        SELECT * FROM rets WHERE r IS NOT NULL
-    ), mkt AS (
+    WITH {_DAILY_SQL}, {_RETS_SQL}, mkt AS (
         SELECT day, AVG(r) AS m FROM rr GROUP BY day
     ), joined AS (
         SELECT rr.event_type, rr.day, rr.r AS x, mkt.m AS y
@@ -286,7 +235,7 @@ def d67_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(series·days) return frame; the five window sums share ONE frame
     spec so they run in a single window pass per series. Nothing
     here rescans raw events after the first collapse."""
-    rr = _daily_returns(_daily_closes(spark, sf_dir))
+    rr = _daily_returns(_daily_closes_shared(spark, sf_dir))
     mkt = rr.groupBy("day").agg(F.avg("r").alias("m"))
     joined = rr.join(F.broadcast(mkt), "day").select(
         "event_type", "day", F.col("r").alias("x"), F.col("m").alias("y")

@@ -107,6 +107,8 @@ def _load_all_plan_modules() -> None:
         scalars4,
         domain15,
         llm14,
+        domain16,
+        llm15,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

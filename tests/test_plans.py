@@ -21,6 +21,10 @@ _NESTED_LOOP_OK = {
     "l5_cosine_topk": "1-row query vector broadcast to the corpus scan",
     "l62_bm25_topk": "1-row corpus-stats (avgdl, N) broadcast onto the "
     "per-term tf frame",
+    "d71_rfm_segmentation": "1-row dataset-max-orderdate anchor broadcast "
+    "onto the per-customer base frame",
+    "l63_pmi_collocations": "1-row corpus-size broadcast onto the "
+    "V²-bounded co-occurrence frame",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
     "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
@@ -168,6 +172,11 @@ _ROUND7_REMAINDER = {
     "d66_adjusted_close",
     "d67_rolling_beta",
     "l62_bm25_topk",
+    "d68_tracking_error",
+    "d69_roll_spread",
+    "d70_variance_ratio",
+    "d71_rfm_segmentation",
+    "l63_pmi_collocations",
 }
 
 
