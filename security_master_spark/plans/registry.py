@@ -109,6 +109,7 @@ def _load_all_plan_modules() -> None:
         llm14,
         domain16,
         llm15,
+        domain17,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -25,6 +25,8 @@ _NESTED_LOOP_OK = {
     "onto the per-customer base frame",
     "l63_pmi_collocations": "1-row corpus-size broadcast onto the "
     "V²-bounded co-occurrence frame",
+    "d74_kaplan_meier": "1-row total-population broadcast onto the "
+    "O(distinct durations) curve frame",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
     "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
@@ -177,6 +179,9 @@ _ROUND7_REMAINDER = {
     "d70_variance_ratio",
     "d71_rfm_segmentation",
     "l63_pmi_collocations",
+    "d72_touch_attribution",
+    "d73_markov_transitions",
+    "d74_kaplan_meier",
 }
 
 
