@@ -110,6 +110,8 @@ def _load_all_plan_modules() -> None:
         domain16,
         llm15,
         domain17,
+        streaming_batch3,
+        relational6,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -182,6 +182,8 @@ _ROUND7_REMAINDER = {
     "d72_touch_attribution",
     "d73_markov_transitions",
     "d74_kaplan_meier",
+    "t6_windowed_topk_trending",
+    "q26_lateral_topk",
 }
 
 
