@@ -27,6 +27,8 @@ _NESTED_LOOP_OK = {
     "V²-bounded co-occurrence frame",
     "d74_kaplan_meier": "1-row total-population broadcast onto the "
     "O(distinct durations) curve frame",
+    "d75_curve_interpolation": "|series| x |tenors| probe mint (5x6 "
+    "broadcast cross) unioned into the node stream",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
     "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
@@ -184,6 +186,8 @@ _ROUND7_REMAINDER = {
     "d74_kaplan_meier",
     "t6_windowed_topk_trending",
     "q26_lateral_topk",
+    "d75_curve_interpolation",
+    "d76_settlement_dates",
 }
 
 
