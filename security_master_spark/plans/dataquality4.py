@@ -92,3 +92,71 @@ def dq11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(z, 6).alias("robust_z"),
         F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "dq12_winsorized_stats",
+    oracle=f"""
+    WITH scored AS (
+        SELECT event_type, value,
+               QUANTILE_CONT(value, 0.01) OVER (PARTITION BY event_type)
+                   AS p01,
+               QUANTILE_CONT(value, 0.99) OVER (PARTITION BY event_type)
+                   AS p99
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dround("MAX(p01)", 6)} AS p01,
+           {sql_dround("MAX(p99)", 6)} AS p99,
+           {sql_dround("AVG(value)", 6)} AS mean_raw,
+           {sql_dround(
+               "AVG(LEAST(GREATEST(value, p01), p99))", 6
+           )} AS mean_winsorized,
+           CAST(SUM(CASE WHEN value < p01 OR value > p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def dq12_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust means: clip each series at its own exact
+    1st/99th percentiles and report raw vs winsorized mean plus the
+    clip count — the outlier-tolerant summary a dq pipeline publishes
+    where a single fat-fingered print would poison a plain AVG. Uses
+    the d39/d62-proven exact-percentile pairing (Spark `percentile`
+    as a window == DuckDB `QUANTILE_CONT ... OVER`), so the clip
+    thresholds are identical on both engines, and the clip itself is
+    LEAST/GREATEST — no float boundary beyond the certified
+    percentile value.
+
+    Scale: one shuffle on the series key serves both the percentile
+    window and the final aggregate (same-key reuse); the per-series
+    sort is the honest cost of an exact percentile — the screening
+    path at 100 TB is a13's t-digest sketch, with this exact form as
+    the audit."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    scored = events.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.01)").over(w).alias("p01"),
+        F.expr("percentile(value, 0.99)").over(w).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dround(F.max("p01"), 6).alias("p01"),
+        dround(F.max("p99"), 6).alias("p99"),
+        dround(F.avg("value"), 6).alias("mean_raw"),
+        dround(F.avg(clipped), 6).alias("mean_winsorized"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p01"))
+                | (F.col("value") > F.col("p99")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+    )

@@ -89,3 +89,45 @@ def w9_ignore_nulls_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("v", 2, ignoreNulls=True).over(wall), 6
         ).alias("second_obs"),
     )
+
+
+@register(
+    "w10_time_range_frame",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           {sql_dround("SUM(value) OVER w", 6)} AS value_24h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def w10_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour RANGE frame over a TIMESTAMP order column —
+    the time-interval window (w1's RANGE is numeric; this is the
+    wall-clock variant every "last N hours" metric needs). RANGE
+    semantics make ties (equal timestamps) peers of each other, so
+    the frame is a deterministic function of the DATA — no tie-break
+    column required, unlike ROWS frames.
+
+    Authored as SQL text on both engines because the DataFrame API's
+    rangeBetween takes numeric offsets only — the SQL surface is
+    where interval frames live (Spark parses INTERVAL bounds into
+    the same RangeFrame physical node).
+
+    Scale: one (series, time) shuffle; the running interval frame is
+    a single sorted pass per partition (Spark's sliding-frame
+    aggregation buffers only the in-frame rows)."""
+    from security_master_spark.datasets import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(f"""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           {sql_dround("SUM(value) OVER w", 6)} AS value_24h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                           AND CURRENT ROW)
+    """)

@@ -188,6 +188,8 @@ _ROUND7_REMAINDER = {
     "q26_lateral_topk",
     "d75_curve_interpolation",
     "d76_settlement_dates",
+    "w10_time_range_frame",
+    "dq12_winsorized_stats",
 }
 
 
