@@ -113,6 +113,7 @@ def _load_all_plan_modules() -> None:
         streaming_batch3,
         relational6,
         domain18,
+        sources_io10,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

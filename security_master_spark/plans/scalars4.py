@@ -81,3 +81,45 @@ def s24_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg10"
         ),
     )
+
+
+@register(
+    "s25_calendar_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+               AS next_month,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH AS DATE)
+               AS prior_quarter,
+           CAST(CAST(o_orderdate AS DATE) +
+                (CASE WHEN (5 - date_part('isodow', o_orderdate) + 7) % 7 = 0
+                      THEN 7
+                      ELSE (5 - date_part('isodow', o_orderdate) + 7) % 7
+                 END) * INTERVAL 1 DAY AS DATE) AS next_friday
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def s25_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic with end-of-month clamping: add_months
+    lands Jan 31 + 1 month on the LAST day of February (both engines
+    clamp rather than overflow into March — the semantic every
+    monthly-rolling report depends on, and the one naive
+    day-count arithmetic gets wrong), three months back for the
+    prior-quarter anchor, and next_day(_, 'Friday') — the
+    strictly-after next weekly expiry. The oracle spells next_day as
+    explicit ISO-dow modular arithmetic, so Spark's builtin is
+    certified against the definition rather than a twin builtin.
+
+    Pure projection — pushdown-friendly, no shuffle; the key filter
+    keeps the certified sample deterministic and small."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.add_months(d, 1).alias("next_month"),
+        F.add_months(d, -3).alias("prior_quarter"),
+        F.next_day(d, "Friday").alias("next_friday"),
+    )

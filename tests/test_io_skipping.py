@@ -147,3 +147,26 @@ def test_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: BOTH dimensions substantially tighter than full-range
     assert avg(z_user) < 0.6 * avg(s_user), (avg(z_user), avg(s_user))
     assert avg(z_ts) < 0.6, avg(z_ts)
+
+
+def test_zstd_roundtrip_footer_actually_says_zstd(spark, sf_dir):
+    """io19's codec claim must be real: after the query runs, every
+    column chunk in the written files must report ZSTD compression in
+    the parquet footer — a silent snappy fallback would still pass
+    the value-equality oracle, so the footer is the honest check."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from security_master_spark.plans.io_scratch import _scratch
+    from security_master_spark.plans.registry import queries
+
+    assert queries()["io19_zstd_parquet_roundtrip"](spark, sf_dir).count() > 0
+    files = glob.glob(_scratch(sf_dir, "lineitem_zstd") + "/*.parquet")
+    assert files, "no parquet part files written"
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            for c in range(meta.num_columns):
+                codec = meta.row_group(rg).column(c).compression
+                assert codec == "ZSTD", f"{f}: {codec}"

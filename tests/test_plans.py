@@ -190,6 +190,8 @@ _ROUND7_REMAINDER = {
     "d76_settlement_dates",
     "w10_time_range_frame",
     "dq12_winsorized_stats",
+    "s25_calendar_arithmetic",
+    "io19_zstd_parquet_roundtrip",
 }
 
 
