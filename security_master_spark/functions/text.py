@@ -114,6 +114,17 @@ def quality_score(text: Column) -> Column:
     return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
 
 
+#: SQL twin of :func:`quality_score` (DuckDB + Spark SQL common
+#: dialect) — shared by the l10 oracle and the l64 threshold sweep so
+#: the formula cannot drift between them.
+QUALITY_SQL = (
+    "LEAST(GREATEST((CASE WHEN LENGTH(text) >= 20 AND LENGTH(text) <= 20000 "
+    "THEN 1.0 ELSE 0.5 END) * (0.7 * (LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g')) "
+    "/ CAST(LENGTH(text) + 1 AS DOUBLE)) + 0.3 * (1 - LEAST((LENGTH(REGEXP_REPLACE(text, "
+    "'[a-zA-Z0-9 ]', '', 'g')) / CAST(LENGTH(text) + 1 AS DOUBLE)) * 5, 1.0))), 0.0), 1.0)"
+)
+
+
 def rolling_hash_fingerprint(text: Column, width: int = 64) -> Column:
     """Deterministic document fingerprint: xxhash64 over fixed-width
     character windows, min-pooled — a winnowing-style content hash

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from security_master_spark.datasets import fan_out, load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.functions.text import (
+    QUALITY_SQL,
     distinct_tokens,
     quality_score,
     tokens,
@@ -433,13 +434,7 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            LENGTH(text) AS n_chars_actual,
            len(string_split(text, ' ')) AS n_tokens,
-           {sql_dround(
-        "LEAST(GREATEST((CASE WHEN LENGTH(text) >= 20 AND LENGTH(text) <= 20000 "
-        "THEN 1.0 ELSE 0.5 END) * (0.7 * (LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '', 'g')) "
-        "/ CAST(LENGTH(text) + 1 AS DOUBLE)) + 0.3 * (1 - LEAST((LENGTH(REGEXP_REPLACE(text, "
-        "'[a-zA-Z0-9 ]', '', 'g')) / CAST(LENGTH(text) + 1 AS DOUBLE)) * 5, 1.0))), 0.0), 1.0)",
-        6,
-    )} AS quality
+           {sql_dround(QUALITY_SQL, 6)} AS quality
     FROM documents
     """,
 )

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from security_master_spark.datasets import load_table
 from security_master_spark.functions.rounding import dround, sql_dround
-from security_master_spark.functions.text import tokens
+from security_master_spark.functions.text import (
+    QUALITY_SQL,
+    quality_score,
+    tokens,
+)
 from security_master_spark.plans.registry import register
 
 #: the fixed retrieval query (mid-frequency fixture vocabulary) and
@@ -131,4 +135,83 @@ def l62_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(_TOP_K)
         .select("doc_id", "n_terms_hit", "bm25")
+    )
+
+
+#: quality cutoffs swept by l64 (the curation dial positions).
+_Q_THRESHOLDS = (0.3, 0.5, 0.7)
+_THR_SQL = ", ".join(f"({t})" for t in _Q_THRESHOLDS)
+
+
+@register(
+    "l64_quality_threshold_sweep",
+    oracle=f"""
+    WITH stats AS (
+        SELECT {sql_dround(QUALITY_SQL, 6)} AS q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        FROM documents
+    ), thr(threshold) AS (
+        VALUES {_THR_SQL}
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+           {sql_dround(
+               "SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 6
+           )} AS doc_share,
+           CAST(SUM(CASE WHEN q >= threshold THEN ntok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           {sql_dround(
+               "SUM(CASE WHEN q >= threshold THEN ntok ELSE 0 END)"
+               " / CAST(SUM(ntok) AS DOUBLE)", 6
+           )} AS token_share
+    FROM stats CROSS JOIN thr
+    GROUP BY threshold
+    """,
+)
+def l64_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter threshold sweep: documents and tokens surviving
+    each candidate cutoff of the l10 quality score — the dial a
+    curation team reads BEFORE committing a filter (l60 plays the
+    same role for dedup aggressiveness). The score formula is the
+    shared QUALITY_SQL twin of functions.text.quality_score, so this
+    sweep and l10's per-doc scores can never drift apart.
+
+    The scored frame is dround-quantized BEFORE the >= comparison on
+    both engines, so the keep/drop decision at a boundary is made on
+    the identical hashed value — the threshold compare inherits the
+    repo's float-sort-key discipline.
+
+    Scale: one corpus scan computes (q, ntok); the 3-row threshold
+    frame broadcasts; groupBy(threshold) partials combine map-side,
+    so the exchange carries |thresholds|·|partitions| count rows —
+    the 3× scan fan-out costs compute, never shuffle width."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        dround(quality_score(F.col("text")), 6).alias("q"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _Q_THRESHOLDS])
+        ).alias("threshold")
+    )
+    kept = F.when(F.col("q") >= F.col("threshold"), 1).otherwise(0)
+    kept_tok = F.when(
+        F.col("q") >= F.col("threshold"), F.col("ntok")
+    ).otherwise(F.lit(0))
+    return (
+        stats.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(kept).cast("bigint").alias("docs_kept"),
+            dround(F.sum(kept) / F.count("*").cast("double"), 6).alias(
+                "doc_share"
+            ),
+            F.sum(kept_tok).cast("bigint").alias("tokens_kept"),
+            dround(
+                F.sum(kept_tok) / F.sum("ntok").cast("double"), 6
+            ).alias("token_share"),
+        )
     )

@@ -29,6 +29,8 @@ _NESTED_LOOP_OK = {
     "O(distinct durations) curve frame",
     "d75_curve_interpolation": "|series| x |tenors| probe mint (5x6 "
     "broadcast cross) unioned into the node stream",
+    "l64_quality_threshold_sweep": "3-row threshold frame broadcast "
+    "across the scored corpus scan (map-side-combined rollup)",
     "l8_simhash_fingerprints": "1-row corpus-min reference broadcast",
     "a12_freq_items_crosstab": "1-row freqItems sketch broadcast to the "
     "crosstab (literal equi-keys get constant-folded away, so BNLJ is "
@@ -192,6 +194,7 @@ _ROUND7_REMAINDER = {
     "dq12_winsorized_stats",
     "s25_calendar_arithmetic",
     "io19_zstd_parquet_roundtrip",
+    "l64_quality_threshold_sweep",
 }
 
 
