@@ -68,19 +68,23 @@ def _load_all_plan_modules() -> None:
         domain12,
         llm12,
         graph2,
-        # ROUND-7 ROTATION PLAN (do this FIRST next round): head the
-        # 15-query remainder — udfs4 (u12), aggregates6 (a26, a27),
-        # streaming_batch2 (t5), dataquality2 (dq9), udfs5 (u13),
-        # sources_io8 (io17), scalars3 (s20-s23), dataquality3 (dq10),
-        # relational4 (q23) below, PLUS the two tail-block orphans
-        # t4_dynamic_session_window (streaming_batch) and
-        # m4_modality_accounting (multimodal), which must be pulled
-        # forward out of the proven tail, then backfill the window to
-        # ~50 with round-6 additions (registered after relational4 —
-        # m5_image_decode_stats), l7_minhash_lsh_candidates +
-        # l8_simhash_fingerprints (both upgraded in round 6 from weak
-        # to full md5-determinized oracles; each needs its first HASH
-        # row), and the oldest previously-proven queries for re-proof.
+        # ROUND-7 ROTATION PLAN (do this FIRST next round). The
+        # never-checked pool now EXCEEDS one 50-slot window: the
+        # 15-query wave-2 remainder below (udfs4 u12, aggregates6
+        # a26/a27, streaming_batch2 t5, dataquality2 dq9, udfs5 u13,
+        # sources_io8 io17, scalars3 s20-s23, dataquality3 dq10,
+        # relational4 q23), the two tail-block orphans
+        # (t4_dynamic_session_window, m4_modality_accounting — pull
+        # them forward out of the proven tail), and ~37 round-6
+        # additions (m5 m6, d60-d76, a28, dq11-dq12, w9-w10, s24-s25,
+        # q24-q26, io18-io19, t6, l60-l64), plus the l7/l8 re-proof
+        # (upgraded in round 6 from weak to full md5-determinized
+        # oracles; each needs its first HASH row). Priority for the
+        # round-7 head-50: (1) the 15 remainder + t4 + m4 (oldest
+        # debt), (2) l7/l8, (3) round-6 additions in registration
+        # order until the window is full; whatever spills becomes the
+        # guarded ROUND-8 head and must stay listed in
+        # tests/test_plans.py::_ROUND7_REMAINDER.
         # tests/test_plans.py::test_never_checked_queries_all_have_a_
         # documented_wave enforces that every never-checked query is
         # in this list or the current head.
