@@ -118,7 +118,10 @@ def w10_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (series, time) shuffle; the running interval frame is
     a single sorted pass per partition (Spark's sliding-frame
-    aggregation buffers only the in-frame rows)."""
+    aggregation buffers only the in-frame rows). HONEST LIMIT: the
+    partition key is the series alone, so parallelism = |series| —
+    w11 is the halo-parallelized production rewrite of this exact
+    frame (hash-certified equal), measured faster already at sf0.1."""
     from security_master_spark.datasets import load_tables
 
     load_tables(spark, sf_dir)
@@ -131,3 +134,70 @@ def w10_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
                            AND CURRENT ROW)
     """)
+
+
+@register(
+    "w11_halo_parallel_time_window",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           {sql_dround("SUM(value) OVER w", 6)} AS value_24h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def w11_halo_parallel_time_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """w10's trailing-24h frame, HALO-PARALLELIZED: the plain RANGE
+    window partitions by series only, so at 100 TB a 5-series stream
+    is 5 giant sequential partitions (the w10 docstring's honest
+    limit — visible even at sf0.1, where w10 is ~7× the other
+    w-series). Because the lookback is BOUNDED (24h), the stream can
+    instead be bucketed by day and each row duplicated into its
+    successor bucket as a halo: every row's frame then lies entirely
+    inside its home bucket plus the halo copies it received, the
+    window runs per (series, day-bucket) — |series|·|days|-way
+    parallel — and rows are emitted only in their home bucket. The
+    oracle is the UNPARALLELIZED plain-RANGE spelling, so the hash
+    certifies exact equality of the rewrite, copies and all.
+
+    The frame is expressed as rangeBetween(-86_400_000_000, 0) over
+    epoch MICROS — identical inclusive-bound semantics to INTERVAL
+    24 HOURS over the timestamp, at the fixture's full precision.
+
+    Cost shape: 2× the rows through one exchange (the halo copies)
+    buys |days|× parallelism and bounded partition memory — the
+    standard trade for bounded-interval windows on skewed series
+    keys; the same rewrite serves any frame whose lookback ≤ bucket
+    width."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    day = F.floor(us / F.lit(86_400_000_000))
+    ex = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        day.alias("home"),
+        F.explode(F.array(day, day + 1)).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return (
+        ex.select(
+            "event_id",
+            "event_type",
+            "home",
+            "bucket",
+            F.count("*").over(w).cast("bigint").alias("n_24h"),
+            dround(F.sum("value").over(w), 6).alias("value_24h"),
+        )
+        .filter(F.col("home") == F.col("bucket"))
+        .select("event_id", "event_type", "n_24h", "value_24h")
+    )

@@ -195,6 +195,7 @@ _ROUND7_REMAINDER = {
     "s25_calendar_arithmetic",
     "io19_zstd_parquet_roundtrip",
     "l64_quality_threshold_sweep",
+    "w11_halo_parallel_time_window",
 }
 
 
