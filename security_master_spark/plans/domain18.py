@@ -281,3 +281,17 @@ def d76_settlement_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trade_day", "traded_on_bus_day", "n_trades", "settle_day"
         )
     )
+
+
+#: volatility-cone horizons (trading days).
+_CONE_H = (5, 10, 20)
+
+
+@register(
+    "d77_volatility_cone",
+    oracle=f"""
+    WITH {{_DAILY_SQL_PLACEHOLDER}}
+    """,
+)
+def _placeholder():
+    pass
