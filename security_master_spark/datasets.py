@@ -68,6 +68,15 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 _SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
 
+def clear_schema_cache() -> None:
+    """Drop every cached read schema. The cache assumes fixture dirs
+    are immutable for the process lifetime; a test that REWRITES a
+    fixture in place with a different schema must call this first —
+    otherwise ``spark.read.schema(stale)`` silently yields NULLs for
+    renamed/missing columns instead of failing."""
+    _SCHEMA_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types (``events.ts`` via
     :func:`normalize_events_ts` — the single choke point for the two

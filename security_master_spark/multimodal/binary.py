@@ -2,11 +2,14 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas UDFs (``mapInPandas``).
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (``decode_image`` raises ``NotImplementedError``
-unless Pillow is importable); everything around it — schema, payload
-construction, batch iteration, frame sampling, feature extraction —
-is real Spark plumbing and is oracle-tested byte-for-byte.
+``decode_image`` and ``decode_wav`` are REAL pure-Python codecs for
+the uncompressed container formats (24-bit BMP / binary P6 PPM;
+RIFF/WAVE 16-bit PCM) — no external library needed. The documented
+codec seam is only for COMPRESSED formats (JPEG/PNG/FLAC/...), where
+decode falls through to Pillow if importable and raises ``ValueError``
+otherwise; schema, payload construction, batch iteration, frame
+sampling, and feature extraction are all real Spark plumbing and
+oracle-tested byte-for-byte.
 
 Scale notes: payload bytes ride the columnar scan like any other
 column (parquet stores them contiguously; column pruning means queries
@@ -286,7 +289,18 @@ def decode_wav(blob: bytes):
     while pos + 8 <= len(b):
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + size]
+        # A declared size past the end of the buffer would otherwise
+        # silently clamp via slicing (fewer samples than the header
+        # claims); malformed blobs must hit the documented ValueError
+        # seam, not truncate quietly.
+        if len(body) != size:
+            raise ValueError(
+                f"truncated {cid!r} chunk: header says {size} bytes, "
+                f"only {len(body)} present"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} < 16 bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -237,12 +237,28 @@ def sweep_orphaned_staging(
     the correctness condition: a LIVE writer's staging dir must never
     be swept mid-commit, so the threshold should comfortably exceed
     the longest plausible stage→commit gap (the rename itself is
-    instantaneous; the gap is the staging write). Committed versions
-    are untouchable by construction — they live outside ``_staging/``.
+    instantaneous; the gap is the staging write). Age is the max
+    mtime across the WHOLE staging tree, not the top-level dir: a
+    live writer streaming part-files into nested partition subdirs
+    does not bump the top-level mtime, so a top-level-only check
+    could sweep a slow write mid-flight. Committed versions are
+    untouchable by construction — they live outside ``_staging/``.
     """
     import os
     import shutil
     import time
+
+    def _tree_max_mtime(path: str) -> float:
+        newest = os.path.getmtime(path)
+        for dirpath, dirnames, filenames in os.walk(path):
+            for entry in (*dirnames, *filenames):
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, entry))
+                    )
+                except OSError:
+                    continue  # racing writer/cleaner — the dir is live
+        return newest
 
     root = f"{base_dir}/_staging"
     if not os.path.isdir(root):
@@ -252,7 +268,7 @@ def sweep_orphaned_staging(
     for name in os.listdir(root):
         path = os.path.join(root, name)
         try:
-            age = now - os.path.getmtime(path)
+            age = now - _tree_max_mtime(path)
         except OSError:
             continue  # concurrently committed (renamed away) — done
         if age >= min_age_seconds:

@@ -108,110 +108,78 @@ def test_allowlist_entries_still_exist():
     assert set(_NESTED_LOOP_OK) <= set(_QUERIES)
 
 
-#: queries that still need their FIRST driver row going into round 6:
-#: rotation wave 2 — the domain9 … domain12 never-driver-checked block
-#: (exactly 50 entries; local mirror green at sf0.001 + builder sims
-#: at sf0.01, but never inside the driver's window). domain12
-#: (d54-d59) is pulled into the head per the round-5 verdict; the
-#: displaced modules form the round-7 remainder below.
-_NEEDS_ROUND6_EVIDENCE = {
-    "d42_sortino_calmar", "d43_amihud_illiquidity",
-    "d44_pair_spread_zscore", "d45_time_to_convert",
-    "d46_isin_validation",
-    "l46_fuzzy_name_join", "l47_embedding_covariance", "l48_pca_project",
-    "q17_pipe_syntax", "q18_parameterized_sql", "q19_group_by_all",
-    "q20_identifier_clause", "q21_union_by_name", "q22_skyline",
-    "u10_sql_scalar_udf", "u11_sql_table_udf",
-    "io13_xml_roundtrip", "io14_file_metadata",
-    "io15_incremental_aggregate", "io16_malformed_csv_handling",
-    "a22_listagg", "a23_rolling_distinct", "a24_hll_partial_union",
-    "a25_approx_top_k",
-    "l49_source_vocab_overlap", "l50_tokenizer_fertility",
-    "l51_weighted_sample", "l52_boilerplate_chunks",
-    "l53_dedup_survivorship", "l54_split_leakage", "l55_langid_confusion",
-    "d47_basket_lift", "d48_cohort_retention", "d49_fulfillment_sla",
-    "d50_volume_bars", "d51_drawdown_duration", "d52_kyle_lambda",
-    "d53_cusip_sedol_validation",
-    "d54_bond_analytics", "d55_ytm_newton", "d56_black_scholes",
-    "d57_monte_carlo_pricing", "d58_implied_volatility",
-    "d59_min_variance_pairs",
-    "l56_chunk_dedup_retention", "l57_filter_funnel",
-    "l58_corpus_build_pipeline", "l59_bleu_pairs",
-    "g4_link_prediction", "g5_degree_histogram",
-}
+def test_every_registered_callable_is_invocable():
+    """Import-time structural guard (round-6 verdict, 'What's wrong'
+    #1): round 6 shipped `d77_volatility_cone` registered over a
+    zero-arg `_placeholder()` with a literal `{_DAILY_SQL_PLACEHOLDER}`
+    oracle template, which crashed the driver bench (BENCH_r06 rc=1)
+    and five tests. This guard makes that class of drift impossible to
+    commit: every registered callable must accept two positional
+    arguments `(spark, sf_dir)`, and every oracle string must contain
+    no unexpanded `{name}` template markers (a brace-wrapped
+    identifier can only be an f-string that was never formatted — SQL
+    itself never uses that token shape)."""
+    import inspect
+    import re
 
-#: the documented ROUND-7 wave: every remaining never-driver-checked
-#: query (registry.py round-7 comment) — the nine modules displaced
-#: from wave 2 plus the two tail-block orphans (t4, m4) the round-5
-#: verdict flagged as covered by no wave.
-_ROUND7_REMAINDER = {
-    "u12_pandas_api_on_spark",
-    "a26_count_min_sketch", "a27_transpose",
-    "t5_late_data_accounting",
-    "dq9_referential_integrity",
-    "u13_iter_pandas_udf",
-    "io17_text_roundtrip",
-    "s20_url_functions", "s21_data_protection", "s22_outer_explode",
-    "s23_map_higher_order",
-    "dq10_order_reconciliation",
-    "q23_null_safe_join",
-    "t4_dynamic_session_window",
-    "m4_modality_accounting",
-    # round-6 additions (registered after the remainder block):
-    "m5_image_decode_stats",
-    "m6_audio_decode_stats",
-    "d60_realized_vol_jump",
-    "d61_tick_rule_imbalance",
-    "a28_weighted_median",
-    "l60_simhash_dedup_retention",
-    "q24_lateral_subquery",
-    "q25_limit_offset",
-    "d62_var_backtest",
-    "io18_dynamic_partition_overwrite",
-    "dq11_volume_anomaly",
-    "d63_fifo_realized_pnl",
-    "w9_ignore_nulls_navigation",
-    "s24_try_arithmetic",
-    "d64_unrealized_pnl",
-    "l61_containment_dedup",
-    "d65_spearman_corr",
-    "d66_adjusted_close",
-    "d67_rolling_beta",
-    "l62_bm25_topk",
-    "d68_tracking_error",
-    "d69_roll_spread",
-    "d70_variance_ratio",
-    "d71_rfm_segmentation",
-    "l63_pmi_collocations",
-    "d72_touch_attribution",
-    "d73_markov_transitions",
-    "d74_kaplan_meier",
+    from security_master_spark.plans.registry import oracle_sql
+
+    bad_sig = []
+    for name, fn in _QUERIES.items():
+        try:
+            inspect.signature(fn).bind("spark", "sf_dir")
+        except TypeError:
+            bad_sig.append(name)
+    assert not bad_sig, (
+        f"registered callables that cannot accept (spark, sf_dir): "
+        f"{bad_sig} — an uncallable registration crashes the driver "
+        f"bench at bench.py"
+    )
+
+    bad_oracle = {
+        name: re.findall(r"\{[A-Za-z_][A-Za-z0-9_]*\}", sql)
+        for name, sql in oracle_sql().items()
+        if re.search(r"\{[A-Za-z_][A-Za-z0-9_]*\}", sql)
+    }
+    assert not bad_oracle, (
+        f"oracles with unexpanded template markers: {bad_oracle}"
+    )
+
+
+#: the round-7 driver window: pinned explicitly in
+#: registry.ROUND7_HEAD (queries()/oracle_sql() reorder the dict so
+#: these 50 are the first 50 the driver sees). 48 never-checked +
+#: l7/l8 (first HASH rows for their upgraded oracles).
+from security_master_spark.plans.registry import ROUND7_HEAD as _ROUND7_HEAD
+
+#: the guarded ROUND-8 wave: the 6 round-6 additions the round-7
+#: window could not hold (never-checked pool was 54 + the l7/l8
+#: re-proof > 50), plus every round-7 addition as it registers.
+#: test_never_checked_queries_all_have_a_documented_wave enforces
+#: that no never-checked name lives outside ROUND7_HEAD ∪ this set.
+_ROUND8_REMAINDER = {
     "t6_windowed_topk_trending",
     "q26_lateral_topk",
     "d75_curve_interpolation",
     "d76_settlement_dates",
-    "w10_time_range_frame",
-    "dq12_winsorized_stats",
-    "s25_calendar_arithmetic",
+    "d77_volatility_cone",
     "io19_zstd_parquet_roundtrip",
-    "l64_quality_threshold_sweep",
-    "w11_halo_parallel_time_window",
 }
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-5 all stopped at
-    exactly 50). Round-6 rotation wave 2: 50 never-driver-checked
-    queries must BE the first 50 registrations — nothing else may
+    entries per round in registration order (rounds 1-6 all stopped at
+    exactly 50). Round-7 rotation: the pinned ROUND7_HEAD must BE the
+    first 50 entries of queries(), in pin order — nothing else may
     spend a cap slot."""
     names = list(_QUERIES)
-    assert len(_NEEDS_ROUND6_EVIDENCE) == 50
-    head = names[:50]
-    assert set(head) == _NEEDS_ROUND6_EVIDENCE, (
+    assert len(_ROUND7_HEAD) == 50
+    assert len(set(_ROUND7_HEAD)) == 50
+    assert names[:50] == list(_ROUND7_HEAD), (
         f"head-50 drift: missing="
-        f"{sorted(_NEEDS_ROUND6_EVIDENCE - set(head))} "
-        f"extra={sorted(set(head) - _NEEDS_ROUND6_EVIDENCE)}"
+        f"{sorted(set(_ROUND7_HEAD) - set(names[:50]))} "
+        f"extra={sorted(set(names[:50]) - set(_ROUND7_HEAD))}"
     )
 
 
@@ -233,10 +201,10 @@ def test_never_checked_queries_all_have_a_documented_wave():
         with open(path, encoding="utf-8") as f:
             ever_checked.update(json.load(f).keys())
     never = set(_QUERIES) - ever_checked
-    orphans = never - _NEEDS_ROUND6_EVIDENCE - _ROUND7_REMAINDER
+    orphans = never - set(_ROUND7_HEAD) - _ROUND8_REMAINDER
     assert not orphans, (
         f"never-driver-checked queries outside every documented "
-        f"rotation wave: {sorted(orphans)} — add them to the round-7 "
+        f"rotation wave: {sorted(orphans)} — add them to the round-8 "
         f"remainder (tests/test_plans.py + registry.py comment)"
     )
 
