@@ -105,6 +105,9 @@ def _load_all_plan_modules() -> None:
         relational6,
         domain18,
         sources_io10,
+        # Round-7 additions append here (round-8 rotation candidates;
+        # names must join tests/test_plans.py::_ROUND8_REMAINDER).
+        domain19,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

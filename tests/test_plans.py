@@ -67,6 +67,12 @@ _NESTED_LOOP_OK = {
     "d47_basket_lift": "1-row order-count aggregate broadcast onto the "
     "O(brand-pairs) metric assembly (no join key exists; build side is "
     "a single row)",
+    "d78_parametric_portfolio_var": "1-row series-count (K) broadcast "
+    "onto the daily frame + 1-row final stat assembly (no join key "
+    "exists; build sides are single rows)",
+    "d80_lead_lag_xcorr": "5-row lag dimension broadcast onto the "
+    "collapsed daily-returns frame (the shifted-day equi-join "
+    "follows; build side is 5 rows)",
 }
 
 _QUERIES = registry.queries()
@@ -164,6 +170,10 @@ _ROUND8_REMAINDER = {
     "d76_settlement_dates",
     "d77_volatility_cone",
     "io19_zstd_parquet_roundtrip",
+    # round-7 additions (never driver-checked by construction):
+    "d78_parametric_portfolio_var",
+    "d79_cusum_changepoint",
+    "d80_lead_lag_xcorr",
 }
 
 
