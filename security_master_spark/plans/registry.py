@@ -108,6 +108,8 @@ def _load_all_plan_modules() -> None:
         # Round-7 additions append here (round-8 rotation candidates;
         # names must join tests/test_plans.py::_ROUND8_REMAINDER).
         domain19,
+        domain20,
+        windows4,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -73,6 +73,9 @@ _NESTED_LOOP_OK = {
     "d80_lead_lag_xcorr": "5-row lag dimension broadcast onto the "
     "collapsed daily-returns frame (the shifted-day equi-join "
     "follows; build side is 5 rows)",
+    "d81_portfolio_turnover": "1-row series-count (K) broadcast for "
+    "the full-day alignment filter (no join key exists; build side "
+    "is a single row)",
 }
 
 _QUERIES = registry.queries()
@@ -174,6 +177,9 @@ _ROUND8_REMAINDER = {
     "d78_parametric_portfolio_var",
     "d79_cusum_changepoint",
     "d80_lead_lag_xcorr",
+    "d81_portfolio_turnover",
+    "d82_calendar_effects",
+    "w12_streak_islands",
 }
 
 
