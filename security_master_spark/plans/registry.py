@@ -110,6 +110,8 @@ def _load_all_plan_modules() -> None:
         domain19,
         domain20,
         windows4,
+        aggregates8,
+        dataquality5,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

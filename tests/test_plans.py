@@ -76,6 +76,9 @@ _NESTED_LOOP_OK = {
     "d81_portfolio_turnover": "1-row series-count (K) broadcast for "
     "the full-day alignment filter (no join key exists; build side "
     "is a single row)",
+    "dq14_staleness": "1-row dataset-watermark (max ts) broadcast "
+    "onto the per-stream gap frame (no join key exists; build side "
+    "is a single row)",
 }
 
 _QUERIES = registry.queries()
@@ -180,6 +183,10 @@ _ROUND8_REMAINDER = {
     "d81_portfolio_turnover",
     "d82_calendar_effects",
     "w12_streak_islands",
+    "a29_moment_shape_stats",
+    "a30_bitmap_distinct",
+    "dq13_completeness_grid",
+    "dq14_staleness",
 }
 
 
