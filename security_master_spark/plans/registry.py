@@ -112,6 +112,7 @@ def _load_all_plan_modules() -> None:
         windows4,
         aggregates8,
         dataquality5,
+        llm16,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -79,6 +79,12 @@ _NESTED_LOOP_OK = {
     "dq14_staleness": "1-row dataset-watermark (max ts) broadcast "
     "onto the per-stream gap frame (no join key exists; build side "
     "is a single row)",
+    "l65_minhash_calibration": "all-pairs over a 40-doc slice, "
+    "broadcast side <= 40 rows — the deliberately-bounded quadratic "
+    "oracle twin; scale path = l7 LSH banding (docstring)",
+    "l66_ngram_coverage_curve": "1-row doc_id extent broadcast for "
+    "range bucketing + 1-row gram-total broadcast for the cumulative "
+    "fraction (no join key exists; build sides are single rows)",
 }
 
 _QUERIES = registry.queries()
@@ -187,6 +193,8 @@ _ROUND8_REMAINDER = {
     "a30_bitmap_distinct",
     "dq13_completeness_grid",
     "dq14_staleness",
+    "l65_minhash_calibration",
+    "l66_ngram_coverage_curve",
 }
 
 
