@@ -226,6 +226,62 @@ def _decode_stat_batches(
         yield pd.DataFrame(rows)
 
 
+#: schema of the decoded tile-stat stage (ViT-style patch grid)
+TILE_STAT_SCHEMA = (
+    "doc_id long, tile_x int, tile_y int, n_px long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+#: patch edge length for image tiling (pixels)
+TILE_PX = 4
+
+
+def _decode_tile_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each BMP and reduce it to a ViT-style TILE_PX×TILE_PX
+    patch grid of per-channel sums. Edge tiles are PARTIAL (n_px <
+    TILE_PX²) when width/height aren't multiples of the tile edge —
+    emitted, not dropped, so the oracle certifies edge handling."""
+    import numpy as np
+
+    cols = ("doc_id", "tile_x", "tile_y", "n_px", "sum_r", "sum_g", "sum_b")
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in cols}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["img"]):
+            px = decode_image(blob).astype(np.int64)  # (h, w, 3)
+            h, w = px.shape[:2]
+            for ty in range((h + TILE_PX - 1) // TILE_PX):
+                for tx in range((w + TILE_PX - 1) // TILE_PX):
+                    t = px[
+                        ty * TILE_PX : (ty + 1) * TILE_PX,
+                        tx * TILE_PX : (tx + 1) * TILE_PX,
+                        :,
+                    ]
+                    rows["doc_id"].append(doc_id)
+                    rows["tile_x"].append(tx)
+                    rows["tile_y"].append(ty)
+                    rows["n_px"].append(t.shape[0] * t.shape[1])
+                    rows["sum_r"].append(int(t[:, :, 0].sum()))
+                    rows["sum_g"].append(int(t[:, :, 1].sum()))
+                    rows["sum_b"].append(int(t[:, :, 2].sum()))
+        yield pd.DataFrame(rows)
+
+
+def image_tile_stats(docs_with_dims: DataFrame) -> DataFrame:
+    """Encode → decode → tile: the :func:`image_pixel_stats` pipeline
+    with the reduce step swapped for the patch grid — the plumbing
+    under every ViT-style preprocessing job (decode, grid-split,
+    per-patch statistics), still two map-only Arrow stages with zero
+    shuffles."""
+    encoded = fan_out(
+        docs_with_dims.select("doc_id", "width", "height")
+    ).mapInPandas(_encode_batches, schema=IMAGE_SCHEMA)
+    return encoded.mapInPandas(
+        _decode_tile_batches, schema=TILE_STAT_SCHEMA
+    )
+
+
 def image_pixel_stats(docs_with_dims: DataFrame) -> DataFrame:
     """Two chained Arrow stages over (doc_id, width, height):
     mapInPandas ENCODE (render test card → real 24-bit BMP bytes in a

@@ -113,6 +113,8 @@ def _load_all_plan_modules() -> None:
         aggregates8,
         dataquality5,
         llm16,
+        relational7,
+        multimodal3,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -195,6 +195,9 @@ _ROUND8_REMAINDER = {
     "dq14_staleness",
     "l65_minhash_calibration",
     "l66_ngram_coverage_curve",
+    "q27_bag_set_ops",
+    "q28_row_value_in_subquery",
+    "m7_image_tiling",
 }
 
 
