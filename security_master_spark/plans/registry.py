@@ -115,6 +115,9 @@ def _load_all_plan_modules() -> None:
         llm16,
         relational7,
         multimodal3,
+        domain21,
+        scalars5,
+        sources_io11,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

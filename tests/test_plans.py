@@ -198,6 +198,9 @@ _ROUND8_REMAINDER = {
     "q27_bag_set_ops",
     "q28_row_value_in_subquery",
     "m7_image_tiling",
+    "d83_hurst_rs",
+    "s26_binary_encoding",
+    "io20_multiline_csv",
 }
 
 
