@@ -118,6 +118,8 @@ def _load_all_plan_modules() -> None:
         domain21,
         scalars5,
         sources_io11,
+        udfs6,
+        domain22,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -201,6 +201,8 @@ _ROUND8_REMAINDER = {
     "d83_hurst_rs",
     "s26_binary_encoding",
     "io20_multiline_csv",
+    "u14_apply_in_arrow",
+    "d84_information_coefficient",
 }
 
 
