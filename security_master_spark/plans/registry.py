@@ -120,6 +120,8 @@ def _load_all_plan_modules() -> None:
         sources_io11,
         udfs6,
         domain22,
+        graph3,
+        sources_io12,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -203,6 +203,8 @@ _ROUND8_REMAINDER = {
     "io20_multiline_csv",
     "u14_apply_in_arrow",
     "d84_information_coefficient",
+    "g6_kcore_peel",
+    "io21_nested_json_roundtrip",
 }
 
 
