@@ -122,6 +122,8 @@ def _load_all_plan_modules() -> None:
         domain22,
         graph3,
         sources_io12,
+        aggregates9,
+        llm17,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

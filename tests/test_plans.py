@@ -205,6 +205,8 @@ _ROUND8_REMAINDER = {
     "d84_information_coefficient",
     "g6_kcore_peel",
     "io21_nested_json_roundtrip",
+    "a31_ordered_set_aggregates",
+    "l67_embedding_norm_audit",
 }
 
 
