@@ -124,6 +124,8 @@ def _load_all_plan_modules() -> None:
         sources_io12,
         aggregates9,
         llm17,
+        udfs7,
+        domain23,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

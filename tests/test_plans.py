@@ -207,6 +207,8 @@ _ROUND8_REMAINDER = {
     "io21_nested_json_roundtrip",
     "a31_ordered_set_aggregates",
     "l67_embedding_norm_audit",
+    "u15_pandas_udaf_window",
+    "d85_capture_ratios",
 }
 
 
