@@ -415,6 +415,60 @@ def _decode_wav_stat_batches(
         yield pd.DataFrame(rows)
 
 
+#: schema of the decoded audio-frame stage (STFT-style frame grid)
+FRAME_STAT_SCHEMA = (
+    "doc_id long, frame_idx int, n_samp int, "
+    "sum_amp long, sum_sq long, peak int"
+)
+
+#: frame length / hop (samples) — 50% overlap, the STFT default shape
+FRAME_LEN = 256
+FRAME_HOP = 128
+
+
+def _decode_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each WAV and reduce it to overlapping FULL frames
+    (length FRAME_LEN, hop FRAME_HOP) of exact integer stats — the
+    framing every STFT/spectrogram/VAD pipeline starts with. Partial
+    tail frames are dropped (full-frame semantics, like d77's full
+    windows); each sample belongs to up to ⌈LEN/HOP⌉ frames."""
+    import numpy as np
+
+    cols = ("doc_id", "frame_idx", "n_samp", "sum_amp", "sum_sq", "peak")
+    for pdf in batches:
+        rows: dict[str, list] = {k: [] for k in cols}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+            s, _rate = decode_wav(blob)
+            s64 = s.astype("int64")
+            n = len(s64)
+            n_frames = (
+                (n - FRAME_LEN) // FRAME_HOP + 1 if n >= FRAME_LEN else 0
+            )
+            for f in range(n_frames):
+                fr = s64[f * FRAME_HOP : f * FRAME_HOP + FRAME_LEN]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(f)
+                rows["n_samp"].append(FRAME_LEN)
+                rows["sum_amp"].append(int(fr.sum()))
+                rows["sum_sq"].append(int((fr * fr).sum()))
+                rows["peak"].append(int(np.abs(fr).max()))
+        yield pd.DataFrame(rows)
+
+
+def audio_frame_stats(docs_with_len: DataFrame) -> DataFrame:
+    """Encode → decode → frame: :func:`audio_sample_stats` with the
+    reduce swapped for the overlapping frame grid — the audio twin of
+    :func:`image_tile_stats`, still two map-only Arrow stages."""
+    encoded = fan_out(
+        docs_with_len.select("doc_id", "n_samples")
+    ).mapInPandas(_encode_wav_batches, schema=AUDIO_SCHEMA)
+    return encoded.mapInPandas(
+        _decode_frame_batches, schema=FRAME_STAT_SCHEMA
+    )
+
+
 def audio_sample_stats(docs_with_len: DataFrame) -> DataFrame:
     """Two chained Arrow stages over (doc_id, n_samples): mapInPandas
     ENCODE (test tone → real RIFF/WAVE PCM bytes) → mapInPandas DECODE

@@ -126,6 +126,7 @@ def _load_all_plan_modules() -> None:
         llm17,
         udfs7,
         domain23,
+        multimodal4,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -209,6 +209,7 @@ _ROUND8_REMAINDER = {
     "l67_embedding_norm_audit",
     "u15_pandas_udaf_window",
     "d85_capture_ratios",
+    "m8_audio_framing",
 }
 
 
