@@ -127,6 +127,8 @@ def _load_all_plan_modules() -> None:
         udfs7,
         domain23,
         multimodal4,
+        domain24,
+        dataquality6,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -210,6 +210,8 @@ _ROUND8_REMAINDER = {
     "u15_pandas_udaf_window",
     "d85_capture_ratios",
     "m8_audio_framing",
+    "d86_volume_profile",
+    "dq15_near_duplicate_events",
 }
 
 
