@@ -129,6 +129,7 @@ def _load_all_plan_modules() -> None:
         multimodal4,
         domain24,
         dataquality6,
+        domain25,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

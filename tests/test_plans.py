@@ -212,6 +212,7 @@ _ROUND8_REMAINDER = {
     "m8_audio_framing",
     "d86_volume_profile",
     "dq15_near_duplicate_events",
+    "d87_cointegration_adf",
 }
 
 
