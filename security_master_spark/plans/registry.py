@@ -130,6 +130,8 @@ def _load_all_plan_modules() -> None:
         domain24,
         dataquality6,
         domain25,
+        domain26,
+        sources_io13,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -213,6 +213,8 @@ _ROUND8_REMAINDER = {
     "d86_volume_profile",
     "dq15_near_duplicate_events",
     "d87_cointegration_adf",
+    "d88_overnight_intraday",
+    "io22_tsv_dialect_roundtrip",
 }
 
 
