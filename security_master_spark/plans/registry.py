@@ -132,6 +132,9 @@ def _load_all_plan_modules() -> None:
         domain25,
         domain26,
         sources_io13,
+        llm18,
+        domain27,
+        sources_io14,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -79,6 +79,9 @@ _NESTED_LOOP_OK = {
     "dq14_staleness": "1-row dataset-watermark (max ts) broadcast "
     "onto the per-stream gap frame (no join key exists; build side "
     "is a single row)",
+    "l68_dedup_cluster_profile": "1-row corpus-total broadcast onto "
+    "the O(distinct sizes) profile frame (no join key exists; build "
+    "side is a single row)",
     "l65_minhash_calibration": "all-pairs over a 40-doc slice, "
     "broadcast side <= 40 rows — the deliberately-bounded quadratic "
     "oracle twin; scale path = l7 LSH banding (docstring)",
@@ -215,6 +218,9 @@ _ROUND8_REMAINDER = {
     "d87_cointegration_adf",
     "d88_overnight_intraday",
     "io22_tsv_dialect_roundtrip",
+    "l68_dedup_cluster_profile",
+    "d89_sign_autocorrelation",
+    "io23_parquet_merge_schema",
 }
 
 
