@@ -135,6 +135,7 @@ def _load_all_plan_modules() -> None:
         llm18,
         domain27,
         sources_io14,
+        llm19,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

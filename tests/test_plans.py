@@ -82,6 +82,9 @@ _NESTED_LOOP_OK = {
     "l68_dedup_cluster_profile": "1-row corpus-total broadcast onto "
     "the O(distinct sizes) profile frame (no join key exists; build "
     "side is a single row)",
+    "l69_bpe_pair_stats": "1-row pair-total broadcast onto the "
+    "O(alphabet-pairs) count frame (no join key exists; build side "
+    "is a single row)",
     "l65_minhash_calibration": "all-pairs over a 40-doc slice, "
     "broadcast side <= 40 rows — the deliberately-bounded quadratic "
     "oracle twin; scale path = l7 LSH banding (docstring)",
@@ -221,6 +224,7 @@ _ROUND8_REMAINDER = {
     "l68_dedup_cluster_profile",
     "d89_sign_autocorrelation",
     "io23_parquet_merge_schema",
+    "l69_bpe_pair_stats",
 }
 
 
