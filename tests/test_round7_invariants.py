@@ -246,3 +246,45 @@ def test_a30_bitmap_matches_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_l68_profile_doc_shares_sum_to_one(spark, sf_dir):
+    rows = _Q["l68_dedup_cluster_profile"](spark, sf_dir).collect()
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-4
+    assert all(r.corpus_max_cluster == rows[0].corpus_max_cluster
+               for r in rows)
+    assert max(r.cluster_size for r in rows) == rows[0].corpus_max_cluster
+
+
+def test_d89_sign_rho_is_a_correlation(spark, sf_dir):
+    for r in _Q["d89_sign_autocorrelation"](spark, sf_dir).collect():
+        for k in (1, 2, 3, 5):
+            rho = getattr(r, f"rho_{k}")
+            if rho is not None:
+                assert -1.0 <= rho <= 1.0
+
+
+def test_l69_ranks_are_contiguous_and_counts_monotone(spark, sf_dir):
+    rows = sorted(
+        _Q["l69_bpe_pair_stats"](spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.merge) == 2 for r in rows)
+
+
+def test_io23_legacy_count_matches_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.plans.sources_io14 import _GEN_SPLIT
+
+    got = sum(
+        r.n_legacy
+        for r in _Q["io23_parquet_merge_schema"](spark, sf_dir).collect()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    expect = orders.filter(F.col("o_orderkey") < _GEN_SPLIT).count()
+    assert got == expect
