@@ -148,6 +148,8 @@ def _load_all_plan_modules() -> None:
         domain27,
         sources_io14,
         llm19,
+        domain28,
+        dataquality7,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

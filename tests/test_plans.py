@@ -225,6 +225,8 @@ _ROUND8_REMAINDER = {
     "d89_sign_autocorrelation",
     "io23_parquet_merge_schema",
     "l69_bpe_pair_stats",
+    "d90_cross_sectional_momentum",
+    "dq16_sequence_audit",
 }
 
 
