@@ -79,9 +79,9 @@ _MOM_SIDE = 2
 def d90_cross_sectional_momentum(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Cross-sectional momentum backtest: form a trailing-{_MOM_W}-day
-    log-return signal per series, each day go long the top-{_MOM_SIDE}
-    and short the bottom-{_MOM_SIDE} names, hold one day, and score
+    """Cross-sectional momentum backtest: form a trailing 5-day
+    log-return signal per series, each day go long the top-2
+    and short the bottom-2 names (_MOM_W/_MOM_SIDE), hold one day, and score
     the long-short stream (mean, vol, t-stat, hit rate) — the
     portfolio spelling of the factor question d84's IC answers by
     regression; together they are the standard factor report pair.
