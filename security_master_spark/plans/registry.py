@@ -109,14 +109,14 @@ def _load_all_plan_modules() -> None:
         # names must join tests/test_plans.py::_ROUND8_REMAINDER).
         #
         # ROUND-8 ROTATION PLAN (do this FIRST next round): the
-        # never-checked pool is exactly the 44-name
+        # never-checked pool is exactly the 47-name
         # _ROUND8_REMAINDER — the 6-name round-6 spill (t6, q26, d75,
         # d76, d77, io19; oldest debt, head of the window) plus the
-        # 38 round-7 additions in registration order (d78…dq16). That
-        # fits ONE 50-slot window with 6 slots spare — fill the
+        # 41 round-7 additions in registration order (d78…q29). That
+        # fits ONE 50-slot window with 3 slots spare — fill the
         # remainder with the highest-value re-proof candidates (e.g.
         # queries whose driver rows are rows-only: a24, l48, a20/a21/
-        # d37 class) or leave the window at 44; either way pin it as
+        # d37 class) or leave the window at 47; either way pin it as
         # ROUND8_HEAD (replace ROUND7_HEAD below, update the pin
         # test), run the full sf0.01 driver sim, THEN build.
         domain19,
@@ -150,6 +150,9 @@ def _load_all_plan_modules() -> None:
         llm19,
         domain28,
         dataquality7,
+        llm20,
+        windows5,
+        relational8,
         # Wave 1 (driver-proven green in round 5) + everything proven
         # in rounds 1-4 — registers last.
         domain7,

@@ -85,6 +85,9 @@ _NESTED_LOOP_OK = {
     "l69_bpe_pair_stats": "1-row pair-total broadcast onto the "
     "O(alphabet-pairs) count frame (no join key exists; build side "
     "is a single row)",
+    "l70_lsh_precision_recall": "three 1-row count aggregates "
+    "crossed into the scorecard row (no join key exists; build "
+    "sides are single rows)",
     "l65_minhash_calibration": "all-pairs over a 40-doc slice, "
     "broadcast side <= 40 rows — the deliberately-bounded quadratic "
     "oracle twin; scale path = l7 LSH banding (docstring)",
@@ -227,6 +230,9 @@ _ROUND8_REMAINDER = {
     "l69_bpe_pair_stats",
     "d90_cross_sectional_momentum",
     "dq16_sequence_audit",
+    "l70_lsh_precision_recall",
+    "w13_ratio_to_report",
+    "q29_not_in_null_trap",
 }
 
 
