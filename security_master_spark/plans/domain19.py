@@ -220,6 +220,13 @@ def d79_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark fuses same-(partition, order) windows into a single
     WindowExec pass over the collapsed daily frame."""
     rets = daily_returns(daily_closes(spark, sf_dir))
+    return cusum_panel(rets)
+
+
+def cusum_panel(rets: DataFrame) -> DataFrame:
+    """The CUSUM pipeline over any (event_type, day, r) frame — the
+    d79 core, factored out so synthetic planted-changepoint frames
+    exercise the identical plan (tests/test_round7_invariants.py)."""
     wp = Window.partitionBy("event_type")
     wrun = (
         Window.partitionBy("event_type")

@@ -288,3 +288,34 @@ def test_io23_legacy_count_matches_split(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     expect = orders.filter(F.col("o_orderkey") < _GEN_SPLIT).count()
     assert got == expect
+
+
+def test_d79_cusum_detects_planted_changepoint(spark, sf_dir):
+    """Semantic validation beyond cross-engine equality: on a
+    synthetic series with a mean shift planted mid-sample, the CUSUM
+    pipeline must FIRE and locate the changepoint within a few days
+    of the plant; on a deterministic no-shift series it must NOT
+    fire. Runs the exact d79 plan via the factored cusum_panel."""
+    import datetime
+
+    from security_master_spark.plans.domain19 import cusum_panel
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        day = base + datetime.timedelta(days=i)
+        # deterministic pseudo-noise in [-0.005, 0.005), zero drift
+        noise = (((i * 2654435761) % 1000) / 1000 - 0.5) / 100
+        shift = 0.02 if i >= 60 else 0.0  # planted mean jump at day 60
+        rows.append(("shifted", day, noise + shift))
+        rows.append(("flat", day, noise))
+    rets = spark.createDataFrame(
+        rows, "event_type string, day date, r double"
+    )
+    out = {r.event_type: r for r in cusum_panel(rets).collect()}
+    assert out["shifted"].is_changepoint
+    plant = base + datetime.timedelta(days=60)
+    assert abs((out["shifted"].change_day - plant).days) <= 5, (
+        out["shifted"].change_day
+    )
+    assert not out["flat"].is_changepoint
