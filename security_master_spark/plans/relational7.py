@@ -88,7 +88,8 @@ _HIGH_VALUE = 400000.0
     oracle=f"""
     SELECT o.o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {sql_dround("SUM(o.o_totalprice)", 4)} AS total_price
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_price_cents
     FROM orders o
     WHERE EXISTS (
         SELECT 1 FROM orders h
@@ -116,7 +117,8 @@ def q28_row_value_in_subquery(
     return spark.sql(f"""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           {sql_dround("SUM(o_totalprice)", 4)} AS total_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_price_cents
     FROM orders
     WHERE (o_custkey, o_orderpriority) IN (
         SELECT o_custkey, o_orderpriority

@@ -36,8 +36,10 @@ _NESTED_SCHEMA = (
     SELECT o.o_orderstatus,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           {sql_dround("SUM(l.l_quantity)", 4)} AS total_qty,
-           {sql_dround("SUM(l.l_extendedprice)", 4)} AS total_price
+           CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT))
+                AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_price_cents
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -52,6 +54,10 @@ def io21_nested_json_roundtrip(
     the original tables and never sees a document. Array-of-struct
     fidelity (field names, element order, double round-tripping
     inside nested fields) all have to survive for the sums to hash.
+    Sums are EXACT integer cents (quantities/prices are 2-decimal
+    values): at sf0.1 the per-status double sums reach ~7e9, where
+    summation-order ulp noise exceeds a 4dp round — integer sums are
+    order-independent and scale-proof.
 
     Scale: the nest is ONE groupBy (collect_list bounded by lines per
     order, ≤7 in TPC-H shape); the read-back declares the schema so
@@ -88,6 +94,12 @@ def io21_nested_json_roundtrip(
     return flat.groupBy("o_orderstatus").agg(
         F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
         F.count("*").cast("bigint").alias("n_items"),
-        dround(F.sum("item.qty"), 4).alias("total_qty"),
-        dround(F.sum("item.price"), 4).alias("total_price"),
+        F.sum(F.floor(F.col("item.qty") + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("total_qty"),
+        F.sum(
+            F.floor(F.col("item.price") * 100 + 0.5).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_price_cents"),
     )

@@ -35,11 +35,12 @@ _GEN_SPLIT = 30000
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CASE WHEN o_orderkey < {_GEN_SPLIT}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
-           {sql_dround("SUM(o_totalprice)", 4)} AS total_price,
-           {sql_dround(
-               f"SUM(CASE WHEN o_orderkey >= {_GEN_SPLIT}"
-               " THEN o_totalprice * 0.1 END)", 4
-           )} AS total_fee
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_price_cents,
+           CAST(SUM(CASE WHEN o_orderkey >= {_GEN_SPLIT}
+                    THEN CAST(FLOOR((o_totalprice * 0.1) * 1000 + 0.5)
+                              AS BIGINT) END) AS BIGINT)
+               AS total_fee_mils
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -54,7 +55,10 @@ def io23_parquet_merge_schema(
     long-lived lake table goes through, here at the FILE level rather
     than io7's declared-schema level. The aggregate exercises exactly
     the NULL semantics evolution creates (fee sums skip legacy rows;
-    counts include them), certified against the original table.
+    counts include them), certified against the original table. Sums
+    are EXACT integers (cents for price, mils for the 10% fee —
+    fee×1000 = price×100, an integer): at sf0.1 per-status double
+    sums exceed what a 4dp round absorbs in summation-order noise.
 
     Scale note: mergeSchema reads EVERY file's footer at planning
     time — fine per-partition-directory, expensive over 10⁶ loose
@@ -82,6 +86,14 @@ def io23_parquet_merge_schema(
         F.sum(F.when(F.col("o_fee").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_legacy"),
-        dround(F.sum("o_totalprice"), 4).alias("total_price"),
-        dround(F.sum("o_fee"), 4).alias("total_fee"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_price_cents"),
+        F.sum(
+            F.floor(F.col("o_fee") * 1000 + 0.5).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_fee_mils"),
     )
