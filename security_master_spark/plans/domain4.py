@@ -65,8 +65,13 @@ def d19_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide: a window where >=50% of values are identical makes
     # MAD exactly 0 — ANSI `/` would crash the job on that data; NULL
     # z-scores fall out of the |z| > cut filter on both engines.
-    z = F.lit(_MAD_K) * F.try_divide(
-        F.col("value") - F.col("med"), F.col("mad")
+    # ASSOCIATIVITY MUST MATCH THE ORACLE: the SQL text parses as
+    # ((K · (v − med)) / mad); spelling it K · ((v − med)/mad) differs
+    # in the last ulp, which flipped one borderline row across the
+    # |z| > 3.5 boundary at sf0.1 (~600k rows; the boundary-flip risk
+    # is measure-zero per row but scales with n).
+    z = F.try_divide(
+        F.lit(_MAD_K) * (F.col("value") - F.col("med")), F.col("mad")
     )
     return (
         d.filter(F.abs(z) > _MAD_CUT)
