@@ -82,8 +82,12 @@ def dq11_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("mad"),
     )
-    z = F.lit(_MAD_K) * F.try_divide(
-        F.col("n") - F.col("med"), F.nullif(F.col("mad"), F.lit(0.0))
+    # Same expression TREE as the oracle text (K·(n−med))/mad — the
+    # d19 associativity rule: K·((n−med)/mad) differs in the last ulp
+    # and can flip the |z| > 3 flag on a borderline stream-day.
+    z = F.try_divide(
+        F.lit(_MAD_K) * (F.col("n") - F.col("med")),
+        F.nullif(F.col("mad"), F.lit(0.0)),
     )
     return scored.select(
         "event_type",
