@@ -3,7 +3,7 @@
 deterministic spelling) and exact distinct counting via bitmap words
 (the Roaring-style distributed-distinct technique).
 
-Round-8 rotation candidates (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

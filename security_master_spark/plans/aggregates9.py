@@ -3,7 +3,7 @@ aggregates — PERCENTILE_DISC / PERCENTILE_CONT with the SQL:2008
 ``WITHIN GROUP (ORDER BY ...)`` syntax (a22's LISTAGG is the string
 member of this family; these are the numeric ones).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

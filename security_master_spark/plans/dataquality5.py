@@ -2,7 +2,7 @@
 completeness per stream and feed staleness — the two monitoring
 queries an ingestion SLA dashboard refreshes continuously.
 
-Round-8 rotation candidates (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 duplicate detection — replayed events that exact-key screens (dq8)
 miss because the copies arrive microseconds-to-a-second apart.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

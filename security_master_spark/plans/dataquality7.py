@@ -2,7 +2,7 @@
 audit — are event ids monotone in event time per stream? The
 ordering contract every incremental consumer silently assumes.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

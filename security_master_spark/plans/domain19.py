@@ -3,9 +3,7 @@
 variance-covariance decomposition certified in-query, CUSUM
 changepoint detection, and lead-lag cross-correlation discovery.
 
-Registered as round-8 rotation candidates
-(tests/test_plans.py::_ROUND8_REMAINDER); until their driver rows
-land, the local oracle mirror + sf0.01 driver sim prove them.
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations
@@ -276,7 +274,12 @@ _XCORR_LAGS_SQL = ", ".join(f"({x})" for x in _XCORR_LAGS)
     "d80_lead_lag_xcorr",
     oracle=f"""
     WITH {_DAILY_SQL}, {_RETS_SQL}, rd AS (
-        SELECT event_type, CAST(day AS DATE) AS day, r FROM rr
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS BIGINT) AS idx,
+               r
+        FROM rr
     ), lags(lag) AS (
         VALUES {_XCORR_LAGS_SQL}
     )
@@ -287,7 +290,7 @@ _XCORR_LAGS_SQL = ", ".join(f"({x})" for x in _XCORR_LAGS)
            {sql_dround("CORR(a.r, b.r)", 6)} AS xcorr
     FROM rd a
     CROSS JOIN lags l
-    JOIN rd b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    JOIN rd b ON b.idx = a.idx + l.lag
              AND a.event_type < b.event_type
     GROUP BY 1, 2, 3
     """,
@@ -298,14 +301,25 @@ def d80_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     price-discovery screen that finds which instrument moves first
     (the off-zero lag with the correlation peak).
 
-    Shape: the lag shift is pure DATE arithmetic on the collapsed
-    daily frame — each lag becomes an equi-join on the shifted day
-    key (NEVER a per-lag window re-sort, never a range join); the
-    5-row lag dim broadcasts, and CORR's partial aggregation
-    map-side-combines per (pair, lag). O(days · K² · L) work on a
-    frame ~6 orders smaller than the fact table."""
+    Shape: lag means TRADING position, not calendar date — each
+    series gets a dense per-series ROW_NUMBER trading-day index (one
+    window sort per series, partitioned by event_type, on a frame ~6
+    orders smaller than the fact table), so lag ±1 across a weekend/
+    holiday gap pairs adjacent SESSIONS instead of silently dropping
+    (the round-8 ADVICE fix: calendar DATE arithmetic lost those
+    pairs). Each lag is then an equi-join on the shifted index (never
+    a per-lag re-sort, never a range join); the 5-row lag dim
+    broadcasts, and CORR's partial aggregation map-side-combines per
+    (pair, lag). O(days · K² · L) total."""
     rets = daily_returns(daily_closes(spark, sf_dir)).select(
-        "event_type", F.col("day").cast("date").alias("day"), "r"
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("day")
+        )
+        .cast("bigint")
+        .alias("idx"),
+        "r",
     )
     lags = spark.createDataFrame(
         [(x,) for x in _XCORR_LAGS], "lag int"
@@ -315,10 +329,7 @@ def d80_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(lags))
         .join(
             b,
-            (
-                F.col("b.day")
-                == F.date_add(F.col("a.day"), F.col("lag"))
-            )
+            (F.col("b.idx") == F.col("a.idx") + F.col("lag"))
             & (F.col("a.event_type") < F.col("b.event_type")),
         )
         .groupBy(

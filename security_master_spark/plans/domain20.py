@@ -2,7 +2,7 @@
 turnover from value weights, and calendar (day-of-week) effects with
 per-cell t-statistics.
 
-Round-8 rotation candidates (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@ information coefficient (IC) panel — the factor-evaluation staple
 that scores a signal by the daily cross-sectional rank correlation
 with next-day returns.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@ capture ratios — the asymmetric-beta scorecard (how much of the
 market's up days does this series capture vs how much of the down
 days it suffers).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 profile (volume-at-price histogram with the point of control) — the
 market-profile chart behind support/resistance analytics.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@ cointegration screening — hedge regression + closed-form ADF t-stat
 on the residual, the statistical backbone of every pairs-trading desk
 (d44's spread z-score ASSUMES the pair cointegrates; this tests it).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

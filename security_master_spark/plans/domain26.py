@@ -2,7 +2,7 @@
 intraday return decomposition — the close-to-open / open-to-close
 split behind every "when does the return actually accrue?" study.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 sign autocorrelation — the persistence of tick-rule trade signs at
 lags 1..5, the microstructure signature of order splitting.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

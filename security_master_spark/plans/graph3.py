@@ -3,7 +3,7 @@ the customer–supplier trade graph — the degeneracy decomposition that
 finds the dense trading core (and whose peel order bounds g2's
 triangle orientation).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations
@@ -11,16 +11,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import os
 
 from security_master_spark.datasets import load_table
 from security_master_spark.plans.registry import register
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    # io_scratch layout, duplicated to avoid cross-plan imports.
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/sms_io/{tag}/{name}"
+# Shared register-free scratch helper (round-8 ADVICE: io_scratch
+# exists precisely so plan modules need not duplicate this; importing
+# it registers nothing). Iterative per-round frames use the
+# PID-namespaced variant so concurrent same-SF runs cannot clobber
+# each other's loop state.
+from security_master_spark.plans.io_scratch import _scratch_run
 
 #: core threshold (minimum degree inside the surviving subgraph).
 _CORE_K = 8
@@ -114,7 +115,7 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed joins per round) is the honest iterative workload, the
     # g1/g2 class. Same answer a 100 TB cluster uses for any
     # iterated-over frame.
-    path = _scratch(sf_dir, "kcore_edges")
+    path = _scratch_run(sf_dir, "kcore_edges")
     (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(
@@ -137,7 +138,7 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-executes all prior rounds multiple times each (the DAG
         # grows multiplicatively — the classic iterative-lineage trap;
         # same discipline as the base materialization above).
-        rpath = _scratch(sf_dir, f"kcore_edges_r{i + 1}")
+        rpath = _scratch_run(sf_dir, f"kcore_edges_r{i + 1}")
         nxt.write.mode("overwrite").parquet(rpath)
         edges = spark.read.parquet(rpath)
     core_deg = edges.groupBy("src").agg(F.count("*").alias("d"))

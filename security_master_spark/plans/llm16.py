@@ -3,7 +3,7 @@ calibration (estimated vs exact Jaccard, per pair) and the n-gram
 coverage growth curve (how fast new n-grams appear as the corpus
 grows in ingestion order — the data-curation scaling diagnostic).
 
-Round-8 rotation candidates (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations
@@ -120,7 +120,9 @@ def l65_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "TRANSFORM(sequence(1, greatest(size(t) - 2, 0)), "
+                "TRANSFORM(CASE WHEN size(t) >= 3 "
+                "THEN sequence(1, size(t) - 2) "
+                "ELSE CAST(array() AS array<int>) END, "
                 "g -> concat_ws(' ', t[g - 1], t[g], t[g + 1]))"
             )
         ).alias("gram"),
@@ -261,7 +263,9 @@ def l66_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "TRANSFORM(sequence(1, greatest(size(t) - 2, 0)), "
+                "TRANSFORM(CASE WHEN size(t) >= 3 "
+                "THEN sequence(1, size(t) - 2) "
+                "ELSE CAST(array() AS array<int>) END, "
                 "g -> MD5(concat_ws(' ', t[g - 1], t[g], t[g + 1])))"
             )
         ).alias("gk"),

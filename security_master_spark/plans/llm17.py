@@ -2,7 +2,7 @@
 quality audit — the vector-store ingest gate that catches collapsed,
 blown-up, or un-normalized embeddings before they poison retrieval.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

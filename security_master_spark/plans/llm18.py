@@ -3,7 +3,7 @@ profile — the size distribution of duplicate groups, i.e. the
 "what will dedup actually delete?" preview every curation run reads
 before committing.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

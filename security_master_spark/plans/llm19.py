@@ -3,7 +3,7 @@ statistics — the corpus-wide adjacent-symbol pair counts that drive
 one merge round of byte-pair-encoding tokenizer TRAINING (l15
 applies a tokenizer; this is the primitive that learns one).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -4,7 +4,7 @@ the exact Jaccard ground truth on a bounded slice, the measurement
 that turns "LSH found candidates" into "LSH has THIS
 precision/recall at THIS threshold".
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations
@@ -114,7 +114,9 @@ def l70_lsh_precision_recall(
         "doc_id",
         F.explode(
             F.expr(
-                "TRANSFORM(sequence(1, greatest(size(t) - 2, 0)), "
+                "TRANSFORM(CASE WHEN size(t) >= 3 "
+                "THEN sequence(1, size(t) - 2) "
+                "ELSE CAST(array() AS array<int>) END, "
                 "g -> concat_ws(' ', t[g - 1], t[g], t[g + 1]))"
             )
         ).alias("gram"),

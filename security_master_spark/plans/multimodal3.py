@@ -3,7 +3,7 @@ ViT-style decode → patch-grid → per-patch-statistics pipeline, with
 the tile grid (including PARTIAL edge tiles) certified closed-form by
 the oracle.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 overlapping-frame energy grid (STFT/VAD front end), the audio twin of
 m7's image tiling, oracle-certified frame by frame.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -68,13 +68,13 @@ def _load_all_plan_modules() -> None:
         domain12,
         llm12,
         graph2,
-        # ROUND-7 ROTATION: executed — but no longer via import
-        # order. The driver window is now pinned EXPLICITLY by
-        # ROUND7_HEAD below (queries()/oracle_sql() reorder the
-        # registration dict), so module import order here only
-        # matters for within-the-rest ordering. New round-7+ modules
-        # still append after this block and their names must join
-        # tests/test_plans.py::_ROUND8_REMAINDER (wave guard).
+        # ROTATION MECHANISM (round 7+): the driver window is
+        # pinned EXPLICITLY by ROUND8_HEAD below (queries()/
+        # oracle_sql() reorder the registration dict), so module
+        # import order here only matters for within-the-rest
+        # ordering. New modules still append after this block and
+        # their names must join tests/test_plans.py::_ROUND9_REMAINDER
+        # (wave guard).
         udfs4,
         aggregates6,
         streaming_batch2,
@@ -105,20 +105,14 @@ def _load_all_plan_modules() -> None:
         relational6,
         domain18,
         sources_io10,
-        # Round-7 additions append here (round-8 rotation candidates;
-        # names must join tests/test_plans.py::_ROUND8_REMAINDER).
-        #
-        # ROUND-8 ROTATION PLAN (do this FIRST next round): the
-        # never-checked pool is exactly the 47-name
-        # _ROUND8_REMAINDER — the 6-name round-6 spill (t6, q26, d75,
-        # d76, d77, io19; oldest debt, head of the window) plus the
-        # 41 round-7 additions in registration order (d78…q29). That
-        # fits ONE 50-slot window with 3 slots spare — fill the
-        # remainder with the highest-value re-proof candidates (e.g.
-        # queries whose driver rows are rows-only: a24, l48, a20/a21/
-        # d37 class) or leave the window at 47; either way pin it as
-        # ROUND8_HEAD (replace ROUND7_HEAD below, update the pin
-        # test), run the full sf0.01 driver sim, THEN build.
+        # Round-7 additions append here. The round-8 rotation plan
+        # that used to live in this comment was EXECUTED in round 8:
+        # ROUND8_HEAD (below) pins all 47 never-checked names (the
+        # 6-name round-6 spill + the 41 round-7 additions, in
+        # registration order) plus 3 oldest-evidence re-proofs
+        # (a8/a12 last driver rows r03, t3 rows-only since r02 —
+        # round-7 verdict order #2). Round-8 additions, if any, must
+        # join tests/test_plans.py::_ROUND9_REMAINDER.
         domain19,
         domain20,
         windows4,
@@ -197,19 +191,76 @@ def _load_all_plan_modules() -> None:
     )
 
 
-#: ROUND-7 HEAD PIN (explicit rotation, supersedes module-order
-#: gymnastics): the driver checks the FIRST ~50 registry entries per
-#: round, so ``queries()``/``oracle_sql()`` reorder the registration
-#: dict to put exactly these names first, in this order. Composition
-#: per the round-6 verdict order #4: (1) the 13-query wave-2
-#: remainder, (2) the two tail-block orphans t4/m4 (oldest debt),
-#: (3) l7/l8 — first driver HASH rows for their round-6-upgraded
-#: md5-determinized oracles, (4) round-6 additions in registration
-#: order (m5 … d74) until the window holds exactly 50. The spill
-#: (t6, q26, d75, d76, d77, io19) is the guarded ROUND-8 head —
-#: tests/test_plans.py::_ROUND8_REMAINDER. An explicit-list pin means
-#: single queries can rotate forward without dragging their proven
-#: module-mates into the window; tests pin head == this tuple.
+#: ROUND-8 HEAD PIN (round-7 verdict orders #1-2): the driver checks
+#: the FIRST ~50 registry entries per round, so
+#: ``queries()``/``oracle_sql()`` reorder the registration dict to put
+#: exactly these names first, in this order. Composition: (1) the
+#: entire 47-name never-driver-checked pool (round-6 spill t6/q26/
+#: d75/d76/d77/io19 first — oldest debt — then the 41 round-7
+#: additions in registration order d78…q29), (2) the 3 spare slots on
+#: the OLDEST driver evidence: a8/a12 (last rows r03) and t3
+#: (rows-only since r02) — fresh rows guard against silent drift.
+#: After this window runs, every registered query has driver evidence
+#: — 100% registry coverage for the first time.
+ROUND8_HEAD: tuple[str, ...] = (
+    # (1) round-6 spill — oldest never-checked debt
+    "t6_windowed_topk_trending",
+    "q26_lateral_topk",
+    "d75_curve_interpolation",
+    "d76_settlement_dates",
+    "d77_volatility_cone",
+    "io19_zstd_parquet_roundtrip",
+    # (1 cont.) round-7 additions, registration order
+    "d78_parametric_portfolio_var",
+    "d79_cusum_changepoint",
+    "d80_lead_lag_xcorr",
+    "d81_portfolio_turnover",
+    "d82_calendar_effects",
+    "w12_streak_islands",
+    "a29_moment_shape_stats",
+    "a30_bitmap_distinct",
+    "dq13_completeness_grid",
+    "dq14_staleness",
+    "l65_minhash_calibration",
+    "l66_ngram_coverage_curve",
+    "q27_bag_set_ops",
+    "q28_row_value_in_subquery",
+    "m7_image_tiling",
+    "d83_hurst_rs",
+    "s26_binary_encoding",
+    "io20_multiline_csv",
+    "u14_apply_in_arrow",
+    "d84_information_coefficient",
+    "g6_kcore_peel",
+    "io21_nested_json_roundtrip",
+    "a31_ordered_set_aggregates",
+    "l67_embedding_norm_audit",
+    "u15_pandas_udaf_window",
+    "d85_capture_ratios",
+    "m8_audio_framing",
+    "d86_volume_profile",
+    "dq15_near_duplicate_events",
+    "d87_cointegration_adf",
+    "d88_overnight_intraday",
+    "io22_tsv_dialect_roundtrip",
+    "l68_dedup_cluster_profile",
+    "d89_sign_autocorrelation",
+    "io23_parquet_merge_schema",
+    "l69_bpe_pair_stats",
+    "d90_cross_sectional_momentum",
+    "dq16_sequence_audit",
+    "l70_lsh_precision_recall",
+    "w13_ratio_to_report",
+    "q29_not_in_null_trap",
+    # (2) spare slots: oldest driver evidence re-proofs
+    "a8_approx_count_distinct",
+    "a12_freq_items_crosstab",
+    "t3_session_window_native",
+)
+
+#: Historical round-7 window (superseded by ROUND8_HEAD; kept so the
+#: rotation ledger stays in code — every name here is hash-green in
+#: CORRECTNESS_r07.json).
 ROUND7_HEAD: tuple[str, ...] = (
     # (1) wave-2 remainder — displaced from the round-6 window
     "u12_pandas_api_on_spark",
@@ -269,11 +320,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND7_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND8_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND7_HEAD if n in d]
+    head = [n for n in ROUND8_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))

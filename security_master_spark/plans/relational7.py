@@ -3,7 +3,7 @@ set operations — INTERSECT ALL / EXCEPT ALL, the duplicate-preserving
 semantics q8's set-flavored ops cannot express — and multi-column
 (row-value) IN subqueries.
 
-Round-8 rotation candidates (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

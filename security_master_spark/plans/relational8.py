@@ -2,7 +2,7 @@
 EXISTS null trap — three-valued-logic semantics certified side by
 side on a NULL-bearing subquery.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 base64, hex, codepoint functions, byte lengths, and the
 encode→base64→decode roundtrip proved in-row.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -2,12 +2,11 @@
 containing embedded newlines and quotes surviving a write→read
 roundtrip (`multiLine`), the classic real-world CSV hazard.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,12 +15,9 @@ from security_master_spark.datasets import load_table
 from security_master_spark.plans.registry import register
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    # Same layout as plans/io_scratch — duplicated (not imported from
-    # sources_io) so importing this module does not transitively
-    # register other modules' queries and perturb registry order.
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/sms_io/{tag}/{name}"
+# Register-free shared helper — importing io_scratch (unlike
+# sources_io) registers nothing, so registry order is safe.
+from security_master_spark.plans.io_scratch import _scratch
 
 
 #: docs slice for the multiline payload.

@@ -3,7 +3,7 @@ array-of-struct documents (an order with its line items) surviving
 write → schema-first read → re-flatten, the denormalized-document
 interchange shape io2's flat JSON never exercises.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

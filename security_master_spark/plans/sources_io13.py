@@ -3,7 +3,7 @@ tab separator, custom NULL sentinel, and a custom escape character
 surviving a write→read roundtrip; the "other CSV dialect" every
 real-world ingest eventually meets.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

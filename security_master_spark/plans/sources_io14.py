@@ -3,12 +3,11 @@ two generations of files with DIFFERENT schemas in one dataset,
 unified by ``mergeSchema`` (io7 evolves the declared read schema;
 this exercises footer-level union across heterogeneous files).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,10 +17,9 @@ from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    # io_scratch layout, duplicated to avoid cross-plan imports.
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/sms_io/{tag}/{name}"
+# Register-free shared helper — importing io_scratch (unlike
+# sources_io) registers nothing, so registry order is safe.
+from security_master_spark.plans.io_scratch import _scratch
 
 
 #: orderkey split point between the "old" and "new" file generations.

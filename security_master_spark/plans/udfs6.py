@@ -2,7 +2,7 @@
 Arrow-native grouped-map (the pandas-free sibling of u4's
 applyInPandas), running pyarrow.compute C++ kernels per group.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@ WINDOW function over a bounded rolling frame — the custom-rolling-
 statistic surface (u3 covers grouped-agg; this is the same UDAF
 family evaluated per sliding frame).
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

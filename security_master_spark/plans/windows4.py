@@ -2,7 +2,7 @@
 detection — the canonical "consecutive runs" window idiom that no
 frame clause can express directly.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

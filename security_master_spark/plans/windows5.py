@@ -2,7 +2,7 @@
 share-of-total window (Oracle's RATIO_TO_REPORT), spelled as a
 windowed sum division with multi-level shares in one pass.
 
-Round-8 rotation candidate (tests/test_plans.py::_ROUND8_REMAINDER).
+Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 """
 
 from __future__ import annotations

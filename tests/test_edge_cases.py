@@ -221,3 +221,29 @@ def test_l29_min_count_floor_routes_rare_tokens_to_oov(spark, tmp_path):
     assert out[1][1] == round((3 * s_a + s_oov) / 4, 6)
     assert out[2][0] == 3
     assert out[2][1] == round((s_a + 2 * s_oov) / 3, 6)
+
+
+def test_inline_trigram_sql_guards_short_docs(spark):
+    # Round-8 ADVICE (medium): llm16/llm20 spell trigram expansion as
+    # inline SQL rather than functions.text.shingles_of; their old
+    # sequence(1, greatest(size(t)-2, 0)) yields DESCENDING [1, 0]
+    # for <3-token docs (index -1 / size under ANSI, spurious grams
+    # otherwise). The guarded spelling used at llm16.py/llm20.py must
+    # yield [] for short docs and exact trigrams otherwise.
+    guarded = (
+        "TRANSFORM(CASE WHEN size(t) >= 3 "
+        "THEN sequence(1, size(t) - 2) "
+        "ELSE CAST(array() AS array<int>) END, "
+        "g -> concat_ws(' ', t[g - 1], t[g], t[g + 1]))"
+    )
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",),
+         ("one two three four",)],
+        ["text"],
+    ).select(F.split("text", " ").alias("t"))
+    got = [r.g for r in df.select(F.expr(guarded).alias("g")).collect()]
+    assert got[0] == []   # split("") -> [""], 1 token
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["one two three"]
+    assert got[4] == ["one two three", "two three four"]

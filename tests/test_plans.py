@@ -173,82 +173,33 @@ def test_every_registered_callable_is_invocable():
     )
 
 
-#: the round-7 driver window: pinned explicitly in
-#: registry.ROUND7_HEAD (queries()/oracle_sql() reorder the dict so
-#: these 50 are the first 50 the driver sees). 48 never-checked +
-#: l7/l8 (first HASH rows for their upgraded oracles).
-from security_master_spark.plans.registry import ROUND7_HEAD as _ROUND7_HEAD
+#: the round-8 driver window: pinned explicitly in
+#: registry.ROUND8_HEAD (queries()/oracle_sql() reorder the dict so
+#: these 50 are the first 50 the driver sees). The entire 47-name
+#: never-checked pool + 3 oldest-evidence re-proofs (a8/a12/t3).
+from security_master_spark.plans.registry import ROUND8_HEAD as _ROUND8_HEAD
 
-#: the guarded ROUND-8 wave: the 6 round-6 additions the round-7
-#: window could not hold (never-checked pool was 54 + the l7/l8
-#: re-proof > 50), plus every round-7 addition as it registers.
+#: the guarded ROUND-9 wave: empty at rotation time — ROUND8_HEAD
+#: absorbs every never-driver-checked name. Any round-8 addition must
+#: register its name here;
 #: test_never_checked_queries_all_have_a_documented_wave enforces
-#: that no never-checked name lives outside ROUND7_HEAD ∪ this set.
-_ROUND8_REMAINDER = {
-    "t6_windowed_topk_trending",
-    "q26_lateral_topk",
-    "d75_curve_interpolation",
-    "d76_settlement_dates",
-    "d77_volatility_cone",
-    "io19_zstd_parquet_roundtrip",
-    # round-7 additions (never driver-checked by construction):
-    "d78_parametric_portfolio_var",
-    "d79_cusum_changepoint",
-    "d80_lead_lag_xcorr",
-    "d81_portfolio_turnover",
-    "d82_calendar_effects",
-    "w12_streak_islands",
-    "a29_moment_shape_stats",
-    "a30_bitmap_distinct",
-    "dq13_completeness_grid",
-    "dq14_staleness",
-    "l65_minhash_calibration",
-    "l66_ngram_coverage_curve",
-    "q27_bag_set_ops",
-    "q28_row_value_in_subquery",
-    "m7_image_tiling",
-    "d83_hurst_rs",
-    "s26_binary_encoding",
-    "io20_multiline_csv",
-    "u14_apply_in_arrow",
-    "d84_information_coefficient",
-    "g6_kcore_peel",
-    "io21_nested_json_roundtrip",
-    "a31_ordered_set_aggregates",
-    "l67_embedding_norm_audit",
-    "u15_pandas_udaf_window",
-    "d85_capture_ratios",
-    "m8_audio_framing",
-    "d86_volume_profile",
-    "dq15_near_duplicate_events",
-    "d87_cointegration_adf",
-    "d88_overnight_intraday",
-    "io22_tsv_dialect_roundtrip",
-    "l68_dedup_cluster_profile",
-    "d89_sign_autocorrelation",
-    "io23_parquet_merge_schema",
-    "l69_bpe_pair_stats",
-    "d90_cross_sectional_momentum",
-    "dq16_sequence_audit",
-    "l70_lsh_precision_recall",
-    "w13_ratio_to_report",
-    "q29_not_in_null_trap",
-}
+#: that no never-checked name lives outside ROUND8_HEAD ∪ this set.
+_ROUND9_REMAINDER: set[str] = set()
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-6 all stopped at
-    exactly 50). Round-7 rotation: the pinned ROUND7_HEAD must BE the
+    entries per round in registration order (rounds 1-7 all stopped at
+    exactly 50). Round-8 rotation: the pinned ROUND8_HEAD must BE the
     first 50 entries of queries(), in pin order — nothing else may
     spend a cap slot."""
     names = list(_QUERIES)
-    assert len(_ROUND7_HEAD) == 50
-    assert len(set(_ROUND7_HEAD)) == 50
-    assert names[:50] == list(_ROUND7_HEAD), (
+    assert len(_ROUND8_HEAD) == 50
+    assert len(set(_ROUND8_HEAD)) == 50
+    assert names[:50] == list(_ROUND8_HEAD), (
         f"head-50 drift: missing="
-        f"{sorted(set(_ROUND7_HEAD) - set(names[:50]))} "
-        f"extra={sorted(set(names[:50]) - set(_ROUND7_HEAD))}"
+        f"{sorted(set(_ROUND8_HEAD) - set(names[:50]))} "
+        f"extra={sorted(set(names[:50]) - set(_ROUND8_HEAD))}"
     )
 
 
@@ -259,7 +210,7 @@ def test_never_checked_queries_all_have_a_documented_wave():
     m4_modality_accounting silently fell out of every wave. Recompute
     the never-driver-checked set from the committed CORRECTNESS_r*.json
     evidence files and assert every member is either in the current
-    head or in the literal round-7 remainder list."""
+    head or in the literal round-9 remainder list."""
     import glob
     import json
     import os
@@ -270,10 +221,10 @@ def test_never_checked_queries_all_have_a_documented_wave():
         with open(path, encoding="utf-8") as f:
             ever_checked.update(json.load(f).keys())
     never = set(_QUERIES) - ever_checked
-    orphans = never - set(_ROUND7_HEAD) - _ROUND8_REMAINDER
+    orphans = never - set(_ROUND8_HEAD) - _ROUND9_REMAINDER
     assert not orphans, (
         f"never-driver-checked queries outside every documented "
-        f"rotation wave: {sorted(orphans)} — add them to the round-8 "
+        f"rotation wave: {sorted(orphans)} — add them to the round-9 "
         f"remainder (tests/test_plans.py + registry.py comment)"
     )
 
