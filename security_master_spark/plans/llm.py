@@ -523,14 +523,90 @@ def l12_ngram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l13_ann_lsh_topk")  # weak: sign-LSH cells use xxhash64-derived
-# hyperplanes (engine-specific); recall vs brute force is asserted in
-# tests/test_operators.py instead of a SQL oracle
+def _sign_planes_sql(n_planes: int, n_tables: int, dim: int = 64) -> str:
+    """The EXACT production hyperplanes as a DuckDB VALUES table
+    ``(t, b, s DOUBLE[])``: the sign matrix is a deterministic pure
+    function of (seed=101+t, b, i) via the bit-exact Python port of
+    Spark's xxhash64 (functions/xxh64.py), already materialized as
+    Python constants at plan-build time — so the oracle can inline
+    the very same ±1 rows the pandas-UDF matmul multiplies by.
+    This is what upgrades l13/l20 from weak (recall-tested) to full
+    hash oracles (round-7 verdict order #3): nothing about the
+    production path changes; the oracle simply stops treating the
+    cell assignment as engine-specific."""
+    from security_master_spark.functions.xxh64 import xxhash64_ints
+
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_planes):
+            signs = ", ".join(
+                "1" if xxhash64_ints(101 + t, b, i) & 1 else "-1"
+                for i in range(dim)
+            )
+            rows.append(f"({t}, {b}, [{signs}]::DOUBLE[])")
+    return ",\n        ".join(rows)
+
+
+def _sign_cells_sql(n_planes: int, n_tables: int) -> str:
+    """Shared oracle CTEs: embeddings as DOUBLE[], the plane table,
+    and one sign-LSH cell id per (vector, table) — bit b set iff the
+    plane projection is positive, tagged with (t << 32) exactly like
+    operators/similarity._multi_table_cells_pandas. Near-zero
+    projections are the only cross-engine risk (sum-order ulps could
+    flip a sign), but the fixture embeddings are continuous floats:
+    P(|proj| < 1e-13) ≈ 1e-13 per projection — the same acceptance
+    class as every drounded float oracle in this repo."""
+    return f"""v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ), planes(t, b, s) AS (VALUES
+        {_sign_planes_sql(n_planes, n_tables)}
+    ), cells AS (
+        SELECT v.vec_id,
+               (CAST(p.t AS BIGINT) << 32)
+               + SUM(CASE WHEN list_dot_product(v.e, p.s) > 0
+                          THEN 1 << p.b ELSE 0 END) AS cell
+        FROM v CROSS JOIN planes p
+        GROUP BY v.vec_id, p.t
+    ), nrm AS (
+        SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS n FROM v
+    )"""
+
+
+@register(
+    "l13_ann_lsh_topk",
+    oracle=f"""
+    WITH {_sign_cells_sql(n_planes=5, n_tables=8)}, cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        FROM cells q JOIN cells c ON c.cell = q.cell
+        WHERE q.vec_id < 10
+    ), scored AS (
+        SELECT cd.q_id, cd.vec_id,
+               list_dot_product(nq.e, nc.e) / (nq.n * nc.n) AS cs
+        FROM cand cd
+        JOIN nrm nq ON nq.vec_id = cd.q_id
+        JOIN nrm nc ON nc.vec_id = cd.vec_id
+    ), ranked AS (
+        SELECT q_id, vec_id, cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cs DESC, vec_id ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT q_id, vec_id, {sql_dround("cs", 6)} AS cos_sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
 def l13_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: corpus and queries bucketed by random-hyperplane
     sign cells, equi-joined on cell id, exact cosine rank inside the
     bucket — candidate generation never crossJoins the corpus. Results
-    are deterministic (fixed-seed hyperplanes, id tie-breaks)."""
+    are deterministic (fixed-seed hyperplanes, id tie-breaks), and
+    since round 8 FULLY hash-checked: the oracle replays the exact
+    xxhash64-derived hyperplanes as inline constants
+    (:func:`_sign_planes_sql`), so candidate generation, ranking, and
+    scores are all certified — the recall property test
+    (tests/test_operators.py) remains as the semantic floor."""
     from security_master_spark.operators.similarity import ann_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -740,7 +816,24 @@ def l17_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l20_embedding_near_dup_lsh")  # sign-LSH buckets are engine-specific → weak
+@register(
+    "l20_embedding_near_dup_lsh",
+    oracle=f"""
+    WITH {_sign_cells_sql(n_planes=6, n_tables=8)}, cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells a JOIN cells b
+          ON b.cell = a.cell AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT c.id_a, c.id_b,
+               list_dot_product(na.e, nb.e) / (na.n * nb.n) AS cs
+        FROM cand c
+        JOIN nrm na ON na.vec_id = c.id_a
+        JOIN nrm nb ON nb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, {sql_dround("cs", 6)} AS cos_sim
+    FROM scored WHERE cs >= 0.4
+    """,
+)
 def l20_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path embedding near-dup: exact-cosine-verified pairs whose
     candidates come from a sign-LSH cell equi-join (8 tables) instead
@@ -750,6 +843,10 @@ def l20_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (every emitted pair is re-verified with the
     deterministic JVM dot fold), recall is the LSH dial — property-
     tested against planted near-duplicates in tests/test_operators.py.
+    Since round 8 the candidate set itself is hash-certified too: the
+    oracle replays the exact production hyperplanes as inline
+    constants (:func:`_sign_planes_sql`) and re-derives every cell,
+    candidate, and verified pair in SQL.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # 6 planes / 8 tables: a random pair collides with P ≈ 1−(1−2⁻⁶)⁸
