@@ -6,7 +6,7 @@ driver to name the output columns — by API design it is a
 small-result operator. A caller who copy-pastes a transpose onto an
 uncollapsed fact table gets a driver OOM at scale, not an error. This
 wrapper enforces the contract up front with a bounded probe:
-``limit(max_rows + 1).count()`` scans at most ``max_rows + 1`` rows
+``limit(max_rows + 1)`` scans at most ``max_rows + 1`` rows
 (LocalLimit short-circuits the scan), so the guard itself is cheap
 even when the input is a 100 TB table someone forgot to aggregate.
 """
@@ -24,25 +24,23 @@ def transpose_small(
     """Transpose ``df`` on ``index_col`` iff it has at most
     ``max_rows`` rows; raise ``ValueError`` otherwise.
 
-    The cardinality probe uses ``limit(max_rows + 1)`` so it never
-    counts past the threshold — an unbounded input fails fast instead
-    of flooding the driver.
-
-    Cost/consistency note: the probe is a SECOND job over ``df``'s
-    (uncached) plan — the input is computed twice, and a
-    nondeterministic source (rand(), repartitionByRange sampling,
-    now()) could pass the probe yet exceed the bound when the
-    transpose re-evaluates it. Hot-path callers with a pre-counted or
-    pre-collapsed frame can skip the probe and call
-    ``df.transpose(index_col)`` directly; callers on nondeterministic
-    input should ``persist()``/``localCheckpoint()`` first so both
-    jobs see one materialization.
+    Single-evaluation guard: the bounded slice
+    ``limit(max_rows + 1)`` is ``localCheckpoint``-ed (eager, at most
+    ``max_rows + 1`` rows — trivial), then both the cardinality probe
+    and the transpose itself read that one materialization. The input
+    plan runs exactly once, so a nondeterministic source (``rand()``,
+    ``repartitionByRange`` sampling, ``now()``) can't pass the probe
+    and then exceed the bound — or change values — when the transpose
+    re-evaluates; an unbounded input still fails fast because the
+    limit caps what gets materialized. (Before round 8 the probe was a
+    second job over the uncached plan; the double-compute caveat this
+    replaced lived in this docstring.)
     """
-    probe = df.limit(max_rows + 1).count()
-    if probe > max_rows:
+    snap = df.limit(max_rows + 1).localCheckpoint(eager=True)
+    if snap.count() > max_rows:
         raise ValueError(
             f"transpose_small: input has more than {max_rows} rows "
             f"(index column {index_col!r}); transpose collects the "
             "index to the driver — collapse/aggregate the frame first"
         )
-    return df.transpose(index_col)
+    return snap.transpose(index_col)

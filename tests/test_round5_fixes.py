@@ -116,6 +116,27 @@ def test_transpose_small_guard_trips_on_unbounded_frame(spark, sf_dir):
     assert transpose_small(small, "k", max_rows=100).count() == 1
 
 
+def test_transpose_small_evaluates_input_exactly_once(spark):
+    """Round-8 fix for the documented double-compute caveat: the probe
+    and the transpose must share ONE materialization of the input (the
+    bounded localCheckpoint), so nondeterministic sources can't pass
+    the probe and then diverge. Counted via accumulator: 3 rows -> the
+    row-UDF fires exactly 3 times total, not 6 (probe + transpose)."""
+    from security_master_spark.operators.transpose import transpose_small
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tick(x):
+        acc.add(1)
+        return f"k{x}"
+
+    df = spark.range(3).select(tick("id").alias("k"), F.lit(1.0).alias("v"))
+    out = transpose_small(df, "k", max_rows=100)
+    assert out.count() == 1
+    assert acc.value == 3
+
+
 def test_d47_breadth_cap_drops_mega_basket(spark):
     """An order with more distinct brands than _MAX_BASKET_BREADTH
     contributes nothing to the pair stage (the quadratic bound is a
