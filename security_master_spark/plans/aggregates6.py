@@ -192,8 +192,10 @@ def a27_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (here 3×3 after a full aggregate collapses the fact
     table; the aggregate itself is the usual partial+final hash agg).
     The contract is ENFORCED, not advisory: ``transpose_small``
-    (operators/transpose.py) probes cardinality with a bounded
-    limit+count and raises on an uncollapsed input."""
+    (operators/transpose.py) checkpoints a bounded limit slice, counts
+    it, and raises on an uncollapsed input — probe and transpose share
+    one materialization (r8), so nondeterministic inputs can't
+    diverge between them."""
     from security_master_spark.functions.rounding import dround
     from security_master_spark.operators.transpose import transpose_small
 

@@ -88,9 +88,45 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t3_session_window_native")  # native session_window: weak check;
-# cross-validated against the SQL-expressible lag/cumsum twin (d8) in tests
+@register(
+    "t3_session_window_native",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, value,
+               MAX(EPOCH(ts) + 1800) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_end
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_max_end IS NULL
+                         OR EPOCH(ts) >= prev_max_end
+                    THEN 1 ELSE 0 END AS new_session
+        FROM gapped
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, new_session DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dround("SUM(value)", 4)} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
 def t3_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap). Weak-checked r2-r7;
+    since round 8 it carries a full hash oracle — the t4 lag/cumsum
+    sessionization specialized to a fixed gap. The ``new_session
+    DESC`` tiebreak on the cumsum pins equal-timestamp events into the
+    session their earliest twin opened, matching Spark's time-only
+    session assignment; session intervals are half-open (an event at
+    exactly prev_end starts a new session: ``>= prev_max_end``)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))
