@@ -86,8 +86,16 @@ def main() -> None:
     # captured mid-JSON). The official line stays COMPACT (<1 KB: total
     # + top-10 slowest) and is printed LAST with an explicit flush; the
     # full per-query map goes to BENCH_DETAIL.json next to this script.
+    # Only the default-SF (sf0.1) run owns that filename: twice now a
+    # quick sf0.001 contract check silently clobbered the committed
+    # sf0.1 record (restored in 2f48c5f and again in round 8) — other
+    # SFs get an sf-suffixed file instead.
+    sf = _sf_from_dir(sf_dir)
+    detail_name = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -95,7 +103,7 @@ def main() -> None:
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "sf": _sf_from_dir(sf_dir),
+                "sf": sf,
                 "n_queries": len(timings),
                 "queries": timings,
             },
@@ -113,9 +121,9 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": top10,
-            "sf": _sf_from_dir(sf_dir),
+            "sf": sf,
             "n_queries": len(timings),
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_name,
         },
         separators=(",", ":"),
     )
