@@ -17,11 +17,29 @@ from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
 
+_PROFILE_SCHEMA = pa.schema(
+    [
+        ("o_orderpriority", pa.string()),
+        ("n_orders", pa.int64()),
+        ("total_price", pa.float64()),
+        ("min_price", pa.float64()),
+        ("max_price", pa.float64()),
+    ]
+)
+
+
 def _order_profile(table: "pa.Table") -> "pa.Table":
     """Per-group (one o_orderpriority) profile computed entirely with
     pyarrow.compute C++ kernels — no pandas anywhere. The driver ships
     this function by value; pyarrow imports resolve on the worker via
-    the shipped package zip."""
+    the shipped package zip.
+
+    The explicit result schema matters: ``pa.table`` infers type
+    ``null`` from an all-None column (a fully-null group — the
+    bad-upstream-extract shape), and Spark's Arrow verifier rejects
+    null-typed columns against the declared string/double schema as a
+    worker crash. Typed construction null-propagates instead (caught
+    by the round-8 null-payload sweep)."""
     price = table.column("o_totalprice")
     return pa.table(
         {
@@ -30,7 +48,8 @@ def _order_profile(table: "pa.Table") -> "pa.Table":
             "total_price": [pc.sum(price).as_py()],
             "min_price": [pc.min(price).as_py()],
             "max_price": [pc.max(price).as_py()],
-        }
+        },
+        schema=_PROFILE_SCHEMA,
     )
 
 

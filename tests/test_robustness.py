@@ -86,6 +86,12 @@ _PYTHON_SEAM_QUERIES = [
     "u4_apply_in_pandas",
     "u5_map_in_pandas",
     "io5_api_ingest",
+    # round-8 additions: the round-7 operators that cross the Arrow
+    # seam joined the sweep once they entered the driver window
+    "m7_image_tiling",
+    "m8_audio_framing",
+    "u14_apply_in_arrow",
+    "u15_pandas_udaf_window",
 ]
 
 
