@@ -151,53 +151,54 @@ def w10_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w11_halo_parallel_time_window(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """w10's trailing-24h frame, HALO-PARALLELIZED: the plain RANGE
-    window partitions by series only, so at 100 TB a 5-series stream
-    is 5 giant sequential partitions (the w10 docstring's honest
-    limit — visible even at sf0.1, where w10 is ~7× the other
-    w-series). Because the lookback is BOUNDED (24h), the stream can
-    instead be bucketed by day and each row duplicated into its
-    successor bucket as a halo: every row's frame then lies entirely
-    inside its home bucket plus the halo copies it received, the
-    window runs per (series, day-bucket) — |series|·|days|-way
-    parallel — and rows are emitted only in their home bucket. The
-    oracle is the UNPARALLELIZED plain-RANGE spelling, so the hash
-    certifies exact equality of the rewrite, copies and all.
+    """w10's trailing-24h frame as an O(n) PREFIX DIFFERENCE
+    (operators/trailing.py): cum(t) − cum(t − 24h − 1µs), one
+    incremental running-total window + one as-of carry of the
+    boundary prefix + a join back by row id — zero per-row frame
+    re-scans. The oracle stays the UNPARALLELIZED plain-RANGE
+    spelling, so the hash certifies exact equality of the rewrite.
 
-    The frame is expressed as rangeBetween(-86_400_000_000, 0) over
-    epoch MICROS — identical inclusive-bound semantics to INTERVAL
-    24 HOURS over the timestamp, at the fixture's full precision.
+    History: the round-7 form of this query was the HALO-BUCKET
+    rewrite (duplicate each row into its successor day-bucket, window
+    per (series, bucket), emit home rows) — it bought
+    |series|·|days|-way parallelism but kept Spark's O(rows ×
+    frame-rows) sliding-RANGE cost per bucket: measured at the
+    6M-tick stress corpus (10× ticks, 10× frame density), w10 went
+    2.4 s → 454 s and the halo form 0.9 s → 136 s. The prefix-diff
+    form removes the quadratic term entirely (PLANS.md round-8 study
+    has the numbers). The halo technique remains the right tool for
+    NON-invertible trailing aggregates (MAX/MIN can't difference
+    prefixes) — that regime note lives in operators/trailing.py.
 
-    Cost shape: 2× the rows through one exchange (the halo copies)
-    buys |days|× parallelism and bounded partition memory — the
-    standard trade for bounded-interval windows on skewed series
-    keys; the same rewrite serves any frame whose lookback ≤ bucket
-    width."""
+    Exactness: values are exact 2-dp money, so the prefix runs in
+    integer CENTS — a float prefix over a long history followed by a
+    subtraction is catastrophic cancellation at scale (the io21/q28
+    integer-cent lesson); integer prefixes make cum − bnd bit-exact
+    at any corpus size."""
+    from security_master_spark.operators.trailing import (
+        trailing_interval_sum,
+    )
+
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    day = F.floor(us / F.lit(86_400_000_000))
-    ex = events.select(
+    e = events.select(
         "event_id",
         "event_type",
-        "value",
-        us.alias("us"),
-        day.alias("home"),
-        F.explode(F.array(day, day + 1)).alias("bucket"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = (
-        Window.partitionBy("event_type", "bucket")
-        .orderBy("us")
-        .rangeBetween(-86_400_000_000, 0)
+    res = trailing_interval_sum(
+        e,
+        keys=["event_type"],
+        ts_us="us",
+        lookback_us=86_400_000_000,
+        units=F.col("cents"),
+        row_id="event_id",
+        out_n="n_24h",
+        out_units="cents_24h",
     )
-    return (
-        ex.select(
-            "event_id",
-            "event_type",
-            "home",
-            "bucket",
-            F.count("*").over(w).cast("bigint").alias("n_24h"),
-            dround(F.sum("value").over(w), 6).alias("value_24h"),
-        )
-        .filter(F.col("home") == F.col("bucket"))
-        .select("event_id", "event_type", "n_24h", "value_24h")
+    return res.select(
+        "event_id",
+        "event_type",
+        F.col("n_24h").cast("bigint").alias("n_24h"),
+        dround(F.col("cents_24h") / 100.0, 6).alias("value_24h"),
     )
