@@ -96,8 +96,12 @@ def trailing_interval_sum(
     # (is_a DESC) so an anchor exactly at the probe t is included.
     # Probes come from `base`, not `cur`: they only need (id, key, ts),
     # and deriving them pre-window keeps the cum WindowExec out of
-    # this subtree (it still evaluates twice — anchors + final join —
-    # which AQE's exchange reuse serves from one shuffle write).
+    # this subtree. The cum window still evaluates twice (anchors +
+    # final join; the executed plan shows no ReusedExchange across the
+    # two subtrees) — a 2× constant on an O(n) pass, measured fine at
+    # 10× density; a 100-TB run re-using this operator many times
+    # would materialize `cur` to scratch once (PLANS.md g6 rule)
+    # rather than persist() it.
     probes = base.select(
         F.col(row_id).alias("_rid"),
         *keys,
