@@ -39,7 +39,7 @@ _TOL = 0.01  # relative tolerance for "reconciled"
            COUNT(*) AS n_orders,
            CAST(SUM(CASE WHEN computed IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_no_lines,
-           CAST(SUM(CASE WHEN adiff / o_totalprice <= {_TOL}
+           CAST(SUM(CASE WHEN adiff <= {_TOL} * o_totalprice
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
            {sql_dround("AVG(adiff)", 4)} AS mean_abs_diff,
            {sql_dround("MAX(adiff)", 4)} AS max_abs_diff
@@ -84,8 +84,12 @@ def dq10_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("computed").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_no_lines"),
+        # multiply form, not adiff/total: a zero-total header crashed
+        # ANSI division on the adversarial fixture; the predicate is
+        # the same expression tree in the oracle (d19 associativity
+        # rule), and a zero-total zero-diff header counts reconciled
         F.sum(
-            F.when(F.col("adiff") / F.col("o_totalprice") <= _TOL, 1)
+            F.when(F.col("adiff") <= _TOL * F.col("o_totalprice"), 1)
             .otherwise(0)
         )
         .cast("bigint")

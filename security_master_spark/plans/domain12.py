@@ -655,8 +655,11 @@ def d58_implied_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn = 1
     ), rets AS (
         SELECT event_type, day,
-               close / LAG(close) OVER (PARTITION BY event_type
-                                        ORDER BY day) - 1 AS r
+               CASE WHEN LAG(close) OVER (PARTITION BY event_type
+                                          ORDER BY day) <> 0
+                    THEN close / LAG(close) OVER (PARTITION BY event_type
+                                                  ORDER BY day) - 1
+               END AS r
         FROM daily
     ), aligned AS (
         SELECT a.event_type AS ta, b.event_type AS tb, a.r AS ra, b.r AS rb
@@ -721,10 +724,13 @@ def d59_min_variance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     w = Window.partitionBy("event_type").orderBy("day")
+    # zero prior close -> NULL return, not an ANSI DIVIDE_BY_ZERO
+    # (adversarial-fixture catch; same guard in the oracle's CASE)
+    prev = F.lag("close").over(w)
     rets = daily.select(
         "event_type",
         "day",
-        (F.col("close") / F.lag("close").over(w) - 1).alias("r"),
+        F.when(prev != 0, F.col("close") / prev - 1).alias("r"),
     ).filter(F.col("r").isNotNull())
     a, b = rets.alias("a"), rets.alias("b")
     aligned = a.join(

@@ -179,8 +179,11 @@ _VAR_P = 0.05  # 95% one-day VaR
         FROM ranked WHERE rn = 1
     ), rets AS (
         SELECT event_type,
-               close / LAG(close) OVER (PARTITION BY event_type
-                                        ORDER BY day) - 1 AS r
+               CASE WHEN LAG(close) OVER (PARTITION BY event_type
+                                          ORDER BY day) <> 0
+                    THEN close / LAG(close) OVER (PARTITION BY event_type
+                                                  ORDER BY day) - 1
+               END AS r
         FROM daily
     ), scored AS (
         SELECT event_type, r,
@@ -248,9 +251,14 @@ def d62_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", F.col("value").alias("close"))
     )
     lw = Window.partitionBy("event_type").orderBy("day")
+    # zero prior close -> undefined ratio return -> NULL, not a crash:
+    # ANSI division threw DIVIDE_BY_ZERO on the adversarial fixture's
+    # value=0 ticks (tools/gen_adversarial.py sweep); the CASE guard is
+    # written identically in the oracle so both engines drop the row.
+    prev = F.lag("close").over(lw)
     rets = daily.select(
         "event_type",
-        (F.col("close") / F.lag("close").over(lw) - 1).alias("r"),
+        F.when(prev != 0, F.col("close") / prev - 1).alias("r"),
     ).filter(F.col("r").isNotNull())
     vw = Window.partitionBy("event_type")
     scored = rets.select(

@@ -505,15 +505,19 @@ def l11_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l12_ngram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingling + md5 min/max fingerprints per doc — the
     portable (non-xxhash) fingerprint pair; MinHash generalizes this
-    with per-permutation seeds."""
+    with per-permutation seeds. Shingling goes through the GUARDED
+    :func:`functions.text.shingles_of`: the hand-rolled
+    ``sequence(1, greatest(size-2, 0))`` this used before round 8
+    still produced the DESCENDING [1, 0] on <3-token docs and crashed
+    ``slice`` with INVALID_PARAMETER_VALUE.START — caught by the
+    adversarial-fixture sweep (tools/gen_adversarial.py), the exact
+    trap text.py:75 documents."""
+    from security_master_spark.functions.text import shingles_of
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
-    toks = tokens(F.col("text"))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     return (
-        docs.select("doc_id", F.explode(sh).alias("sh"))
+        toked.select("doc_id", F.explode(shingles_of(F.col("t"))).alias("sh"))
         .groupBy("doc_id")
         .agg(
             F.countDistinct("sh").alias("n_shingles"),
