@@ -54,6 +54,14 @@ def trailing_interval_sum(
     with RANGE tie semantics (equal timestamps are peers — every
     row at the same ``ts_us`` reports the identical frame).
 
+    ``row_id`` must be NON-NULL and UNIQUE per input row (same class
+    of contract as the exact-integer ``units`` rule below): the final
+    re-attach is an inner equi-join on ``row_id``, so a NULL id never
+    matches its boundary probe (the row silently vanishes) and a
+    duplicate id fans out rows. Synthesize one first if the frame has
+    none — ``monotonically_increasing_id()`` satisfies both halves
+    without a shuffle.
+
     ``units`` must be an exact-integer Column (scaled money, counts):
     prefix sums and their differences then carry no float error.
     SUM semantics are preserved exactly: a frame whose ``units`` are

@@ -35,6 +35,18 @@ def transpose_small(
     limit caps what gets materialized. (Before round 8 the probe was a
     second job over the uncached plan; the double-compute caveat this
     replaced lived in this docstring.)
+
+    Retention: each call stores one ``localCheckpoint`` snapshot
+    (≤ ``max_rows + 1`` rows) whose blocks are freed by the
+    ContextCleaner only when the returned frame becomes unreachable —
+    there is no public API to drop them eagerly, and an
+    unpersist-in-finally would let a nondeterministic source recompute
+    past the probe (the exact bug this design removed). A long-lived
+    session hammering this in a loop should drop references promptly;
+    note also that localCheckpoint blocks are not decommission-safe
+    (a lost executor invalidates the snapshot — acceptable for a
+    driver-bound small-result operator, by the same argument as
+    ``transpose`` itself).
     """
     snap = df.limit(max_rows + 1).localCheckpoint(eager=True)
     if snap.count() > max_rows:

@@ -69,12 +69,12 @@ def _load_all_plan_modules() -> None:
         llm12,
         graph2,
         # ROTATION MECHANISM (round 7+): the driver window is
-        # pinned EXPLICITLY by ROUND8_HEAD below (queries()/
+        # pinned EXPLICITLY by ROUND9_HEAD below (queries()/
         # oracle_sql() reorder the registration dict), so module
         # import order here only matters for within-the-rest
         # ordering. New modules still append after this block and
-        # their names must join tests/test_plans.py::_ROUND9_REMAINDER
-        # (wave guard).
+        # their names must join
+        # tests/test_plans.py::_ROUND10_REMAINDER (wave guard).
         udfs4,
         aggregates6,
         streaming_batch2,
@@ -105,14 +105,14 @@ def _load_all_plan_modules() -> None:
         relational6,
         domain18,
         sources_io10,
-        # Round-7 additions append here. The round-8 rotation plan
-        # that used to live in this comment was EXECUTED in round 8:
-        # ROUND8_HEAD (below) pins all 47 never-checked names (the
-        # 6-name round-6 spill + the 41 round-7 additions, in
-        # registration order) plus 3 oldest-evidence re-proofs
-        # (a8/a12 last driver rows r03, t3 rows-only since r02 —
-        # round-7 verdict order #2). Round-8 additions, if any, must
-        # join tests/test_plans.py::_ROUND9_REMAINDER.
+        # Round-7 additions append here. The round-8 window
+        # (ROUND8_HEAD below, now historical) certified all 47
+        # never-checked names + a8/a12/t3 re-proofs — 100% registry
+        # driver coverage as of CORRECTNESS_r08. Round 9 rotates on
+        # evidence freshness: ROUND9_HEAD pins l13/l20 (new hash
+        # oracles, no driver hash row) + the 48 oldest r02/r03
+        # greens. Round-9 additions, if any, must join
+        # tests/test_plans.py::_ROUND10_REMAINDER.
         domain19,
         domain20,
         windows4,
@@ -191,17 +191,79 @@ def _load_all_plan_modules() -> None:
     )
 
 
-#: ROUND-8 HEAD PIN (round-7 verdict orders #1-2): the driver checks
-#: the FIRST ~50 registry entries per round, so
-#: ``queries()``/``oracle_sql()`` reorder the registration dict to put
-#: exactly these names first, in this order. Composition: (1) the
-#: entire 47-name never-driver-checked pool (round-6 spill t6/q26/
-#: d75/d76/d77/io19 first — oldest debt — then the 41 round-7
-#: additions in registration order d78…q29), (2) the 3 spare slots on
-#: the OLDEST driver evidence: a8/a12 (last rows r03) and t3
-#: (rows-only since r02) — fresh rows guard against silent drift.
-#: After this window runs, every registered query has driver evidence
-#: — 100% registry coverage for the first time.
+#: ROUND-9 HEAD PIN (round-8 verdict order #1): with 100% of the
+#: registry driver-checked as of r08, rotation switches to
+#: evidence-freshness — oldest driver row first. Composition:
+#: (1) l13/l20 pinned in slots 1-2: their full hash oracles (commit
+#: 01a6151, ``plans/llm._sign_planes_sql``) postdate their only
+#: driver rows (r02, rows-only) and have never produced a driver
+#: hash row; (2) the 48 oldest hash-green names, ordered by
+#: (latest CORRECTNESS round, registration order) — the r02 greens
+#: (l-family, d1-d11, io1-io6) then r03 greens through d18.
+#: Oracle-less weak-by-design queries (l21 etc.) are excluded: a
+#: fresh ``no_oracle`` row adds no evidence. After this window runs,
+#: no query's driver evidence is older than r04.
+ROUND9_HEAD: tuple[str, ...] = (
+    # (1) new-oracle debt: full hash oracles with no driver hash row
+    "l13_ann_lsh_topk",
+    "l20_embedding_near_dup_lsh",
+    # (2) oldest hash evidence — last driver rows r02
+    "l1_exact_dedup_groups",
+    "l2_fingerprint_dedup",
+    "l3_token_stats",
+    "l4_jaccard_pairs",
+    "l5_cosine_topk",
+    "l6_knn_per_label",
+    "l9_language_id",
+    "l10_quality_scores",
+    "l11_multimodal_join",
+    "l12_ngram_fingerprint",
+    "l14_winnow_fingerprint",
+    "l15_bpe_token_count",
+    "l16_dedup_clusters",
+    "l17_embedding_near_dup",
+    "l18_hash_split",
+    "l19_concat_chunks",
+    "d1_asof_join",
+    "d2_interval_join",
+    "d3_forward_fill",
+    "d4_adjustment_factor",
+    "d5_daily_ohlc",
+    "d6_returns_rolling_vol",
+    "d7_scd_latest",
+    "d8_sessionize",
+    "d9_eod_pipeline",
+    "d11_skew_safe_rollup",
+    "d10_calendar_align",
+    "io1_csv_roundtrip",
+    "io2_json_roundtrip",
+    "io3_parquet_sink_partitioned",
+    "io4_bucketed_join",
+    "io6_merge_upsert",
+    "io5_api_ingest",
+    # (2 cont.) last driver rows r03
+    "t1_tumbling_window",
+    "t2_sliding_window",
+    "d12_twap",
+    "d13_asof_bucketed",
+    "d14_linear_interpolation",
+    "d15_max_drawdown",
+    "l22_distinctive_terms",
+    "l23_stratified_sample",
+    "l24_regex_scrub",
+    "l25_incremental_dedup",
+    "l26_length_filter",
+    "io7_schema_evolution",
+    "d16_ewma",
+    "d17_rsi",
+    "d18_gap_detection",
+)
+
+
+#: Historical round-8 window (superseded by ROUND9_HEAD; kept so the
+#: rotation ledger stays in code — all 50 rows landed in
+#: CORRECTNESS_r08.json: 48 hash-green, a8/a12 ``no_oracle`` by
+#: design).
 ROUND8_HEAD: tuple[str, ...] = (
     # (1) round-6 spill — oldest never-checked debt
     "t6_windowed_topk_trending",
@@ -320,11 +382,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND8_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND9_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND8_HEAD if n in d]
+    head = [n for n in ROUND9_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))

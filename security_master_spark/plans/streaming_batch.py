@@ -92,8 +92,12 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t3_session_window_native",
     oracle=f"""
     WITH gapped AS (
+        -- integer-µs boundary math (EPOCH would do it in double
+        -- seconds, whose ~2.4e-7 s ulp at epoch magnitude can flip an
+        -- event within ~1 µs of the exact 30-min boundary) — mirrors
+        -- operators/trailing.py's exact-integer-units rule
         SELECT user_id, ts, value,
-               MAX(EPOCH(ts) + 1800) OVER (
+               MAX(EPOCH_US(ts) + 1800000000) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS prev_max_end
@@ -101,7 +105,7 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), marked AS (
         SELECT user_id, ts, value,
                CASE WHEN prev_max_end IS NULL
-                         OR EPOCH(ts) >= prev_max_end
+                         OR EPOCH_US(ts) >= prev_max_end
                     THEN 1 ELSE 0 END AS new_session
         FROM gapped
     ), sessions AS (

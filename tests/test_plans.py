@@ -173,33 +173,34 @@ def test_every_registered_callable_is_invocable():
     )
 
 
-#: the round-8 driver window: pinned explicitly in
-#: registry.ROUND8_HEAD (queries()/oracle_sql() reorder the dict so
-#: these 50 are the first 50 the driver sees). The entire 47-name
-#: never-checked pool + 3 oldest-evidence re-proofs (a8/a12/t3).
-from security_master_spark.plans.registry import ROUND8_HEAD as _ROUND8_HEAD
+#: the round-9 driver window: pinned explicitly in
+#: registry.ROUND9_HEAD (queries()/oracle_sql() reorder the dict so
+#: these 50 are the first 50 the driver sees). l13/l20 (new full
+#: hash oracles, no driver hash row yet) + the 48 oldest r02/r03
+#: hash-greens (evidence-freshness rotation, round-8 verdict #1).
+from security_master_spark.plans.registry import ROUND9_HEAD as _ROUND9_HEAD
 
-#: the guarded ROUND-9 wave: empty at rotation time — ROUND8_HEAD
-#: absorbs every never-driver-checked name. Any round-8 addition must
-#: register its name here;
+#: the guarded ROUND-10 wave: empty at rotation time — every
+#: registered name has driver evidence (CORRECTNESS_r01-r08 union
+#: covers all 333). Any round-9 addition must register its name here;
 #: test_never_checked_queries_all_have_a_documented_wave enforces
-#: that no never-checked name lives outside ROUND8_HEAD ∪ this set.
-_ROUND9_REMAINDER: set[str] = set()
+#: that no never-checked name lives outside ROUND9_HEAD ∪ this set.
+_ROUND10_REMAINDER: set[str] = set()
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-7 all stopped at
-    exactly 50). Round-8 rotation: the pinned ROUND8_HEAD must BE the
+    entries per round in registration order (rounds 1-8 all stopped at
+    exactly 50). Round-9 rotation: the pinned ROUND9_HEAD must BE the
     first 50 entries of queries(), in pin order — nothing else may
     spend a cap slot."""
     names = list(_QUERIES)
-    assert len(_ROUND8_HEAD) == 50
-    assert len(set(_ROUND8_HEAD)) == 50
-    assert names[:50] == list(_ROUND8_HEAD), (
+    assert len(_ROUND9_HEAD) == 50
+    assert len(set(_ROUND9_HEAD)) == 50
+    assert names[:50] == list(_ROUND9_HEAD), (
         f"head-50 drift: missing="
-        f"{sorted(set(_ROUND8_HEAD) - set(names[:50]))} "
-        f"extra={sorted(set(names[:50]) - set(_ROUND8_HEAD))}"
+        f"{sorted(set(_ROUND9_HEAD) - set(names[:50]))} "
+        f"extra={sorted(set(names[:50]) - set(_ROUND9_HEAD))}"
     )
 
 
@@ -221,10 +222,10 @@ def test_never_checked_queries_all_have_a_documented_wave():
         with open(path, encoding="utf-8") as f:
             ever_checked.update(json.load(f).keys())
     never = set(_QUERIES) - ever_checked
-    orphans = never - set(_ROUND8_HEAD) - _ROUND9_REMAINDER
+    orphans = never - set(_ROUND9_HEAD) - _ROUND10_REMAINDER
     assert not orphans, (
         f"never-driver-checked queries outside every documented "
-        f"rotation wave: {sorted(orphans)} — add them to the round-9 "
+        f"rotation wave: {sorted(orphans)} — add them to the round-10 "
         f"remainder (tests/test_plans.py + registry.py comment)"
     )
 

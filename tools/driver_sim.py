@@ -88,8 +88,15 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = sys.argv[1:] or None
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv or None
     ok = weak = bad = 0
+    records = {}
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
@@ -100,30 +107,64 @@ def main():
         except Exception as ex:
             print(f"ERR  {name}: spark-side {type(ex).__name__}: {str(ex)[:300]}", flush=True)
             bad += 1
+            records[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark: {type(ex).__name__}: {str(ex)[:200]}",
+            }
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(spdf)} ({time.time()-t0:.1f}s)", flush=True)
             weak += 1
+            records[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spdf),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             opdf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"ERR  {name}: oracle-side {type(ex).__name__}: {str(ex)[:300]}", flush=True)
             bad += 1
+            records[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spdf),
+                "oracle_rows": None,
+                "err": f"oracle: {type(ex).__name__}: {str(ex)[:200]}",
+            }
             continue
         problems = []
-        if sorted(spdf.columns) != sorted(opdf.columns):
+        schema_match = sorted(spdf.columns) == sorted(opdf.columns)
+        rows_match = len(spdf) == len(opdf)
+        if not schema_match:
             problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
-        if len(spdf) != len(opdf):
+        if not rows_match:
             problems.append(f"rows {len(spdf)} != {len(opdf)}")
-        if not problems and frame_hash(spdf) != frame_hash(opdf):
+        hash_match = (
+            frame_hash(spdf) == frame_hash(opdf) if not problems else False
+        )
+        if not problems and not hash_match:
             problems.append("value-hash mismatch")
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(spdf),
+            "oracle_rows": len(opdf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"BAD  {name}: {'; '.join(problems)}", flush=True)
             bad += 1
         else:
             ok += 1
             print(f"ok   {name} rows={len(spdf)} ({time.time()-t0:.1f}s)", flush=True)
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w", encoding="utf-8") as f:
+            _json.dump(records, f, indent=1)
+        print(f"wrote {len(records)} records to {json_out}", flush=True)
     print(
         f"\n{'ALL OK' if bad == 0 else 'FAILURES'} ({ok} ok, {weak} weak, {bad} bad) "
         f"in {time.time()-t_start:.0f}s",
