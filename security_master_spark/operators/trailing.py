@@ -48,6 +48,7 @@ def trailing_interval_sum(
     row_id: str,
     out_n: str = "n_trailing",
     out_units: str = "units_trailing",
+    scratch_path: str | None = None,
 ) -> DataFrame:
     """Per row: COUNT(*) and SUM(units) over the trailing closed
     interval ``[ts − lookback_us, ts]`` within the row's key group,
@@ -70,6 +71,20 @@ def trailing_interval_sum(
 
     Returns ``df``'s ``row_id`` plus ``out_n`` (long) and
     ``out_units`` (long, NULL when the frame has no non-null units).
+
+    ``scratch_path``: optional parquet path (lake-backed at cluster
+    scale — the plans/io_scratch.py root) to which the cum-prefix
+    frame is materialized ONCE. The prefix window feeds two consumers
+    (the anchor table and the final re-attach) and Spark plans no
+    ReusedExchange across the subtrees, so by default it evaluates
+    twice — a 2× constant on the O(n) pass. Opting in trades one
+    parquet write+read of O(n) narrow rows for that recompute; worth
+    it whenever the input plan upstream of the window is itself
+    expensive or the corpus is dense (measured at the 6M-tick stress
+    corpus in PLANS.md). ``persist()`` is deliberately NOT the
+    mechanism: InMemoryRelation drops size stats and downstream
+    broadcasts degrade to sort-merge joins (the g6 lesson, measured
+    10× worse).
     """
     keys = list(keys)
     base = df.select(
@@ -88,6 +103,9 @@ def trailing_interval_sum(
         F.sum("_u").over(w_cum).alias("_cu"),
         F.count("_u").over(w_cum).alias("_cnn"),
     )
+    if scratch_path is not None:
+        cur.write.mode("overwrite").parquet(scratch_path)
+        cur = df.sparkSession.read.parquet(scratch_path)
     # Peers share the RANGE prefix, so one anchor per (key, ts) is the
     # whole lookup table; max() == any peer's value by construction.
     anchors = cur.groupBy(*keys, "_us").agg(
@@ -104,12 +122,12 @@ def trailing_interval_sum(
     # (is_a DESC) so an anchor exactly at the probe t is included.
     # Probes come from `base`, not `cur`: they only need (id, key, ts),
     # and deriving them pre-window keeps the cum WindowExec out of
-    # this subtree. The cum window still evaluates twice (anchors +
-    # final join; the executed plan shows no ReusedExchange across the
-    # two subtrees) — a 2× constant on an O(n) pass, measured fine at
-    # 10× density; a 100-TB run re-using this operator many times
-    # would materialize `cur` to scratch once (PLANS.md g6 rule)
-    # rather than persist() it.
+    # this subtree. Without `scratch_path` the cum window evaluates
+    # twice (anchors + final join; the executed plan shows no
+    # ReusedExchange across the two subtrees) — a 2× constant on an
+    # O(n) pass, measured fine at 10× density; `scratch_path`
+    # materializes `cur` once instead (PLANS.md g6 rule; see the
+    # docstring for why persist() is not the mechanism).
     probes = base.select(
         F.col(row_id).alias("_rid"),
         *keys,

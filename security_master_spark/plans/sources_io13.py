@@ -8,8 +8,6 @@ Driver-certified via the round-8 window (registry.ROUND8_HEAD).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,10 +16,11 @@ from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    # io_scratch layout, duplicated to avoid cross-plan imports.
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/sms_io/{tag}/{name}"
+# io_scratch is register-free, so this import cannot perturb
+# registration order; it also honors the configurable scratch
+# root (spark.sms.scratch.root / SPARK_GRAFT_SCRATCH_ROOT) —
+# a hardcoded /tmp copy silently escaped that config point.
+from security_master_spark.plans.io_scratch import _scratch
 
 
 #: the custom NULL sentinel the dialect writes for missing values.

@@ -8,18 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import os
-
 from security_master_spark.datasets import load_table
 from security_master_spark.plans.registry import register
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    # Same layout as plans/sources_io._scratch — duplicated (not
-    # imported) so importing this module does not transitively register
-    # sources_io's queries and perturb the registry order.
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/sms_io/{tag}/{name}"
+# io_scratch is register-free, so this import cannot perturb
+# registration order; it also honors the configurable scratch
+# root (spark.sms.scratch.root / SPARK_GRAFT_SCRATCH_ROOT) —
+# a hardcoded /tmp copy silently escaped that config point.
+from security_master_spark.plans.io_scratch import _scratch
 
 
 @register(
