@@ -122,6 +122,43 @@ def gen_graph(path="/tmp/gstress", sf_dir="/root/testdata/sf0.1", copies=8):
     print(f"graph -> {path} ({copies}x sf0.1 key-space copies)")
 
 
+def gen_iostress(path="/tmp/iostress", sf_dir="/root/testdata/sf0.1",
+                 copies=8):
+    """8 disjoint key-space copies of sf0.1 orders + lineitem (the
+    same offset trick as gen_graph), every other table symlinked from
+    sf0.1 — a drop-in sf_dir for the io/merge/snapshot family scaling
+    study (io6/io8/io15/io21 scale on orders/lineitem only)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    for tbl, keycols in (
+        ("orders", ["o_orderkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ):
+        t = pq.read_table(f"{sf_dir}/{tbl}.parquet")
+        parts = []
+        for i in range(copies):
+            off = i * 10_000_000
+            cols = {
+                c: (pc.add(t[c], off) if c in keycols else t[c])
+                for c in t.column_names
+            }
+            parts.append(pa.table(cols, schema=t.schema))
+        pq.write_table(
+            pa.concat_tables(parts),
+            f"{path}/{tbl}.parquet",
+            row_group_size=500_000,
+        )
+    for tbl in ("region nation customer supplier part events documents "
+                "embeddings").split():
+        dst = f"{path}/{tbl}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{tbl}.parquet", dst)
+    print(f"iostress -> {path} ({copies}x sf0.1 orders/lineitem)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("docs", "all"):
@@ -132,3 +169,5 @@ if __name__ == "__main__":
         gen_emb()
     if which in ("graph", "all"):
         gen_graph()
+    if which in ("iostress", "all"):
+        gen_iostress()
