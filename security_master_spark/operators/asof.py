@@ -61,6 +61,7 @@ def asof_join(
     how: str = "inner",
     tolerance: Column | None = None,
     direction: str = "backward",
+    tiebreak: Sequence[Column] | None = None,
 ) -> DataFrame:
     """For each left row, attach the single best-matching right row per
     key — matching DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
@@ -80,8 +81,12 @@ def asof_join(
     ``tolerance`` from ``left_ts`` (against the direction) don't match.
 
     Right-side rows must be unique per (key, right_ts) for fully
-    deterministic output (the standard as-of contract); otherwise the
-    tie among identical timestamps is broken arbitrarily.
+    deterministic output (the standard as-of contract); otherwise pass
+    ``tiebreak`` — ordering Columns appended after the timestamp order
+    (e.g. ``[F.col("px").desc()]``) that totalize the order among
+    identical timestamps. Without it the tie is broken arbitrarily
+    (task/partition dependent) — the adversarial duplicate-(key, ts)
+    fixture turns that into a per-run hash flip.
 
     Requires ``left_ts != right_ts`` column names (rename before
     calling) so both survive into the output unambiguously.
@@ -119,6 +124,8 @@ def asof_join(
                 F.col(right_ts) <= F.col(left_ts) + tolerance
             )
 
+    if tiebreak is not None:
+        order = [*order, *tiebreak]
     joined = tagged.join(right, on=list(on), how="inner").filter(cond)
     w = Window.partitionBy(lid).orderBy(*order)
     matched = (
@@ -145,6 +152,7 @@ def asof_join_bucketed(
     left_ts: str,
     right_ts: str,
     bucket_seconds: int = 7 * 86400,
+    tiebreak: Sequence[Column] | None = None,
 ) -> DataFrame:
     """Scale variant: restrict the as-of search to the left row's time
     bucket and the immediately preceding one, bounding join fan-out to
@@ -167,5 +175,8 @@ def asof_join_bucketed(
     rb = right.withColumn(
         "__b", F.explode(F.array(bucket_of(right_ts), bucket_of(right_ts) + 1))
     )
-    out = asof_join(lb, rb, [*on, "__b"], left_ts, right_ts, how="inner")
+    out = asof_join(
+        lb, rb, [*on, "__b"], left_ts, right_ts, how="inner",
+        tiebreak=tiebreak,
+    )
     return out.drop("__b")

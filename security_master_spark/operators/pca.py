@@ -58,8 +58,18 @@ def covariance_matrix(emb: DataFrame, col: str = "embedding") -> DataFrame:
     rows for i <= j. One corpus scan (Arrow-batched partial Gram
     matrices), one shuffle of O(batches·d²) partial rows, plus an
     O(n·d) posexplode branch for the column means (its shuffle carries
-    d keys)."""
-    emb = fan_out(emb.select(F.col(col).alias("embedding")))
+    d keys).
+
+    NULL vectors are excluded up front (covariance is over the rows
+    that HAVE an embedding): a None in the Arrow batch reaches
+    np.vstack as a 1-wide object and kills the worker, and the
+    posexplode mean branch would skip the row anyway — filtering makes
+    the two passes count the same population."""
+    emb = fan_out(
+        emb.select(F.col(col).alias("embedding")).filter(
+            F.col("embedding").isNotNull()
+        )
+    )
     partials = emb.mapInPandas(
         _partial_cross_products, schema="i int, j int, sxy double, cnt bigint"
     )

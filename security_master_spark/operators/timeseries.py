@@ -95,16 +95,27 @@ def resample(
 
 
 def ohlc(
-    df: DataFrame, keys: Sequence[str], ts: str, price: str, every: str = "day"
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    price: str,
+    every: str = "day",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Open/high/low/close bars per key per calendar bucket. Open/close
-    via min_by/max_by on the timestamp (single pass, no self-join)."""
+    via min_by/max_by on the timestamp (single pass, no self-join).
+
+    ``tiebreak``: optional column appended to the open/close ordering
+    key (structs compare lexicographically in min_by/max_by). Without
+    it, duplicate (key, ts) rows make open/close engine-arbitrary —
+    pass the row id when the feed can carry same-instant prints."""
+    order = F.struct(ts, tiebreak) if tiebreak else F.col(ts)
     bucket = F.date_trunc(every, F.col(ts)).alias("bucket")
     return df.groupBy(*keys, bucket).agg(
-        F.min_by(price, ts).alias("open"),
+        F.min_by(price, order).alias("open"),
         F.max(price).alias("high"),
         F.min(price).alias("low"),
-        F.max_by(price, ts).alias("close"),
+        F.max_by(price, order).alias("close"),
         F.count("*").alias("n_obs"),
     )
 

@@ -149,15 +149,21 @@ def a25_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is held to the full exact-top-k oracle, hash and all (the
     same trick as g3: pick the operating point where the approximate
     operator is provably exact, and the sketch machinery itself gets
-    a value-level certificate). The exploded output re-sorts on
-    (count DESC, item) so tie order is pinned on both engines."""
+    a value-level certificate). The sketch is asked for 10 candidates
+    (> the column's 5-value cardinality) and the final top-3 cut
+    happens in the outer sort on (count DESC, item): cutting INSIDE
+    the sketch call at k=3 let the sketch pick an arbitrary 3 when
+    counts tie exactly at the boundary (the adversarial fixture is
+    exactly uniform — all 5 types tie), while the outer cut is
+    deterministic on both engines."""
     from security_master_spark.datasets import load_table
 
     events = load_table(spark, sf_dir, "events")
     events.createOrReplaceTempView("a25_events")
     return spark.sql("""
     SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
-    FROM (SELECT approx_top_k(event_type, 3) AS tk FROM a25_events)
+    FROM (SELECT approx_top_k(event_type, 10) AS tk FROM a25_events)
     LATERAL VIEW explode(tk) AS t
     ORDER BY n DESC, event_type
+    LIMIT 3
     """)

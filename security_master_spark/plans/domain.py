@@ -32,19 +32,27 @@ from security_master_spark.plans.registry import register
 @register(
     "d1_asof_join",
     oracle="""
-    SELECT p.event_id, p.user_id, p.ts, p.value,
-           v.view_ts, v.view_value
-    FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
-    ASOF JOIN (SELECT user_id, ts AS view_ts, value AS view_value
-               FROM events WHERE event_type = 'view') v
-    ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, v.view_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts AS view_ts, value AS view_value
+          FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY p.event_id
+        ORDER BY v.view_ts DESC, v.view_value DESC
+    ) = 1
     """,
 )
 def d1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup: for each purchase, the latest prior (or
     simultaneous) view by the same user — the securities-master 'price
-    as of date' pattern. Window-recipe as-of join == DuckDB ASOF JOIN.
-    Cites SURVEY.md §2.3 (recipe verified exact vs DuckDB)."""
+    as of date' pattern. Cites SURVEY.md §2.3 (recipe verified exact vs
+    DuckDB; until round 9 the oracle was DuckDB's native ASOF JOIN,
+    which is hash-equal on tie-free data but leaves duplicate
+    (user, view_ts) rows ENGINE-ARBITRARY — the adversarial fixture
+    has them, so both sides now pin the tie with view_value DESC; the
+    window spelling is the only way DuckDB can express that)."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
@@ -55,7 +63,12 @@ def d1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("view_value"),
     )
     return asof_join(
-        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts"
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        tiebreak=[F.col("view_value").desc()],
     )
 
 
@@ -160,15 +173,24 @@ def d3_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_adjustment_factor",
     oracle=f"""
     SELECT user_id, ts, event_id,
-           {sql_dround("EXP(SUM(LN(1.0 + value / 1000.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 6)} AS cum_factor
+           {sql_dround("SUM(LN(1.0 + value / 1000.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS cum_log_factor
     FROM events
     WHERE event_type = 'purchase'
     """,
 )
 def d4_adjustment_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corporate-action style cumulative adjustment: running product of
-    per-event factors (1 + value/1000) per user in time order, as
-    exp(sum(ln)) — a built-in windowed agg, no UDF. SURVEY.md §2.11."""
+    per-event factors (1 + value/1000) per user in time order, carried
+    in LOG space — a built-in windowed agg, no UDF. SURVEY.md §2.11.
+
+    Log space is the scale contract, not a convenience: a linear
+    running product of thousands of factors overflows double (the
+    adversarial skew fixture drives one user's product past 1e8 within
+    days, where a single exp/ln libm ulp exceeds the rounding quantum
+    and ultimately the product hits inf). The additive log form stays
+    in a few-thousand magnitude band at any history length; consumers
+    exp() a bounded SLICE (factor between two dates = exp(diff of two
+    cum logs)), never the unbounded prefix."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", (1.0 + F.col("value") / 1000.0).alias("factor")
@@ -182,38 +204,62 @@ def d4_adjustment_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        dround(F.exp(F.sum(F.log("factor")).over(w)), 6).alias("cum_factor"),
+        dround(F.sum(F.log("factor")).over(w), 4).alias("cum_log_factor"),
     )
 
 
 @register(
     "d5_daily_ohlc",
     oracle=f"""
-    SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket,
-           ARG_MIN(value, ts) AS open,
-           MAX(value)         AS high,
-           MIN(value)         AS low,
-           ARG_MAX(value, ts) AS close,
-           COUNT(*)           AS n_obs
-    FROM events
-    GROUP BY user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+    WITH ranked AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('day', ts)
+                   ORDER BY ts ASC, event_id ASC) AS rn_open,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_open = 1 THEN value END)  AS open,
+           MAX(value)                                 AS high,
+           MIN(value)                                 AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*)                                   AS n_obs
+    FROM ranked
+    GROUP BY user_id, bucket
     """,
 )
 def d5_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample to daily OHLC bars per user: single-pass min_by/max_by
-    (no self-joins), the canonical EOD-bar construction. (user_id, ts)
-    is unique in the fixtures, so open/close are deterministic."""
+    (no self-joins), the canonical EOD-bar construction. Open/close
+    break same-instant ties on event_id (the ohlc operator's struct
+    ordering key) — real feeds DO carry same-instant prints, and the
+    adversarial tie fixture showed arg-by-timestamp alone is
+    engine-arbitrary there."""
     events = load_table(spark, sf_dir, "events")
-    return ohlc(events, keys=["user_id"], ts="ts", price="value", every="day")
+    return ohlc(
+        events, keys=["user_id"], ts="ts", price="value", every="day",
+        tiebreak="event_id",
+    )
 
 
 @register(
     "d6_returns_rolling_vol",
     oracle=f"""
     WITH daily AS (
-        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
-               ARG_MAX(value, ts) AS close
-        FROM events GROUP BY 1, 2
+        -- close = last print of the day, event_id breaks same-instant
+        -- ties (ARG_MAX(value, ts) alone is engine-arbitrary on them)
+        SELECT user_id, d, value AS close FROM (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, DATE_TRUNC('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
     ), ret AS (
         SELECT user_id, d, close,
                close / LAG(close) OVER (PARTITION BY user_id ORDER BY d) - 1.0 AS ret
@@ -231,7 +277,9 @@ def d6_returns_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("close")
+    )
     w = Window.partitionBy("user_id").orderBy("d")
     ret = daily.withColumn(
         # try_divide: a zero prior close yields NULL, matching DuckDB's

@@ -89,7 +89,8 @@ _BUCKET_SECONDS = 7 * 86400
      AND EPOCH(v.view_ts) >=
          (FLOOR(EPOCH(p.ts) / {_BUCKET_SECONDS}) - 1) * {_BUCKET_SECONDS}
     QUALIFY row_number() OVER (
-        PARTITION BY p.event_id ORDER BY v.view_ts DESC
+        PARTITION BY p.event_id
+        ORDER BY v.view_ts DESC, v.view_value DESC
     ) = 1
     """,
 )
@@ -118,6 +119,9 @@ def d13_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="view_ts",
         bucket_seconds=_BUCKET_SECONDS,
+        # same duplicate-(user, ts) pin as d1: without it the pick
+        # among same-instant views is engine/partition-arbitrary
+        tiebreak=[F.col("view_value").desc()],
     ).select("event_id", "user_id", "ts", "value", "view_ts", "view_value")
 
 

@@ -90,9 +90,13 @@ def d19_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id, ts, event_id,
            ROW_NUMBER() OVER w AS position,
-           {sql_dround("SUM(value) OVER w", 4)} AS cum_cost,
            {sql_dround(
-               "SUM(value) OVER w / ROW_NUMBER() OVER w", 4
+               "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w"
+               " / CAST(100 AS DOUBLE)", 4
+           )} AS cum_cost,
+           {sql_dround(
+               "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w"
+               " / CAST(100 AS DOUBLE) / ROW_NUMBER() OVER w", 4
            )} AS avg_cost
     FROM events
     WHERE event_type = 'purchase'
@@ -110,27 +114,32 @@ def d20_position_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-checked pattern). An explicit ROWS frame keeps both
     engines' running-sum frames identical; at 100 TB the account id
     is the distribution key and a single account's fill history is
-    always executor-sized."""
+    always executor-sized.
+
+    The running cost accumulates in exact integer CENTS: the
+    adversarial skew fixture (one account owning half the fills)
+    showed the double running sum diverging between Spark's
+    sequential frame accumulation and DuckDB's segment-tree
+    association at the 4dp quantum — integer sums have no
+    association to disagree about (the io21/q28 lesson, applied to
+    windows)."""
     events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
     fills = events.filter(F.col("event_type") == "purchase")
+    cum = F.sum(cents).over(w) / F.lit(100.0)
     return fills.select(
         "user_id",
         "ts",
         "event_id",
-        F.row_number().over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).alias("position"),
-        dround(F.sum("value").over(w), 4).alias("cum_cost"),
-        dround(
-            F.sum("value").over(w)
-            / F.row_number().over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ),
-            4,
-        ).alias("avg_cost"),
+        rn.alias("position"),
+        dround(cum, 4).alias("cum_cost"),
+        dround(cum / rn, 4).alias("avg_cost"),
     )

@@ -771,7 +771,13 @@ def l16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l17_embedding_near_dup",
     oracle=f"""
     WITH v AS (
+        -- NULL vectors carry no pairs on either side (Spark's
+        -- normalize folds them to NULL cosine, dropped by the >= 0.5
+        -- filter; DuckDB's list_dot_product ERRORS on them instead,
+        -- so they must leave before the join); zero-norm vectors
+        -- survive here and die at the division (x/0 -> NULL -> filter)
         SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_dot_product(a.e, b.e)

@@ -65,7 +65,15 @@ def l46_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.count("*").cast("bigint").alias("n_parts")
-    ).withColumn("blk", F.split(F.col("name"), " ").getItem(1))
+    ).withColumn(
+        # get(), not [1]: a one-token name has no second element and
+        # ANSI mode turns the [] access into a job-killing
+        # INVALID_ARRAY_INDEX; coalesce to '' mirrors DuckDB's
+        # SPLIT_PART, so token-less names share one (small) block on
+        # both engines instead of crashing one of them
+        "blk",
+        F.coalesce(F.get(F.split(F.col("name"), " "), 1), F.lit("")),
+    )
     a = names.select(
         F.col("name").alias("name_a"),
         F.col("n_parts").alias("n_parts_a"),
@@ -99,6 +107,7 @@ def l46_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS k,
                CAST(UNNEST(embedding) AS DOUBLE) AS val
         FROM embeddings
+        WHERE embedding IS NOT NULL
     )
     SELECT CAST(a.k AS INT) AS i,
            CAST(b.k AS INT) AS j,

@@ -59,16 +59,29 @@ def l35_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cent AS (
         SELECT label, list(v ORDER BY i) AS cvec FROM comp GROUP BY label
     )
-    SELECT e.label,
+    SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           {sql_dround(
-               "AVG(list_dot_product(e.embedding, c.cvec)"
-               " / (SQRT(list_dot_product(e.embedding, e.embedding))"
-               "    * SQRT(list_dot_product(c.cvec, c.cvec))))",
-               6,
-           )} AS avg_cohesion
-    FROM embeddings e JOIN cent c ON c.label = e.label
-    GROUP BY e.label
+           {sql_dround("AVG(cos)", 6)} AS avg_cohesion
+    FROM (
+        -- NULL embeddings may not REACH list_dot_product (it errors
+        -- on NULL lists rather than propagating, and neither a CASE
+        -- mask nor a COALESCE reliably shields it on real columns),
+        -- so they are filtered before the call and unioned back with
+        -- cos = NULL: AVG skips them, COUNT(*) keeps them — exactly
+        -- Spark's try_divide semantics. A genuinely all-zero
+        -- embedding survives to the division and nulls there (x/0).
+        SELECT e.label,
+               list_dot_product(e.embedding, c.cvec)
+               / (SQRT(list_dot_product(e.embedding, e.embedding))
+                  * SQRT(list_dot_product(c.cvec, c.cvec))) AS cos
+        FROM (SELECT label, embedding FROM embeddings
+              WHERE embedding IS NOT NULL) e
+        JOIN cent c ON c.label = e.label
+        UNION ALL
+        SELECT label, NULL AS cos FROM embeddings
+        WHERE embedding IS NULL
+    )
+    GROUP BY label
     """,
 )
 def l36_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:

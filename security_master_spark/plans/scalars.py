@@ -121,7 +121,9 @@ def s3_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CEIL(l_extendedprice) AS BIGINT)  AS price_ceil,
            ABS(l_discount - 0.05)            AS disc_dev,
            {sql_dround("SQRT(l_quantity)", 6)}      AS qty_sqrt,
-           {sql_dround("LN(l_extendedprice)", 6)}   AS price_ln,
+           {sql_dround(
+               "CASE WHEN l_extendedprice > 0"
+               " THEN LN(l_extendedprice) END", 6)} AS price_ln,
            {sql_dround("POW(l_quantity, 2)", 4)}    AS qty_sq,
            CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            MOD(l_orderkey, 7)                AS key_mod
@@ -138,7 +140,14 @@ def s4_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("l_extendedprice").alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         dround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        dround(F.log("l_extendedprice"), 6).alias("price_ln"),
+        # explicit > 0 guard, not bare log: Spark happens to return
+        # NULL on non-positives where DuckDB's LN raises — the guard
+        # makes the shared semantics explicit on both engines
+        dround(
+            F.when(F.col("l_extendedprice") > 0,
+                   F.log("l_extendedprice")),
+            6,
+        ).alias("price_ln"),
         dround(F.pow("l_quantity", 2), 4).alias("qty_sq"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
