@@ -199,10 +199,11 @@ def _load_all_plan_modules() -> None:
 #: driver rows (r02, rows-only) and have never produced a driver
 #: hash row; (2) the 48 oldest hash-green names, ordered by
 #: (latest CORRECTNESS round, registration order) — the r02 greens
-#: (l-family, d1-d11, io1-io6) then r03 greens through d18.
-#: Oracle-less weak-by-design queries (l21 etc.) are excluded: a
-#: fresh ``no_oracle`` row adds no evidence. After this window runs,
-#: no query's driver evidence is older than r04.
+#: (l-family, d1-d11, io1-io6) then r03 greens; (3) seven slots
+#: re-assigned mid-round to the queries whose ORACLES changed in the
+#: round-9 adversarial fixes (stale-evidence > old-evidence). After
+#: this window runs, every round-9 semantic change has a driver row
+#: and no remaining query's evidence is older than r03.
 ROUND9_HEAD: tuple[str, ...] = (
     # (1) new-oracle debt: full hash oracles with no driver hash row
     "l13_ann_lsh_topk",
@@ -250,13 +251,19 @@ ROUND9_HEAD: tuple[str, ...] = (
     "d15_max_drawdown",
     "l22_distinctive_terms",
     "l23_stratified_sample",
-    "l24_regex_scrub",
-    "l25_incremental_dedup",
-    "l26_length_filter",
-    "io7_schema_evolution",
-    "d16_ewma",
-    "d17_rsi",
-    "d18_gap_detection",
+    # (3) round-9 oracle/semantics changes OUTSIDE the original pin
+    # (adversarial-sweep fixes + t3's integer-µs boundary math):
+    # their old driver rows certify a superseded oracle, which
+    # outranks merely-old evidence. These 7 displaced the 7
+    # youngest-evidence r03 tail names (l24/l25/l26, io7, d16/d17/
+    # d18), which move to the round-10 window.
+    "d20_position_tracking",
+    "a25_approx_top_k",
+    "l36_label_cohesion",
+    "l46_fuzzy_name_join",
+    "l47_embedding_covariance",
+    "s4_math_functions",
+    "t3_session_window_native",
 )
 
 
