@@ -27,16 +27,9 @@ def main(emb_dir: str = "/tmp/stress_emb") -> None:
 
         gen_emb(emb_dir)
 
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
+    from security_master_spark.session import get_spark
 
-    from security_master_spark.session import configure_session
-
-    spark = configure_session(
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .getOrCreate()
-    )
+    spark = get_spark()  # engine defaults incl. 16g driver heap
     from security_master_spark.datasets import load_table
     from security_master_spark.operators.pca import (
         covariance_matrix,

@@ -39,15 +39,9 @@ def main(reps: int = 3) -> None:
 
         gen_iostress(BIG, BASE, COPIES)
 
-    from pyspark.sql import SparkSession
+    from security_master_spark.session import get_spark
 
-    from security_master_spark.session import configure_session
-
-    spark = configure_session(
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
+    spark = get_spark()  # engine defaults incl. 16g driver heap
     from security_master_spark.plans.registry import queries
 
     qs = queries()

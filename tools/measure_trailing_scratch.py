@@ -29,16 +29,11 @@ def main(reps: int = 3) -> None:
 
         gen_events("/tmp/stress_events")
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from security_master_spark.session import configure_session
+    from security_master_spark.session import get_spark
 
-    spark = configure_session(
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
+    spark = get_spark()  # engine defaults incl. 16g driver heap
     from security_master_spark.datasets import load_table
     from security_master_spark.operators.trailing import (
         trailing_interval_sum,
