@@ -381,7 +381,7 @@ def simhash_fp_ctes() -> str:
     )
     return f"""tok AS (
         SELECT DISTINCT doc_id, t.token AS token
-        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
     ), h AS (
         SELECT doc_id, md5(token) AS hx FROM tok
     ), votes AS (

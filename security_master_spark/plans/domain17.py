@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from security_master_spark.datasets import load_table
+from security_master_spark.functions.ordering import (
+    sql_tick_order_key,
+    tick_order_key,
+)
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
@@ -194,9 +198,7 @@ def d73_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                DATE_DIFF('day', CAST(MIN(ts) AS DATE),
                          CAST(MAX(ts) AS DATE)) AS dur,
-               CASE WHEN ARG_MAX(event_type,
-                                 LPAD(epoch_us(ts)::VARCHAR, 20, '0') ||
-                                 LPAD(event_id::VARCHAR, 12, '0'))
+               CASE WHEN ARG_MAX(event_type, {sql_tick_order_key()})
                          = 'purchase'
                     THEN 1 ELSE 0 END AS observed
         FROM events
@@ -251,15 +253,10 @@ def d74_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     censoring indicator uses max_by on the same (ts, event_id) total
     order as every stream operator."""
     events = load_table(spark, sf_dir, "events")
-    # max_by needs ONE total-order key: zero-padded epoch-micros ++
-    # zero-padded event_id is lexicographic-equal to the (ts,
-    # event_id) order on both engines. (A raw timestamp→string cast
-    # would NOT be: engines trim trailing fraction zeros differently,
-    # and unequal-length fractions break lexicographic order.)
-    ordkey = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    # the shared (ts, event_id) total order — see
+    # functions/ordering.py (this module pioneered the pattern; the
+    # round-9 adversarial sweep promoted it to a shared helper)
+    ordkey = tick_order_key()
     lifetimes = events.groupBy("user_id").agg(
         F.datediff(
             F.max("ts").cast("date"), F.min("ts").cast("date")

@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from security_master_spark.datasets import load_table
+from security_master_spark.functions.ordering import (
+    sql_tick_order_key,
+    tick_order_key,
+)
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
@@ -23,10 +27,10 @@ from security_master_spark.plans.registry import register
     WITH bars AS (
         SELECT event_type,
                CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
-               ARG_MIN(value, ts) AS open,
+               ARG_MIN(value, {sql_tick_order_key()}) AS open,
                MAX(value)         AS high,
                MIN(value)         AS low,
-               ARG_MAX(value, ts) AS close
+               ARG_MAX(value, {sql_tick_order_key()}) AS close
         FROM events
         GROUP BY event_type, DATE_TRUNC('day', ts)
     )
@@ -56,10 +60,10 @@ def d25_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = events.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        F.min_by("value", "ts").alias("open"),
+        F.min_by("value", tick_order_key()).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", tick_order_key()).alias("close"),
     )
     hl = F.log(F.col("high") / F.col("low"))
     co = F.log(F.col("close") / F.col("open"))

@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from security_master_spark.datasets import load_table
+from security_master_spark.functions.ordering import (
+    sql_tick_order_key,
+    tick_order_key,
+)
 from security_master_spark.functions.rounding import dround, sql_dround
 
 from security_master_spark.plans.registry import register
@@ -24,7 +28,7 @@ from security_master_spark.plans.registry import register
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
-               ARG_MAX(value, ts) AS close
+               ARG_MAX(value, {sql_tick_order_key()}) AS close
         FROM events GROUP BY 1, 2
     ), ret AS (
         SELECT event_type,
@@ -88,7 +92,7 @@ def d42_sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.max_by("value", "ts").alias("close"))
+    ).agg(F.max_by("value", tick_order_key()).alias("close"))
     w_lag = Window.partitionBy("event_type").orderBy("d")
     ret = daily.select(
         "event_type",
@@ -159,7 +163,7 @@ def d42_sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
-               ARG_MAX(value, ts) AS close,
+               ARG_MAX(value, {sql_tick_order_key()}) AS close,
                SUM(ABS(value)) AS notional
         FROM events GROUP BY 1, 2
     ), ret AS (
@@ -190,7 +194,7 @@ def d43_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(
-        F.max_by("value", "ts").alias("close"),
+        F.max_by("value", tick_order_key()).alias("close"),
         F.sum(F.abs(F.col("value"))).alias("notional"),
     )
     w_lag = Window.partitionBy("event_type").orderBy("d")
@@ -225,7 +229,7 @@ def d43_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
-               ARG_MAX(value, ts) AS close
+               ARG_MAX(value, {sql_tick_order_key()}) AS close
         FROM events
         WHERE event_type IN ('view', 'click')
         GROUP BY 1, 2
@@ -259,7 +263,7 @@ def d44_pair_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         events.filter(F.col("event_type").isin("view", "click"))
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
-        .agg(F.max_by("value", "ts").alias("close"))
+        .agg(F.max_by("value", tick_order_key()).alias("close"))
     )
     a = daily.filter(F.col("event_type") == "view").select(
         "d", F.col("close").alias("ca")

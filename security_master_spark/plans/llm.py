@@ -110,7 +110,7 @@ def l3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
         SELECT DISTINCT doc_id, t.token AS token
-        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
         WHERE doc_id <= 30
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
@@ -433,7 +433,7 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            LENGTH(text) AS n_chars_actual,
-           len(string_split(text, ' ')) AS n_tokens,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
            {sql_dround(QUALITY_SQL, 6)} AS quality
     FROM documents
     """,
@@ -489,7 +489,7 @@ def l11_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l12_ngram_fingerprint",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id <= 50
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents WHERE doc_id <= 50
     ), shingle AS (
         SELECT doc_id, array_to_string(t[g.i:g.i+2], ' ') AS sh
         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g

@@ -24,7 +24,7 @@ from security_master_spark.plans.registry import register
     oracle=f"""
     WITH st AS (
         SELECT DISTINCT source, t.token AS token
-        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
     ), sizes AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
         FROM st GROUP BY source
@@ -216,7 +216,7 @@ _BP_CHUNK = 32  # disjoint boilerplate-detection chunks (tokens)
     "l52_boilerplate_chunks",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ), sized AS (
         SELECT doc_id, t,
                CAST(CEIL(len(t) / CAST({_BP_CHUNK} AS DOUBLE)) AS INT)
@@ -277,7 +277,7 @@ def _chunk_fingerprints_sql() -> str:
     (the l52 chunking), with the doc's source carried along."""
     return f"""
     toks AS (
-        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ), sized AS (
         SELECT doc_id, source, t,
                CAST(CEIL(len(t) / CAST({_BP_CHUNK} AS DOUBLE)) AS INT)

@@ -88,7 +88,7 @@ def l60_simhash_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l61_containment_dedup",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
         FROM documents WHERE doc_id <= 120
     ), pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -148,7 +148,7 @@ _THR_SQL = ", ".join(f"({t})" for t in _Q_THRESHOLDS)
     oracle=f"""
     WITH stats AS (
         SELECT {sql_dround(QUALITY_SQL, 6)} AS q,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
         FROM documents
     ), thr(threshold) AS (
         VALUES {_THR_SQL}

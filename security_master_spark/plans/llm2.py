@@ -23,7 +23,7 @@ from security_master_spark.plans.registry import register
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, t.token AS token
-        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
     ), tf AS (
         SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
     ), df AS (

@@ -86,7 +86,7 @@ _STRIDE = 24  # chunk start spacing → 8-token overlap between chunks
     "l31_chunk_overlap",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ), sized AS (
         SELECT doc_id, t, len(t) AS n,
                CASE WHEN len(t) <= {_CHUNK} THEN 1

@@ -102,7 +102,7 @@ def l44_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
         SELECT d.doc_id, d.source, t.token AS token
-        FROM documents d, UNNEST(string_split(trim(d.text), ' ')) AS t(token)
+        FROM documents d, UNNEST(string_split_regex(trim(d.text), '\\s+')) AS t(token)
     ), per_doc AS (
         SELECT doc_id, source,
                COUNT(*) AS n_tokens,

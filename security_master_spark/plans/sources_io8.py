@@ -38,12 +38,24 @@ def io17_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: text read is splittable by line (HDFS-style input splits),
     the parse is two JVM string expressions in the scan projection,
     and nothing shuffles. This is the entry plan of every real
-    pretraining ingest."""
+    pretraining ingest.
+
+    Line framing vs payload newlines: a raw embedded newline would
+    split one document across two lines (the adversarial fixture has
+    one — the read-back then mis-frames and the id cast explodes), so
+    the writer applies the standard crawl-dump escape — backslash
+    first (``\\`` → ``\\\\``), then newline/CR (→ ``\\n`` / ``\\r``)
+    — and the reader reverses it exactly (odd-backslash-parity
+    match, so an escaped backslash followed by a literal ``n``
+    survives). Lossless for every payload."""
     docs = load_table(spark, sf_dir, "documents")
     path = _scratch(sf_dir, "documents_text")
+    esc = F.regexp_replace(F.col("text"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
     (
         docs.select(
-            F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text")
+            F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", esc)
             .alias("value")
         )
         .write.mode("overwrite")
@@ -58,6 +70,11 @@ def io17_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.substring_index("value", "\t", 2)) + F.lit(2)
     )
     text = F.col("value").substr(head_len, F.length("value"))
+    # unescape: \n / \r preceded by an EVEN number of backslashes is a
+    # framing escape; the captured pairs are kept (they unescape next)
+    un = F.regexp_replace(text, r"(?<!\\)((\\\\)*)\\n", "$1\n")
+    un = F.regexp_replace(un, r"(?<!\\)((\\\\)*)\\r", "$1\r")
+    un = F.regexp_replace(un, r"\\\\", r"\\")
     return lines.select(
-        doc_id.alias("doc_id"), lang.alias("lang"), text.alias("text")
+        doc_id.alias("doc_id"), lang.alias("lang"), un.alias("text")
     )

@@ -101,13 +101,20 @@ def main(out: str = "/tmp/advfix") -> None:
     qty[rng.random(n_li) < 0.2] = 25.0            # q27's < 25 boundary
     disc = np.round(rng.uniform(0.0, 0.1, n_li), 2)
     disc[rng.random(n_li) < 0.2] = 0.04           # q27's > 0.04 boundary
+    # v2: 1% NULL discounts/taxes — SUM/AVG null-skipping must agree
+    disc_n = pa.array(np.where(rng.random(n_li) < 0.01, np.nan, disc))
+    tax = np.round(rng.uniform(0, 0.08, n_li), 2)
+    tax_n = pa.array(np.where(rng.random(n_li) < 0.01, np.nan, tax))
+    import pyarrow.compute as pc
+    disc_n = pc.if_else(pc.is_nan(disc_n), pa.scalar(None, pa.float64()), disc_n)
+    tax_n = pc.if_else(pc.is_nan(tax_n), pa.scalar(None, pa.float64()), tax_n)
     w("lineitem", {"l_orderkey": lok, "l_partkey": lpart,
                    "l_suppkey": lsupp,
                    "l_linenumber": (np.arange(n_li) % 7 + 1).astype("int32"),
                    "l_quantity": qty,
                    "l_extendedprice": _money(rng, n_li, 1.0, 100_000.0),
-                   "l_discount": disc,
-                   "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+                   "l_discount": disc_n,
+                   "l_tax": tax_n,
                    "l_returnflag": [["A", "N", "R"][i % 3]
                                     for i in range(n_li)],
                    "l_linestatus": [["O", "F"][i % 2] for i in range(n_li)],
@@ -125,6 +132,9 @@ def main(out: str = "/tmp/advfix") -> None:
     shared = rng.integers(0, 500, n_ev) * (86_400_000_000 // 10)
     tie = rng.random(n_ev) < 0.3
     ts_us = np.where(tie, shared, base_us)
+    # v2: user 99's ENTIRE history collapses onto one instant — every
+    # window/session/as-of tie path degenerates to a single peer group
+    ts_us = np.where(uid == 99, 42 * 86_400_000_000, ts_us)
     ts = day0 + ts_us.astype("timedelta64[us]")
     w("events", {"event_id": eid, "ts": ts, "user_id": uid,
                  "event_type": [["click", "view", "purchase", "error",
@@ -136,7 +146,15 @@ def main(out: str = "/tmp/advfix") -> None:
     texts = ["", "one", "two words", "three tiny words",
              "dup dup dup", "dup dup dup",
              "καλημέρα κόσμε unicode περιεχόμενο εδώ",
-             " ".join(f"w{i % 97}" for i in range(50_000))]
+             " ".join(f"w{i % 97}" for i in range(50_000)),
+             # v2: pathological repetition (one token 20k times — n-gram
+             # tables collapse to a single key), embedded newlines/tabs
+             # (sink roundtrip quoting), whitespace-only, emoji +
+             # astral-plane codepoints (UTF-8 4-byte handling)
+             " ".join(["same"] * 20_000),
+             "line one\nline two\ttabbed \"quoted\" text",
+             "   ",
+             "🚀 emoji 🎉 and astral 𝕊𝕡𝕒𝕣𝕜 codepoints"]
     rngd = np.random.default_rng(7)
     for i in range(992):
         ln = int(rngd.integers(1, 40))
@@ -156,6 +174,13 @@ def main(out: str = "/tmp/advfix") -> None:
     m[0] = 0.0                       # exact zero vector
     m[1] = m[2]                      # exact duplicate pair
     m[3] = m[4] * 1e-6               # near-zero norm
+    # v2: huge magnitude (1e3 ≈ 1000x the N(0,1) corpus) — stresses the
+    # dot/norm paths without breaking the ABSOLUTE-rounding compare
+    # itself (at ≥1e4 a covariance reaches magnitudes where one
+    # summation-order ulp exceeds the 1e-8 quantum on BOTH engines —
+    # that calibration note is the methodology boundary, not a bug)
+    m[6] = 1e3
+    m[7] = -m[6]                     # v2: its antipode (cosine -1 edge)
     vecs = [None if i == 5 else m[i].tolist() for i in range(n_vec)]
     w("embeddings", {"vec_id": np.arange(n_vec, dtype="int64"),
                      "embedding": pa.array(vecs,
