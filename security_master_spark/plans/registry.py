@@ -267,6 +267,18 @@ ROUND9_HEAD: tuple[str, ...] = (
 )
 
 
+#: ROUND-10 ROTATION PLAN (staged at round-9 close; build ROUND10_HEAD
+#: from this when the round-10 session opens): oldest-evidence-first
+#: again. Candidates, oldest first — (1) the 7 names displaced from
+#: ROUND9_HEAD mid-round (l24_regex_scrub, l25_incremental_dedup,
+#: l26_length_filter, io7_schema_evolution, d16_ewma, d17_rsi,
+#: d18_gap_detection — last driver rows r03); (2) the 31 remaining
+#: r03 hash-greens that never fit a 50-slot window (a1-a7, a9-a11,
+#: a14, s1-s3, s5-s17, dq1, l27, l28); (3) backfill from the r04
+#: greens in registration order. Anything whose oracle changes in
+#: round 10 jumps the queue (the round-9 stale-evidence rule).
+
+
 #: Historical round-8 window (superseded by ROUND9_HEAD; kept so the
 #: rotation ledger stays in code — all 50 rows landed in
 #: CORRECTNESS_r08.json: 48 hash-green, a8/a12 ``no_oracle`` by
