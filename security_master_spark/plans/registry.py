@@ -191,7 +191,87 @@ def _load_all_plan_modules() -> None:
     )
 
 
-#: ROUND-9 HEAD PIN (round-8 verdict order #1): with 100% of the
+#: ROUND-10 HEAD PIN (round-9 verdict order #1): evidence-freshness
+#: rotation, second window. Composition deviates from the staged plan
+#: in one deliberate way — the stale-evidence rule the round-9 verdict
+#: itself states ("anything whose oracle changes jumps the queue")
+#: applies to the TEN queries whose oracles gained the shared
+#: zero-padded (epoch_us ++ id) tie-break key in the round-9
+#: adversarial iteration 2 (d25/d29-d33/d42-d44/d74,
+#: functions/ordering.py) AFTER their last CORRECTNESS rows (r04-r07):
+#: their only post-change evidence is ADVERSARIAL.json, so they
+#: outrank merely-old r04 greens and take the backfill slots.
+#: Sections: (1) t3 — the round-9 verdict pins it to jump (its oracle
+#: moved to integer-µs boundary math in commit 73540ff; this row
+#: certifies the µs form at driver settings) + the ten tie-break-key
+#: queries; (2) the 7 names displaced from ROUND9_HEAD mid-round
+#: (last rows r03); (3) the 31 remaining r03 rows — 30 hash-greens +
+#: a13 (weak by design; fresh rows-only row); (4) l21 (r02 rows-only,
+#: weak by design). After this window: NO registered query's driver
+#: evidence predates r04, with zero exceptions.
+ROUND10_HEAD: tuple[str, ...] = (
+    # (1) stale-oracle queue-jumps: driver rows predate the round-9
+    # oracle changes (t3 integer-µs; d-family (ts,id) tie-break keys)
+    "t3_session_window_native",
+    "d25_range_volatility",
+    "d29_stochastic_oscillator",
+    "d30_atr",
+    "d31_obv",
+    "d32_return_autocorr",
+    "d33_sharpe_ratio",
+    "d42_sortino_calmar",
+    "d43_amihud_illiquidity",
+    "d44_pair_spread_zscore",
+    "d74_kaplan_meier",
+    # (2) the 7 names displaced from ROUND9_HEAD mid-round — r03
+    "l24_regex_scrub",
+    "l25_incremental_dedup",
+    "l26_length_filter",
+    "io7_schema_evolution",
+    "d16_ewma",
+    "d17_rsi",
+    "d18_gap_detection",
+    # (3) the remaining r03 rows, registration order
+    "dq1_quality_profile",
+    "l27_repetition_ratio",
+    "l28_char_entropy",
+    "a1_rollup",
+    "a2_cube",
+    "a3_grouping_sets",
+    "a4_pivot",
+    "a5_unpivot",
+    "a6_stats_aggregates",
+    "a7_count_distinct",
+    "a9_collect_sorted",
+    "a10_percentiles",
+    "a13_approx_percentile",
+    "a11_column_profile",
+    "a14_regression_aggs",
+    "s1_string_functions",
+    "s2_regex_levenshtein",
+    "s3_date_functions",
+    "s5_array_functions",
+    "s6_higher_order_functions",
+    "s7_json_functions",
+    "s8_json_aggregate",
+    "s9_hash_functions",
+    "s10_explode_unnest",
+    "s11_sequence_generate",
+    "s12_conditional_null",
+    "s13_map_functions",
+    "s14_date_formatting",
+    "s15_array_functions_2",
+    "s16_bitwise",
+    "s17_null_handling",
+    # (4) the single r02 row left anywhere (weak by design)
+    "l21_ivf_topk",
+)
+
+
+#: Historical round-9 window (superseded by ROUND10_HEAD; kept so the
+#: rotation ledger stays in code — all 50 rows landed hash-green in
+#: CORRECTNESS_r09.json, the first all-green window).
+#: Original ledger note (round-8 verdict order #1): with 100% of the
 #: registry driver-checked as of r08, rotation switches to
 #: evidence-freshness — oldest driver row first. Composition:
 #: (1) l13/l20 pinned in slots 1-2: their full hash oracles (commit
@@ -267,16 +347,13 @@ ROUND9_HEAD: tuple[str, ...] = (
 )
 
 
-#: ROUND-10 ROTATION PLAN (staged at round-9 close; build ROUND10_HEAD
-#: from this when the round-10 session opens): oldest-evidence-first
-#: again. Candidates, oldest first — (1) the 7 names displaced from
-#: ROUND9_HEAD mid-round (l24_regex_scrub, l25_incremental_dedup,
-#: l26_length_filter, io7_schema_evolution, d16_ewma, d17_rsi,
-#: d18_gap_detection — last driver rows r03); (2) the 31 remaining
-#: r03 hash-greens that never fit a 50-slot window (a1-a7, a9-a11,
-#: a14, s1-s3, s5-s17, dq1, l27, l28); (3) backfill from the r04
-#: greens in registration order. Anything whose oracle changes in
-#: round 10 jumps the queue (the round-9 stale-evidence rule).
+#: ROUND-11 ROTATION PLAN (staged at round-10 close): after the
+#: ROUND10_HEAD window lands, the oldest evidence anywhere is r04
+#: (49 rows: d19-d28, l29-l34, a15/a16, io8/io9, q1..., registration
+#: order — d25 excluded, re-proven r10) and the queue is purely
+#: age-ordered again: take the 49 r04 rows + 1 r05 backfill.
+#: Anything whose oracle changes in round 11 jumps the queue (the
+#: round-9 stale-evidence rule, now standing).
 
 
 #: Historical round-8 window (superseded by ROUND9_HEAD; kept so the
@@ -401,11 +478,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND9_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND10_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND9_HEAD if n in d]
+    head = [n for n in ROUND10_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))
