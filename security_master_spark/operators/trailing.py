@@ -85,6 +85,15 @@ def trailing_interval_sum(
     mechanism: InMemoryRelation drops size stats and downstream
     broadcasts degrade to sort-merge joins (the g6 lesson, measured
     10× worse).
+
+    ``scratch_path`` is EXCLUSIVE to one call and live until the
+    returned frame's last consumption: the write job runs eagerly at
+    call time (``mode("overwrite")``) but the returned DataFrame
+    lazily RE-READS the path, so a second call sharing the path — or
+    any overwrite of it before the first result is fully consumed —
+    silently replaces the files under the live reader and corrupts
+    the first result. Namespace per call (uuid/monotonic suffix under
+    a scratch root) when calling in a loop.
     """
     keys = list(keys)
     base = df.select(

@@ -1,0 +1,111 @@
+"""Round-10 fixes: the trailing operator's row_id contract proven by
+test (round-9 verdict order #3), the tick_order_key domain guard, and
+driver_sim's --json argument validation (round-9 ADVICE items)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from security_master_spark.functions.ordering import (
+    tick_order_domain_violations,
+)
+from security_master_spark.operators.trailing import trailing_interval_sum
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_trailing_null_row_id_silently_drops_the_row(spark):
+    """operators/trailing.py documents row_id as NON-NULL: the final
+    re-attach is an inner equi-join on row_id, so a NULL id's row
+    vanishes from the output (and NO other row is disturbed). This
+    pins the documented behavior so a future rewrite that changes it
+    must also change the contract."""
+    df = spark.createDataFrame(
+        [(1, "k", 0, 5), (None, "k", 10, 7), (3, "k", 11, 2)],
+        "event_id long, k string, us long, u long",
+    )
+    out = {
+        r.event_id: (r.n_trailing, r.units_trailing)
+        for r in trailing_interval_sum(
+            df, ["k"], "us", 10, F.col("u"), "event_id"
+        ).collect()
+    }
+    # the NULL-id row is gone; surviving rows still see it in their
+    # trailing frames (the contract governs the re-attach, not the
+    # window math): row 3's frame [1, 11] holds us=10 (the NULL-id
+    # row, u=7) and us=11 (u=2)
+    assert set(out) == {1, 3}
+    assert out[1] == (1, 5)
+    assert out[3] == (2, 9)
+
+
+def test_trailing_duplicate_row_id_fans_out(spark):
+    """Duplicate row_ids fan out through the inner re-attach join —
+    the other documented half of the contract."""
+    df = spark.createDataFrame(
+        [(1, "k", 0, 5), (1, "k", 100, 7)],
+        "event_id long, k string, us long, u long",
+    )
+    rows = trailing_interval_sum(
+        df, ["k"], "us", 10, F.col("u"), "event_id"
+    ).collect()
+    # 2 input rows × 2 boundary probes sharing the id → 4 output rows
+    assert len(rows) == 4
+
+
+def test_tick_order_domain_violations_flags_out_of_contract_rows(spark):
+    """functions/ordering.py: the zero-padded key silently mis-orders
+    pre-epoch timestamps, negative ids, and ids ≥ 10^12; the guard
+    must surface exactly those rows and pass in-domain ones."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),        # in-domain
+            (10**12 - 1, "1970-01-01 00:00:00"),  # boundary, in-domain
+            (10**12, "2024-01-01 00:00:00"),   # id too wide
+            (-1, "2024-01-01 00:00:00"),       # negative id
+            (2, "1969-12-31 23:59:59"),        # pre-epoch ts
+            (None, "2024-01-01 00:00:00"),     # NULL id
+        ],
+        "event_id long, s string",
+    ).select("event_id", F.col("s").cast("timestamp").alias("ts"))
+    bad = tick_order_domain_violations(df, "ts", "event_id").collect()
+    assert sorted(
+        (str(r.event_id) if r.event_id is not None else "NULL")
+        for r in bad
+    ) == sorted([str(10**12), "-1", "2", "NULL"])
+    ok = df.subtract(
+        tick_order_domain_violations(df, "ts", "event_id")
+    ).count()
+    assert ok == 2
+
+
+def _load_driver_sim():
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim", os.path.join(_ROOT, "tools", "driver_sim.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_driver_sim_parse_argv_validates_json_flag():
+    """tools/driver_sim.py (round-9 ADVICE): a trailing --json used to
+    raise an uncaught IndexError and a reordered flag silently ate the
+    first query name as its value — both must exit with usage now."""
+    ds = _load_driver_sim()
+    assert ds.parse_argv([]) == (None, None)
+    assert ds.parse_argv(["q1", "q2"]) == (None, ["q1", "q2"])
+    assert ds.parse_argv(["q1", "--json", "/tmp/x.json"]) == (
+        "/tmp/x.json", ["q1"]
+    )
+    assert ds.parse_argv(["--json", "/tmp/x.json"]) == ("/tmp/x.json", None)
+    with pytest.raises(SystemExit):
+        ds.parse_argv(["q1", "--json"])  # missing value
+    with pytest.raises(SystemExit):
+        ds.parse_argv(["--json", "--json", "out"])  # flag as value
+    with pytest.raises(SystemExit):
+        ds.parse_argv(["--jsno", "out"])  # unknown flag, not a query

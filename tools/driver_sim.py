@@ -68,6 +68,28 @@ def frame_hash(df):
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+def parse_argv(argv):
+    """``[query ...] [--json PATH]`` → (json_out, only). ``--json``
+    must be followed by a path (not another flag): a trailing
+    ``--json`` used to raise an uncaught IndexError, and a reordered
+    flag silently swallowed the first query name as its value."""
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit(
+                "usage: driver_sim.py [QUERY ...] [--json PATH] — "
+                "--json requires a path argument"
+            )
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        sys.exit(f"usage: driver_sim.py [QUERY ...] [--json PATH] — "
+                 f"unknown flag(s): {unknown}")
+    return json_out, (argv or None)
+
+
 def main():
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
@@ -88,13 +110,7 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    argv = sys.argv[1:]
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    only = argv or None
+    json_out, only = parse_argv(sys.argv[1:])
     ok = weak = bad = 0
     records = {}
     t_start = time.time()

@@ -136,6 +136,11 @@ def main(out: str = "/tmp/advfix") -> None:
     # window/session/as-of tie path degenerates to a single peer group
     ts_us = np.where(uid == 99, 42 * 86_400_000_000, ts_us)
     ts = day0 + ts_us.astype("timedelta64[us]")
+    # tick_order_key domain (functions/ordering.py): the zero-padded
+    # (epoch_us ++ id) total-order key silently mis-orders pre-epoch
+    # timestamps and ids ≥ 10^12 — assert the fixture stays in-domain
+    # so every arg-by oracle comparison downstream is meaningful.
+    assert ts_us.min() >= 0 and 0 < eid.min() and eid.max() < 10**12
     w("events", {"event_id": eid, "ts": ts, "user_id": uid,
                  "event_type": [["click", "view", "purchase", "error",
                                  "login"][i % 5] for i in range(n_ev)],
