@@ -1,0 +1,173 @@
+"""Halo-parallel rolling ROWS-frame distinct counts.
+
+The portable spelling of a trailing-N distinct count —
+``size(collect_set(v) OVER (PARTITION BY k ORDER BY ... ROWS BETWEEN
+N-1 PRECEDING AND CURRENT ROW))`` (a23_rolling_distinct,
+plans/aggregates5.py) — has a parallelism ceiling that no cluster
+size fixes: one WindowExec task per partition KEY. With 5 event
+types over 100 TB that is 5 tasks carrying 20 TB each. The per-row
+work (a 100-element set per row) is frame-bounded, so memory is
+fine; it is the KEY-count, not the data, that caps the speedup —
+the same wall w11 removed for time-RANGE sums
+(plans/windows2.py / PLANS.md "halo-parallel time window").
+
+This module is the production spelling, two pieces working together:
+(1) DISTRIBUTED RANK — per-key row positions from a range partition
+plus an offset prefix-sum over per-range counts (a tiny table), so no
+single task ever sorts a whole key; (2) HALO BUCKETS — chunk each
+key's row sequence into ``bucket_rows`` positions and copy the last
+``frame_rows − 1`` rows of every chunk into the NEXT chunk, so every
+target row sees its complete trailing frame inside one (key, bucket)
+partition. Parallelism becomes O(keys × rows/bucket_rows) end to end;
+the halo duplicates a bounded ``(frame−1)/bucket_rows`` fraction of
+the data (≈0.15% at the defaults). Both pieces are needed: bucketing
+alone still ranks serially per key and measured SLOWER than the
+portable form on both balanced and skewed corpora; with the
+distributed rank it is 2.0× faster balanced and 7.8× at 96% skew,
+flat across the two (PLANS.md round-10 halo study).
+
+Kept OUT of the query registry by the round-9 freeze: a23 remains
+the certified portable semantics reference; this is its scale
+sibling, held hash-equal by tests/test_round10_fixes.py and measured
+in PLANS.md (round-10 halo study), exactly the w10/w11 precedent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _distributed_rank(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: Sequence[str | Column],
+    n_ranges: int | None,
+) -> DataFrame:
+    """Per-key dense row positions with NO serial pass: range-partition
+    by (keys, order), count rows per (range, key) — a tiny table —
+    prefix-sum those counts into per-range offsets, then add each
+    row's LOCAL row_number. Every stage is parallel in ranges, so a
+    key owning 96% of the rows no longer pins one task (the portable
+    ``row_number() OVER (PARTITION BY key)`` does exactly that).
+
+    The range frame is ``persist()``-ed before the counts action:
+    ``repartitionByRange`` re-samples split points per job, so the
+    offsets computed in action 1 must describe the SAME placement the
+    final action reads (the operators/ewma.py segmented-scan lesson —
+    caught as a real sf0.01 mismatch in round 5). Caller owns the
+    returned frame's lifetime; blocks free with it.
+    """
+    n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
+    p = (
+        df.repartitionByRange(n, *keys, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = p.groupBy("_pid", *keys).agg(F.count("*").alias("_c"))
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *keys,
+        F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+    )
+    local_w = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
+    return (
+        p.withColumn("_lrn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), ["_pid", *keys])
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    frame_rows: int,
+    out_col: str = "rolling_distinct",
+    bucket_rows: int = 65_536,
+    distributed_rank: bool = True,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Per row: COUNT(DISTINCT ``value_col``) over the trailing
+    ``frame_rows``-row frame (current row inclusive) within the row's
+    ``part_keys`` group, ordered by ``order_cols``.
+
+    ``order_cols`` must be a TOTAL order within each key group (same
+    contract as every rolling operator here — ties make "the previous
+    99 rows" engine-arbitrary); NULLs in ``value_col`` are ignored,
+    matching both ``collect_set`` and SQL ``COUNT(DISTINCT)``.
+
+    ``bucket_rows`` trades task granularity against halo overhead:
+    the halo re-ships ``(frame_rows − 1) / bucket_rows`` of the rows.
+    It must be ≥ ``frame_rows`` so one halo hop suffices (asserted).
+
+    ``distributed_rank`` (default True): row positions come from
+    :func:`_distributed_rank` — range-partition + offset prefix-sum,
+    fully parallel in ranges, one extra shuffle + a bounded persist.
+    Measured at the 6M-tick corpus (PLANS.md round-10 halo study):
+    **2.0× faster than the portable window form on balanced keys,
+    7.8× on a 96%-one-key corpus — and flat across the two (6.2 vs
+    6.4 s), i.e. wall clock tracks data volume, not key skew.**
+    ``False`` ranks with a plain ``row_number() OVER (PARTITION BY
+    key)`` instead — one sort task per KEY, which re-serializes on
+    dominant keys and measured SLOWER than the portable form outright
+    (the halo's extra exchange buys nothing while the rank pass still
+    bottlenecks); it is kept as an independent second implementation
+    for the equality tests, not as a production path.
+
+    Returns ``df``'s columns plus ``out_col`` (bigint).
+    """
+    if frame_rows < 1:
+        raise ValueError(f"frame_rows must be ≥ 1, got {frame_rows}")
+    if bucket_rows < frame_rows:
+        raise ValueError(
+            f"bucket_rows ({bucket_rows}) must be ≥ frame_rows "
+            f"({frame_rows}): a frame may span at most one bucket "
+            "boundary, so the halo copies rows one bucket forward only"
+        )
+    keys = list(part_keys)
+    halo = frame_rows - 1
+
+    if distributed_rank:
+        base = _distributed_rank(df, keys, order_cols, n_ranges)
+    else:
+        rn_w = Window.partitionBy(*keys).orderBy(*order_cols)
+        base = df.withColumn("_rn", F.row_number().over(rn_w))
+    own = base.withColumn(
+        "_bkt", ((F.col("_rn") - 1) / bucket_rows).cast("long")
+    ).withColumn("_own", F.lit(True))
+    # rows in the last `halo` slots of bucket b are also frame members
+    # for early rows of bucket b+1 — ship one copy forward
+    spill = (
+        own.filter(
+            ((F.col("_rn") - 1) % bucket_rows) >= bucket_rows - halo
+        )
+        .withColumn("_bkt", F.col("_bkt") + 1)
+        .withColumn("_own", F.lit(False))
+    )
+    u = own.unionByName(spill)
+    # within a (key, bucket) partition the _rn sequence is contiguous
+    # (bucket interior + complete halo prefix), so a ROWS frame over
+    # it equals the global ROWS frame for every _own row
+    frame_w = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy("_rn")
+        .rowsBetween(-halo, 0)
+    )
+    return (
+        u.withColumn(
+            out_col,
+            F.size(F.collect_set(value_col).over(frame_w)).cast("bigint"),
+        )
+        .filter(F.col("_own"))
+        .drop("_rn", "_bkt", "_own")
+    )

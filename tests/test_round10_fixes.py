@@ -83,6 +83,74 @@ def test_tick_order_domain_violations_flags_out_of_contract_rows(spark):
     assert ok == 2
 
 
+def test_rolling_distinct_halo_equals_window_form(spark, sf_dir):
+    """operators/rolling.py: the halo-parallel bucketed spelling must
+    be value-identical to a23's portable window form — same frame,
+    same NULL handling — including across bucket boundaries (tiny
+    bucket_rows forces every row near a halo)."""
+    from pyspark.sql import Window
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.rolling import (
+        rolling_distinct_count,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "user_id"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    portable = events.select(
+        "event_type",
+        "event_id",
+        F.size(F.collect_set("user_id").over(w))
+        .cast("bigint")
+        .alias("rolling_users"),
+    )
+    halo = rolling_distinct_count(
+        events,
+        ["event_type"],
+        ["ts", "event_id"],
+        "user_id",
+        frame_rows=100,
+        out_col="rolling_users",
+        bucket_rows=128,  # far below the row count: every bucket halos
+        distributed_rank=False,  # the serial-rank cross-check impl
+    ).select("event_type", "event_id", "rolling_users")
+    assert portable.exceptAll(halo).isEmpty()
+    assert halo.exceptAll(portable).isEmpty()
+    # distributed-rank form: small ranges force every key to span
+    # many range partitions (the offset prefix-sum path), tiny
+    # buckets force halos — both correctness hazards at once
+    dist = rolling_distinct_count(
+        events,
+        ["event_type"],
+        ["ts", "event_id"],
+        "user_id",
+        frame_rows=100,
+        out_col="rolling_users",
+        bucket_rows=128,
+        distributed_rank=True,
+        n_ranges=7,
+    ).select("event_type", "event_id", "rolling_users")
+    assert portable.exceptAll(dist).isEmpty()
+    assert dist.exceptAll(portable).isEmpty()
+
+
+def test_rolling_distinct_rejects_undersized_buckets(spark):
+    from security_master_spark.operators.rolling import (
+        rolling_distinct_count,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="bucket_rows"):
+        rolling_distinct_count(df, ["k"], ["v"], "v", frame_rows=100,
+                               bucket_rows=64)
+
+
 def _load_driver_sim():
     spec = importlib.util.spec_from_file_location(
         "driver_sim", os.path.join(_ROOT, "tools", "driver_sim.py")
