@@ -348,10 +348,14 @@ ROUND9_HEAD: tuple[str, ...] = (
 
 
 #: ROUND-11 ROTATION PLAN (staged at round-10 close): after the
-#: ROUND10_HEAD window lands, the oldest evidence anywhere is r04
-#: (49 rows: d19-d28, l29-l34, a15/a16, io8/io9, q1..., registration
-#: order — d25 excluded, re-proven r10) and the queue is purely
-#: age-ordered again: take the 49 r04 rows + 1 r05 backfill.
+#: ROUND10_HEAD window lands, the oldest evidence anywhere is r04 —
+#: 48 rows (the 49 r04 greens minus d25, which queue-jumped into the
+#: r10 window; d19/d21-d24/d26-d28, l29-l34, a15/a16, io8/io9, q1...,
+#: registration order) — and the queue is purely age-ordered again:
+#: take those 48 + 2 backfill from the oldest r05 greens (the r05
+#: pool is itself down to 44 after d29-d33's r10 jump). Run
+#: ``python tools/evidence_age.py`` to recompute the histogram from
+#: the committed CORRECTNESS files instead of trusting this comment.
 #: Anything whose oracle changes in round 11 jumps the queue (the
 #: round-9 stale-evidence rule, now standing).
 
