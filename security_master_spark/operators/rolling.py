@@ -86,6 +86,28 @@ def _distributed_rank(
     )
 
 
+def distributed_row_number(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str | Column],
+    out_col: str = "row_num",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Public spelling of :func:`_distributed_rank`: gap-free 1-based
+    per-key row positions by ``order_cols`` — ``row_number() OVER
+    (PARTITION BY keys ORDER BY ...)`` without its one-sort-task-per-
+    key ceiling. Same contract: ``order_cols`` must totally order each
+    key group (ties would make positions partition-dependent), and the
+    result embeds a bounded ``persist()`` (range placement must be
+    identical between the internal counts action and the caller's
+    action — repartitionByRange re-samples per job otherwise; blocks
+    free with the returned frame). Sequence ids, pagination cursors,
+    gap-free ranks over skewed keys — anywhere the window form's
+    straggler task is the bottleneck."""
+    out = _distributed_rank(df, list(part_keys), order_cols, n_ranges)
+    return out.withColumnRenamed("_rn", out_col)
+
+
 def rolling_distinct_count(
     df: DataFrame,
     part_keys: Sequence[str],

@@ -140,6 +140,50 @@ def test_rolling_distinct_halo_equals_window_form(spark, sf_dir):
     assert dist.exceptAll(portable).isEmpty()
 
 
+def test_distributed_row_number_matches_window_form(spark, sf_dir):
+    """operators/rolling.py: the range-partition + offset-prefix-sum
+    positions must equal row_number() OVER exactly, per key, including
+    with few ranges (keys forced to span range partitions)."""
+    from pyspark.sql import Window
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.rolling import (
+        distributed_row_number,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ref = events.select(
+        "event_type", "event_id", F.row_number().over(w).alias("row_num")
+    )
+    got = distributed_row_number(
+        events, ["event_type"], ["ts", "event_id"], n_ranges=5
+    ).select("event_type", "event_id", "row_num")
+    assert ref.exceptAll(got).isEmpty()
+    assert got.exceptAll(ref).isEmpty()
+
+
+def test_distributed_row_number_plan_shape(spark, sf_dir):
+    """The offsets attach must be a broadcast hash join (the offsets
+    table is O(ranges × keys) rows) — never a sort-merge join or a
+    nested loop over the data side."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.rolling import (
+        distributed_row_number,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = distributed_row_number(events, ["event_type"], ["ts", "event_id"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_rolling_distinct_rejects_undersized_buckets(spark):
     from security_master_spark.operators.rolling import (
         rolling_distinct_count,
