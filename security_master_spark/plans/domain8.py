@@ -56,7 +56,12 @@ def d39_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the segment key for the window, reused by the final
     aggregate (same key); the customer dim broadcasts into the fact
     scan. At 100 TB the per-segment sort is the honest cost of an
-    exact tail — the sketch path for screening is a13's t-digest."""
+    exact tail — the sketch path for screening is a13's t-digest, and
+    since r10 the RANK half of that cost has an exact parallel
+    spelling too (operators/rolling.py distributed_row_number: no
+    one-task-per-segment sort); the exact interpolated percentile
+    remains the serial half, which is why the sketch stays the
+    screening recommendation."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     px = (
