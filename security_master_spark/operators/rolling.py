@@ -34,10 +34,11 @@ in PLANS.md (round-10 halo study), exactly the w10/w11 precedent.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
 
 
 def _distributed_rank(
@@ -108,25 +109,38 @@ def distributed_row_number(
     return out.withColumnRenamed("_rn", out_col)
 
 
-def rolling_distinct_count(
+def rolling_rows_agg(
     df: DataFrame,
     part_keys: Sequence[str],
     order_cols: Sequence[str | Column],
-    value_col: str,
     frame_rows: int,
-    out_col: str = "rolling_distinct",
+    aggs: dict[str, "Callable[[WindowSpec], Column]"],
     bucket_rows: int = 65_536,
     distributed_rank: bool = True,
     n_ranges: int | None = None,
 ) -> DataFrame:
-    """Per row: COUNT(DISTINCT ``value_col``) over the trailing
-    ``frame_rows``-row frame (current row inclusive) within the row's
-    ``part_keys`` group, ordered by ``order_cols``.
+    """Skew-proof trailing ROWS-frame aggregation: for each row,
+    evaluate every entry of ``aggs`` over the trailing ``frame_rows``
+    rows (current row inclusive) within the row's ``part_keys``
+    group, ordered by ``order_cols`` — semantically identical to
+    ``<agg> OVER (PARTITION BY keys ORDER BY ... ROWS BETWEEN
+    frame_rows−1 PRECEDING AND CURRENT ROW)`` but parallel in
+    O(keys × rows/bucket_rows) tasks instead of one task per key.
+    The mechanism is agg-agnostic: positions come from the
+    distributed rank, rows are chunked into ``bucket_rows`` positions
+    with a ``frame_rows − 1`` halo copied one chunk forward, and the
+    window runs inside (key, chunk) partitions where every target
+    row's frame is complete.
+
+    ``aggs`` maps output column name → a callable producing the
+    windowed Column from the frame's WindowSpec, e.g.::
+
+        {"roll_sum": lambda w: F.sum("v").over(w),
+         "roll_users": lambda w: F.size(F.collect_set("u").over(w))}
 
     ``order_cols`` must be a TOTAL order within each key group (same
     contract as every rolling operator here — ties make "the previous
-    99 rows" engine-arbitrary); NULLs in ``value_col`` are ignored,
-    matching both ``collect_set`` and SQL ``COUNT(DISTINCT)``.
+    N rows" engine-arbitrary).
 
     ``bucket_rows`` trades task granularity against halo overhead:
     the halo re-ships ``(frame_rows − 1) / bucket_rows`` of the rows.
@@ -146,7 +160,7 @@ def rolling_distinct_count(
     bottlenecks); it is kept as an independent second implementation
     for the equality tests, not as a production path.
 
-    Returns ``df``'s columns plus ``out_col`` (bigint).
+    Returns ``df``'s columns plus one column per ``aggs`` entry.
     """
     if frame_rows < 1:
         raise ValueError(f"frame_rows must be ≥ 1, got {frame_rows}")
@@ -185,11 +199,42 @@ def rolling_distinct_count(
         .orderBy("_rn")
         .rowsBetween(-halo, 0)
     )
-    return (
-        u.withColumn(
-            out_col,
-            F.size(F.collect_set(value_col).over(frame_w)).cast("bigint"),
-        )
-        .filter(F.col("_own"))
-        .drop("_rn", "_bkt", "_own")
+    out = u
+    for out_col, build in aggs.items():
+        out = out.withColumn(out_col, build(frame_w))
+    return out.filter(F.col("_own")).drop("_rn", "_bkt", "_own")
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str | Column],
+    value_col: str,
+    frame_rows: int,
+    out_col: str = "rolling_distinct",
+    bucket_rows: int = 65_536,
+    distributed_rank: bool = True,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Per row: COUNT(DISTINCT ``value_col``) over the trailing
+    ``frame_rows``-row frame — :func:`rolling_rows_agg` specialized to
+    ``size(collect_set(value_col))`` (NULLs ignored, matching both
+    ``collect_set`` and SQL ``COUNT(DISTINCT)``); see there for the
+    contracts and the measured skew behavior.
+
+    Returns ``df``'s columns plus ``out_col`` (bigint).
+    """
+    return rolling_rows_agg(
+        df,
+        part_keys,
+        order_cols,
+        frame_rows,
+        {
+            out_col: lambda w: F.size(
+                F.collect_set(value_col).over(w)
+            ).cast("bigint")
+        },
+        bucket_rows=bucket_rows,
+        distributed_rank=distributed_rank,
+        n_ranges=n_ranges,
     )

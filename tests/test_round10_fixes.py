@@ -140,6 +140,46 @@ def test_rolling_distinct_halo_equals_window_form(spark, sf_dir):
     assert dist.exceptAll(portable).isEmpty()
 
 
+def test_rolling_rows_agg_matches_window_form(spark, sf_dir):
+    """operators/rolling.py: the general skew-proof ROWS-frame form
+    must match the portable window spelling for BOTH an invertible
+    (sum) and a non-invertible (max) aggregate in one call, across
+    halo boundaries."""
+    from pyspark.sql import Window
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.rolling import rolling_rows_agg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    ref = events.select(
+        "event_type",
+        "event_id",
+        F.sum("value").over(w).alias("roll_sum"),
+        F.max("value").over(w).alias("roll_max"),
+    )
+    got = rolling_rows_agg(
+        events,
+        ["event_type"],
+        ["ts", "event_id"],
+        frame_rows=50,
+        aggs={
+            "roll_sum": lambda fw: F.sum("value").over(fw),
+            "roll_max": lambda fw: F.max("value").over(fw),
+        },
+        bucket_rows=128,
+        n_ranges=5,
+    ).select("event_type", "event_id", "roll_sum", "roll_max")
+    assert ref.exceptAll(got).isEmpty()
+    assert got.exceptAll(ref).isEmpty()
+
+
 def test_distributed_row_number_matches_window_form(spark, sf_dir):
     """operators/rolling.py: the range-partition + offset-prefix-sum
     positions must equal row_number() OVER exactly, per key, including
