@@ -1,0 +1,89 @@
+"""Property-based verification of the skew-proof rolling operator
+(operators/rolling.py, SURVEY.md §5 model): on random small frames —
+random keys, NULL-bearing values, every bucket/halo geometry — both
+rank modes of ``rolling_distinct_count`` must agree exactly with a
+pure-Python trailing-frame reference (an oracle independent of BOTH
+the Spark window form and the operator's own mechanism)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from security_master_spark.operators.rolling import rolling_distinct_count
+
+_KEY = st.integers(min_value=0, max_value=2)
+_VAL = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+def _reference(rows, frame_rows):
+    """rows: [(key, order, value)] with unique (key, order)."""
+    out = {}
+    by_key: dict[int, list[tuple[int, int | None]]] = {}
+    for k, o, v in sorted(rows):
+        by_key.setdefault(k, []).append((o, v))
+    for k, seq in by_key.items():
+        for i, (o, _v) in enumerate(seq):
+            frame = seq[max(0, i - frame_rows + 1): i + 1]
+            out[(k, o)] = len({v for _o, v in frame if v is not None})
+    return out
+
+
+def _run_case(spark, rows, frame_rows, bucket_rows, n_ranges,
+              distributed_rank):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "o", "v"]).astype(
+            {"k": "int64", "o": "int64"}
+        ).astype({"v": "Int64"})
+    )
+    got = {
+        (r.k, r.o): r.n
+        for r in rolling_distinct_count(
+            df, ["k"], ["o"], "v", frame_rows=frame_rows, out_col="n",
+            bucket_rows=bucket_rows, distributed_rank=distributed_rank,
+            n_ranges=n_ranges,
+        ).collect()
+    }
+    want = _reference(rows, frame_rows)
+    assert got == want, (
+        f"rolling mismatch (frame={frame_rows} bucket={bucket_rows} "
+        f"ranges={n_ranges} dist={distributed_rank}):\n"
+        f" got={sorted(got.items())}\n want={sorted(want.items())}"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(
+        st.tuples(_KEY, _VAL), min_size=1, max_size=12, unique_by=None
+    ),
+    frame_rows=st.integers(min_value=1, max_value=5),
+    extra_bucket=st.integers(min_value=0, max_value=3),
+    n_ranges=st.integers(min_value=1, max_value=4),
+    distributed_rank=st.booleans(),
+)
+def test_rolling_distinct_matches_python_reference(
+    spark, cells, frame_rows, extra_bucket, n_ranges, distributed_rank
+):
+    # unique (key, order) by construction: order = list position
+    rows = [(k, i, v) for i, (k, v) in enumerate(cells)]
+    _run_case(
+        spark, rows, frame_rows,
+        bucket_rows=frame_rows + extra_bucket,  # ≥ frame, halo-heavy
+        n_ranges=n_ranges, distributed_rank=distributed_rank,
+    )
+
+
+def test_rolling_distinct_all_null_frame_counts_zero(spark):
+    """A frame whose values are all NULL has distinct count 0 (the
+    collect_set/COUNT DISTINCT convention, unlike SUM's NULL)."""
+    _run_case(
+        spark,
+        [(0, 0, None), (0, 1, None)],
+        frame_rows=2, bucket_rows=2, n_ranges=2, distributed_rank=True,
+    )
