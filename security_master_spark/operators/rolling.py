@@ -109,6 +109,91 @@ def distributed_row_number(
     return out.withColumnRenamed("_rn", out_col)
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str | Column],
+    value_cols: dict[str, str],
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Per-key running totals — ``SUM(v) OVER (PARTITION BY keys
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — without the window
+    form's one-task-per-key ceiling, by the same decomposition as
+    :func:`_distributed_rank`: range-partition by (keys, order),
+    reduce each range to per-(range, key) partial sums + non-null
+    counts (a tiny table), prefix-sum those into per-range offsets,
+    then add each row's LOCAL running total. Every stage is parallel
+    in ranges.
+
+    ``value_cols`` maps output name → input column; several running
+    totals share the one pass. NULL semantics match Spark's SUM
+    exactly: NULLs are ignored, and a prefix whose values are ALL
+    NULL yields NULL, not 0 (tracked via the non-null counts — the
+    offset addition cannot manufacture a zero; the
+    operators/trailing.py convention).
+
+    ``order_cols`` must totally order each key group: with a total
+    order Spark's default RANGE-to-current cumulative frame equals
+    the ROWS frame computed here, and placement ties cannot straddle
+    a range boundary. The result embeds a bounded ``persist()`` (the
+    repartitionByRange re-sampling hazard — see
+    :func:`_distributed_rank`); blocks free with the returned frame.
+
+    Skew-path consumer note: trailing_interval_sum's cum-prefix stage
+    (operators/trailing.py) is this exact computation per (key, ts) —
+    wiring it through here removes that operator's per-key ceiling;
+    staged as a round-11 candidate (PLANS.md round-10 halo study).
+    """
+    keys = list(part_keys)
+    n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
+    p = (
+        df.repartitionByRange(n, *keys, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    partial_aggs = []
+    for out, src in value_cols.items():
+        partial_aggs.append(F.sum(src).alias(f"_ps_{out}"))
+        partial_aggs.append(F.count(src).alias(f"_pc_{out}"))
+    partials = p.groupBy("_pid", *keys).agg(*partial_aggs)
+    off_w = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = []
+    for out in value_cols:
+        off_cols.append(
+            F.sum(f"_ps_{out}").over(off_w).alias(f"_os_{out}")
+        )
+        off_cols.append(
+            F.coalesce(F.sum(f"_pc_{out}").over(off_w), F.lit(0)).alias(
+                f"_oc_{out}"
+            )
+        )
+    offsets = partials.select("_pid", *keys, *off_cols)
+    local_w = (
+        Window.partitionBy("_pid", *keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_df = p.join(F.broadcast(offsets), ["_pid", *keys])
+    drop = ["_pid"]
+    for out, src in value_cols.items():
+        ls = F.sum(src).over(local_w)
+        lc = F.count(src).over(local_w)
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                lc + F.col(f"_oc_{out}") > 0,
+                F.coalesce(ls, F.lit(0))
+                + F.coalesce(F.col(f"_os_{out}"), F.lit(0)),
+            ),
+        )
+        drop += [f"_os_{out}", f"_oc_{out}"]
+    return out_df.drop(*drop)
+
+
 def rolling_rows_agg(
     df: DataFrame,
     part_keys: Sequence[str],

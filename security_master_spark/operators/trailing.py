@@ -27,8 +27,17 @@ subtraction is catastrophic cancellation; integer cents are not).
 Non-invertible trailing aggregates (MAX/MIN over a sliding interval)
 cannot difference prefixes — for those the halo-bucket rewrite
 (duplicate each row into its successor bucket, window per bucket,
-emit home rows) remains the right tool; it is kept verbatim in
-w11's docstring history and PLANS.md.
+emit home rows) remains the right tool, now generalized in
+operators/rolling.py:rolling_rows_agg (ROWS frames, skew-proof).
+
+Parallelism note (round 10): the three window passes here are
+key-partitioned — one task per key value, which serializes under a
+dominant key. The cum-prefix stage is exactly
+operators/rolling.py:distributed_cumsum (measured 2.7× on a
+one-key 6M corpus, and strictly serial vs parallel beyond that);
+wiring it through (plus a bucketed as-of for the carry stage) is the
+staged round-11 skew path — not rewired this round to avoid
+re-certifying w11 late in the window (PLANS.md round-10 halo study).
 """
 
 from __future__ import annotations

@@ -79,6 +79,55 @@ def test_rolling_distinct_matches_python_reference(
     )
 
 
+def _cumsum_reference(rows):
+    """rows: [(key, order, value)] → per-(key, order) running sum,
+    NULLs ignored, all-NULL prefix → None (Spark SUM semantics)."""
+    out = {}
+    acc: dict[int, tuple[int, int]] = {}  # key -> (sum, n_nonnull)
+    for k, o, v in sorted(rows):
+        s, c = acc.get(k, (0, 0))
+        if v is not None:
+            s, c = s + v, c + 1
+        acc[k] = (s, c)
+        out[(k, o)] = s if c > 0 else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(st.tuples(_KEY, _VAL), min_size=1, max_size=12),
+    n_ranges=st.integers(min_value=1, max_value=4),
+)
+def test_distributed_cumsum_matches_python_reference(
+    spark, cells, n_ranges
+):
+    """operators/rolling.py distributed_cumsum: running totals with
+    exact Spark SUM NULL semantics, every range geometry."""
+    from security_master_spark.operators.rolling import distributed_cumsum
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(cells)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "o", "v"]).astype(
+            {"k": "int64", "o": "int64"}
+        ).astype({"v": "Int64"})
+    )
+    got = {
+        (r.k, r.o): r.cum
+        for r in distributed_cumsum(
+            df, ["k"], ["o"], {"cum": "v"}, n_ranges=n_ranges
+        ).collect()
+    }
+    want = _cumsum_reference(rows)
+    assert got == want, (
+        f"cumsum mismatch (ranges={n_ranges}):\n"
+        f" got={sorted(got.items())}\n want={sorted(want.items())}"
+    )
+
+
 def test_rolling_distinct_all_null_frame_counts_zero(spark):
     """A frame whose values are all NULL has distinct count 0 (the
     collect_set/COUNT DISTINCT convention, unlike SUM's NULL)."""
