@@ -41,6 +41,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import WindowSpec
 
 
+def _nullsafe_attach(big: DataFrame, small: DataFrame,
+                     on: list[str]) -> DataFrame:
+    """Inner-join ``small`` (broadcast) onto ``big`` with NULL-SAFE
+    key equality, keeping ``big``'s key columns. A bare name-list join
+    compares with ``=``, so any row whose key is NULL silently drops —
+    but windows/groupBy treat NULL as a first-class group, and these
+    operators must match the window form's semantics exactly (NULL
+    keys included)."""
+    s = small
+    for c in on:
+        s = s.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in on:
+        eq = big[c].eqNullSafe(s[f"_r_{c}"])
+        cond = eq if cond is None else cond & eq
+    out = big.join(F.broadcast(s), cond, "inner")
+    return out.drop(*[f"_r_{c}" for c in on])
+
+
 def _distributed_rank(
     df: DataFrame,
     keys: list[str],
@@ -79,9 +98,9 @@ def _distributed_rank(
         F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
     )
     local_w = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
+    ranked = p.withColumn("_lrn", F.row_number().over(local_w))
     return (
-        p.withColumn("_lrn", F.row_number().over(local_w))
-        .join(F.broadcast(offsets), ["_pid", *keys])
+        _nullsafe_attach(ranked, offsets, ["_pid", *keys])
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
         .drop("_pid", "_lrn", "_off")
     )
@@ -177,7 +196,7 @@ def distributed_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out_df = p.join(F.broadcast(offsets), ["_pid", *keys])
+    out_df = _nullsafe_attach(p, offsets, ["_pid", *keys])
     drop = ["_pid"]
     for out, src in value_cols.items():
         ls = F.sum(src).over(local_w)

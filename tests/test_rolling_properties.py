@@ -13,15 +13,22 @@ from hypothesis import strategies as st
 
 from security_master_spark.operators.rolling import rolling_distinct_count
 
-_KEY = st.integers(min_value=0, max_value=2)
+#: NULL is a first-class partition-key value for windows/groupBy —
+#: the operators must keep NULL-key rows (a bare name-list join would
+#: silently drop them, the bug _nullsafe_attach exists to prevent)
+_KEY = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
 _VAL = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+def _key_sort(rows):
+    return sorted(rows, key=lambda r: (r[0] is None, r[0] or 0, r[1]))
 
 
 def _reference(rows, frame_rows):
     """rows: [(key, order, value)] with unique (key, order)."""
     out = {}
-    by_key: dict[int, list[tuple[int, int | None]]] = {}
-    for k, o, v in sorted(rows):
+    by_key: dict[int | None, list[tuple[int, int | None]]] = {}
+    for k, o, v in _key_sort(rows):
         by_key.setdefault(k, []).append((o, v))
     for k, seq in by_key.items():
         for i, (o, _v) in enumerate(seq):
@@ -34,8 +41,8 @@ def _run_case(spark, rows, frame_rows, bucket_rows, n_ranges,
               distributed_rank):
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["k", "o", "v"]).astype(
-            {"k": "int64", "o": "int64"}
-        ).astype({"v": "Int64"})
+            {"k": "Int64", "o": "int64", "v": "Int64"}
+        )
     )
     got = {
         (r.k, r.o): r.n
@@ -83,8 +90,8 @@ def _cumsum_reference(rows):
     """rows: [(key, order, value)] → per-(key, order) running sum,
     NULLs ignored, all-NULL prefix → None (Spark SUM semantics)."""
     out = {}
-    acc: dict[int, tuple[int, int]] = {}  # key -> (sum, n_nonnull)
-    for k, o, v in sorted(rows):
+    acc: dict[int | None, tuple[int, int]] = {}  # key -> (sum, n_nonnull)
+    for k, o, v in _key_sort(rows):
         s, c = acc.get(k, (0, 0))
         if v is not None:
             s, c = s + v, c + 1
@@ -112,8 +119,8 @@ def test_distributed_cumsum_matches_python_reference(
     rows = [(k, i, v) for i, (k, v) in enumerate(cells)]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["k", "o", "v"]).astype(
-            {"k": "int64", "o": "int64"}
-        ).astype({"v": "Int64"})
+            {"k": "Int64", "o": "int64", "v": "Int64"}
+        )
     )
     got = {
         (r.k, r.o): r.cum
