@@ -242,6 +242,16 @@ def rolling_rows_agg(
         {"roll_sum": lambda w: F.sum("v").over(w),
          "roll_users": lambda w: F.size(F.collect_set("u").over(w))}
 
+    Every entry must read only the trailing frame: frame AGGREGATES
+    (sum/max/collect_set/…) or offset functions reaching back at most
+    ``frame_rows − 1`` rows (``lag(n)``, n < frame_rows — offsets
+    ignore the frame spec but the halo guarantees exactly that many
+    predecessors inside the bucket). Anything reading further
+    (unbounded frames, ``lag(frame_rows)``, lead/ntile/percent_rank)
+    sees bucket-local state and silently diverges from the global
+    window — use the portable window form or
+    :func:`distributed_cumsum` for unbounded prefixes.
+
     ``order_cols`` must be a TOTAL order within each key group (same
     contract as every rolling operator here — ties make "the previous
     N rows" engine-arbitrary).

@@ -205,6 +205,31 @@ def test_distributed_row_number_matches_window_form(spark, sf_dir):
     assert got.exceptAll(ref).isEmpty()
 
 
+def test_distributed_row_number_descending_order(spark, sf_dir):
+    """Descending order expressions (the README tail-rank example)
+    must range-partition and rank identically to the window form."""
+    from pyspark.sql import Window
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.rolling import (
+        distributed_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    order_exprs = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    w = Window.partitionBy("o_orderpriority").orderBy(*order_exprs)
+    ref = orders.select(
+        "o_orderkey", F.row_number().over(w).alias("row_num")
+    )
+    got = distributed_row_number(
+        orders, ["o_orderpriority"], order_exprs, n_ranges=5
+    ).select("o_orderkey", "row_num")
+    assert ref.exceptAll(got).isEmpty()
+    assert got.exceptAll(ref).isEmpty()
+
+
 def test_distributed_row_number_plan_shape(spark, sf_dir):
     """The offsets attach must be a broadcast hash join (the offsets
     table is O(ranges × keys) rows) — never a sort-merge join or a
