@@ -58,6 +58,7 @@ def trailing_interval_sum(
     out_n: str = "n_trailing",
     out_units: str = "units_trailing",
     scratch_path: str | None = None,
+    distributed_prefix: bool = False,
 ) -> DataFrame:
     """Per row: COUNT(*) and SUM(units) over the trailing closed
     interval ``[ts − lookback_us, ts]`` within the row's key group,
@@ -103,34 +104,101 @@ def trailing_interval_sum(
     silently replaces the files under the live reader and corrupts
     the first result. Namespace per call (uuid/monotonic suffix under
     a scratch root) when calling in a loop.
+
+    ``distributed_prefix`` (opt-in, round 10): compute the cum-prefix
+    stage without the per-key serial window — collapse to per-(key,
+    ts) partials, run them through
+    operators/rolling.py:distributed_cumsum, and re-attach per row by
+    null-safe (key, ts) equi-join. Value-identical by test. Measured
+    at the 6M-tick corpus (PLANS.md): **1.34× on a ONE-key corpus,
+    0.84× on 5 balanced keys** — opt in only under dominant-key skew.
+    The partial win is Amdahl: the carry pass stays per-key (cheap
+    last-non-null arithmetic, but serial), so once the prefix pass
+    parallelizes it becomes the bottleneck; the staged round-11
+    bucketed-as-of carry is where the rest lives. Default stays False
+    so the certified w11 plan is byte-for-byte unchanged this round.
     """
     keys = list(keys)
     base = df.select(
         row_id, *keys, F.col(ts_us).alias("_us"), units.alias("_u")
     )
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy("_us")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    cur = base.select(
-        row_id,
-        *keys,
-        "_us",
-        F.count("*").over(w_cum).alias("_cn"),
-        F.sum("_u").over(w_cum).alias("_cu"),
-        F.count("_u").over(w_cum).alias("_cnn"),
-    )
-    if scratch_path is not None:
-        cur.write.mode("overwrite").parquet(scratch_path)
-        cur = df.sparkSession.read.parquet(scratch_path)
-    # Peers share the RANGE prefix, so one anchor per (key, ts) is the
-    # whole lookup table; max() == any peer's value by construction.
-    anchors = cur.groupBy(*keys, "_us").agg(
-        F.max("_cn").alias("_an"),
-        F.max("_cu").alias("_au"),
-        F.max("_cnn").alias("_ann"),
-    )
+    if distributed_prefix:
+        # Skew path (round 10): collapse to per-(key, ts) partials
+        # first (parallel hash agg — RANGE peers share the prefix, so
+        # the per-ts totals are all the window needs), then running
+        # totals via the range-partitioned cumsum — no per-key serial
+        # pass. The per-row prefix re-attaches by (key, ts) equi-join
+        # (null-safe: NULL keys are first-class window groups).
+        from security_master_spark.operators.rolling import (
+            distributed_cumsum,
+        )
+
+        per_ts = base.groupBy(*keys, "_us").agg(
+            F.count("*").alias("_tc"),
+            F.sum("_u").alias("_tu"),
+            F.count("_u").alias("_tcn"),
+        )
+        anchors = distributed_cumsum(
+            per_ts,
+            keys,
+            ["_us"],
+            {"_an": "_tc", "_au": "_tu", "_ann": "_tcn"},
+        ).select(*keys, "_us", "_an", "_au", "_ann")
+        # counts are never NULL (count ≥ 1 per collapsed row), but the
+        # cumsum leaves them nullable; normalize to the window form's
+        # non-null longs so downstream arithmetic is identical
+        anchors = anchors.select(
+            *keys,
+            "_us",
+            F.coalesce("_an", F.lit(0)).alias("_an"),
+            "_au",
+            F.coalesce("_ann", F.lit(0)).alias("_ann"),
+        )
+        a_small = anchors.withColumnRenamed("_us", "_a_us")
+        for k in keys:
+            a_small = a_small.withColumnRenamed(k, f"_a_{k}")
+        cond = base["_us"].eqNullSafe(a_small["_a_us"])
+        for k in keys:
+            cond = cond & base[k].eqNullSafe(a_small[f"_a_{k}"])
+        cur = (
+            base.join(a_small, cond, "inner")
+            .select(
+                row_id,
+                *[base[k] for k in keys],
+                base["_us"],
+                F.col("_an").alias("_cn"),
+                F.col("_au").alias("_cu"),
+                F.col("_ann").alias("_cnn"),
+            )
+        )
+        if scratch_path is not None:
+            cur.write.mode("overwrite").parquet(scratch_path)
+            cur = df.sparkSession.read.parquet(scratch_path)
+    else:
+        w_cum = (
+            Window.partitionBy(*keys)
+            .orderBy("_us")
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        cur = base.select(
+            row_id,
+            *keys,
+            "_us",
+            F.count("*").over(w_cum).alias("_cn"),
+            F.sum("_u").over(w_cum).alias("_cu"),
+            F.count("_u").over(w_cum).alias("_cnn"),
+        )
+        if scratch_path is not None:
+            cur.write.mode("overwrite").parquet(scratch_path)
+            cur = df.sparkSession.read.parquet(scratch_path)
+        # Peers share the RANGE prefix, so one anchor per (key, ts) is
+        # the whole lookup table; max() == any peer's value by
+        # construction.
+        anchors = cur.groupBy(*keys, "_us").agg(
+            F.max("_cn").alias("_an"),
+            F.max("_cu").alias("_au"),
+            F.max("_cnn").alias("_ann"),
+        )
     # As-of merge via union-and-carry: anchors and probes interleave on
     # the time axis; carrying the last non-null anchor prefix forward
     # gives every probe the prefix at the greatest anchor ts ≤ probe t.

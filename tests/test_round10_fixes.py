@@ -140,6 +140,55 @@ def test_rolling_distinct_halo_equals_window_form(spark, sf_dir):
     assert dist.exceptAll(portable).isEmpty()
 
 
+def test_trailing_distributed_prefix_is_value_identical(spark, sf_dir):
+    """operators/trailing.py distributed_prefix: the collapsed-partial
+    + distributed-cumsum prefix stage must reproduce the window form
+    exactly — the round-9 hand-computed frame (ties, NULL units,
+    all-NULL frames) AND the full sf0.001 events corpus."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.trailing import (
+        trailing_interval_sum,
+    )
+
+    rows = [
+        (1, "k", 0, 5), (2, "k", 10, 7), (3, "k", 11, None),
+        (4, "k", 30, None), (5, "k", 30, None), (6, "z", 5, 3),
+    ]
+    expected = {
+        1: (1, 5), 2: (2, 12), 3: (2, 7),
+        4: (2, None), 5: (2, None), 6: (1, 3),
+    }
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, us long, u long"
+    )
+    got = {
+        r.event_id: (r.n_trailing, r.units_trailing)
+        for r in trailing_interval_sum(
+            df, ["k"], "us", 10, F.col("u"), "event_id",
+            distributed_prefix=True,
+        ).collect()
+    }
+    assert got == expected
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run(**kw):
+        return trailing_interval_sum(
+            events, ["event_type"], "us", 3_600_000_000,
+            F.col("cents"), "event_id", **kw,
+        ).select("event_id", "n_trailing", "units_trailing")
+
+    default = run()
+    dist = run(distributed_prefix=True)
+    assert default.exceptAll(dist).isEmpty()
+    assert dist.exceptAll(default).isEmpty()
+
+
 def test_rolling_rows_agg_matches_window_form(spark, sf_dir):
     """operators/rolling.py: the general skew-proof ROWS-frame form
     must match the portable window spelling for BOTH an invertible
