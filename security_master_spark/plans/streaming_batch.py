@@ -148,11 +148,16 @@ def t3_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4_dynamic_session_window",
     oracle=f"""
     WITH gapped AS (
+        -- integer-µs boundary math, exactly as t3's oracle (round-10
+        -- fix): EPOCH would compare in double seconds, whose ~2.4e-7 s
+        -- ulp at epoch magnitude can flip an event within ~1 µs of a
+        -- dynamic-gap boundary — the round-11 close of the last
+        -- double-seconds session oracle (operators/trailing.py
+        -- exact-integer-units rule).
         SELECT user_id, ts, value,
-               EPOCH(ts) + CASE WHEN event_type = 'purchase'
-                                THEN 3600 ELSE 1800 END AS end_s,
-               MAX(EPOCH(ts) + CASE WHEN event_type = 'purchase'
-                                    THEN 3600 ELSE 1800 END) OVER (
+               MAX(EPOCH_US(ts) + CASE WHEN event_type = 'purchase'
+                                       THEN 3600000000
+                                       ELSE 1800000000 END) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS prev_max_end
@@ -160,13 +165,17 @@ def t3_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), marked AS (
         SELECT user_id, ts, value,
                CASE WHEN prev_max_end IS NULL
-                         OR EPOCH(ts) >= prev_max_end
+                         OR EPOCH_US(ts) >= prev_max_end
                     THEN 1 ELSE 0 END AS new_session
         FROM gapped
     ), sessions AS (
+        -- new_session DESC tiebreak (t3's equal-ts rule): a tied
+        -- opener must precede its same-ts peers in the cumsum, else
+        -- an engine-arbitrary intra-ts order can strand a peer in the
+        -- PREVIOUS session even though its opener's interval covers it
         SELECT user_id, ts, value,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, new_session DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS session_id
         FROM marked
@@ -193,7 +202,11 @@ def t4_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff ts ≥ the running MAX window end over all earlier session rows
     — NOT iff the gap to the previous ROW is exceeded. With mixed
     gaps a long-gap event can bridge over a short-gap successor, and
-    two rows at sf0.01 did exactly that."""
+    two rows at sf0.01 did exactly that. Round 11: the oracle's
+    boundary math moved from double-second EPOCH to integer-µs
+    EPOCH_US (+3_600_000_000 / +1_800_000_000), and its session cumsum
+    gained t3's ``new_session DESC`` equal-ts tiebreak — the last
+    session oracle carrying either hazard."""
     events = load_table(spark, sf_dir, "events")
     gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
         F.lit("30 minutes")
