@@ -65,6 +65,7 @@ def _distributed_rank(
     keys: list[str],
     order_cols: Sequence[str | Column],
     n_ranges: int | None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-key dense row positions with NO serial pass: range-partition
     by (keys, order), count rows per (range, key) — a tiny table —
@@ -77,8 +78,15 @@ def _distributed_rank(
     ``repartitionByRange`` re-samples split points per job, so the
     offsets computed in action 1 must describe the SAME placement the
     final action reads (the operators/ewma.py segmented-scan lesson —
-    caught as a real sf0.01 mismatch in round 5). Caller owns the
-    returned frame's lifetime; blocks free with it.
+    caught as a real sf0.01 mismatch in round 5). The persist is
+    load-bearing and Spark's CacheManager holds cached plans until
+    EXPLICIT ``unpersist()`` — GC does NOT free them, so without a
+    release the blocks pin MEMORY_AND_DISK for the whole session.
+    Pass ``cache_registry`` (any list): the persisted frame is
+    appended to it, and the caller unpersists each entry once the
+    result is fully consumed. Without one, long-lived sessions
+    composing these operators in a loop must fall back to
+    ``spark.catalog.clearCache()``.
     """
     n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     p = (
@@ -86,6 +94,8 @@ def _distributed_rank(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(p)
     counts = p.groupBy("_pid", *keys).agg(F.count("*").alias("_c"))
     off_w = (
         Window.partitionBy(*keys)
@@ -112,19 +122,26 @@ def distributed_row_number(
     order_cols: Sequence[str | Column],
     out_col: str = "row_num",
     n_ranges: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Public spelling of :func:`_distributed_rank`: gap-free 1-based
     per-key row positions by ``order_cols`` — ``row_number() OVER
     (PARTITION BY keys ORDER BY ...)`` without its one-sort-task-per-
     key ceiling. Same contract: ``order_cols`` must totally order each
     key group (ties would make positions partition-dependent), and the
-    result embeds a bounded ``persist()`` (range placement must be
-    identical between the internal counts action and the caller's
-    action — repartitionByRange re-samples per job otherwise; blocks
-    free with the returned frame). Sequence ids, pagination cursors,
-    gap-free ranks over skewed keys — anywhere the window form's
-    straggler task is the bottleneck."""
-    out = _distributed_rank(df, list(part_keys), order_cols, n_ranges)
+    result embeds a load-bearing ``persist()`` (range placement must
+    be identical between the internal counts action and the caller's
+    action — repartitionByRange re-samples per job otherwise). The
+    CacheManager holds that persist until explicit ``unpersist()`` —
+    pass ``cache_registry`` to receive the persisted frame and release
+    it after the result is consumed (see :func:`_distributed_rank`).
+    Sequence ids, pagination cursors, gap-free ranks over skewed
+    keys — anywhere the window form's straggler task is the
+    bottleneck."""
+    out = _distributed_rank(
+        df, list(part_keys), order_cols, n_ranges,
+        cache_registry=cache_registry,
+    )
     return out.withColumnRenamed("_rn", out_col)
 
 
@@ -134,6 +151,7 @@ def distributed_cumsum(
     order_cols: Sequence[str | Column],
     value_cols: dict[str, str],
     n_ranges: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-key running totals — ``SUM(v) OVER (PARTITION BY keys
     ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — without the window
@@ -154,9 +172,18 @@ def distributed_cumsum(
     ``order_cols`` must totally order each key group: with a total
     order Spark's default RANGE-to-current cumulative frame equals
     the ROWS frame computed here, and placement ties cannot straddle
-    a range boundary. The result embeds a bounded ``persist()`` (the
-    repartitionByRange re-sampling hazard — see
-    :func:`_distributed_rank`); blocks free with the returned frame.
+    a range boundary. The result embeds a load-bearing ``persist()``
+    (the repartitionByRange re-sampling hazard — see
+    :func:`_distributed_rank`), which the CacheManager holds until
+    explicit ``unpersist()``; pass ``cache_registry`` to receive the
+    persisted frame and release it after consumption.
+
+    Output names in ``value_cols`` may overwrite their own source
+    column in place (``{"v": "v"}``); every output is computed from
+    the PRE-overwrite inputs in one ``select``, so
+    ``{"v": "v", "v2": "v"}`` reads the original ``v`` for both.
+    Names colliding with the operator's internal scratch columns
+    raise ``ValueError``.
 
     Skew-path consumer note: trailing_interval_sum's cum-prefix stage
     (operators/trailing.py) is this exact computation per (key, ts) —
@@ -164,12 +191,23 @@ def distributed_cumsum(
     staged as a round-11 candidate (PLANS.md round-10 halo study).
     """
     keys = list(part_keys)
+    reserved = {"_pid"} | {
+        f"_{p}_{o}" for o in value_cols for p in ("ps", "pc", "os", "oc")
+    }
+    bad = sorted(set(value_cols) & reserved)
+    if bad:
+        raise ValueError(
+            f"value_cols output names collide with internal scratch "
+            f"columns: {bad}"
+        )
     n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     p = (
         df.repartitionByRange(n, *keys, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(p)
     partial_aggs = []
     for out, src in value_cols.items():
         partial_aggs.append(F.sum(src).alias(f"_ps_{out}"))
@@ -196,21 +234,30 @@ def distributed_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out_df = _nullsafe_attach(p, offsets, ["_pid", *keys])
-    drop = ["_pid"]
-    for out, src in value_cols.items():
+    attached = _nullsafe_attach(p, offsets, ["_pid", *keys])
+
+    def _cum(out: str, src: str) -> Column:
         ls = F.sum(src).over(local_w)
         lc = F.count(src).over(local_w)
-        out_df = out_df.withColumn(
-            out,
-            F.when(
-                lc + F.col(f"_oc_{out}") > 0,
-                F.coalesce(ls, F.lit(0))
-                + F.coalesce(F.col(f"_os_{out}"), F.lit(0)),
-            ),
-        )
-        drop += [f"_os_{out}", f"_oc_{out}"]
-    return out_df.drop(*drop)
+        return F.when(
+            lc + F.col(f"_oc_{out}") > 0,
+            F.coalesce(ls, F.lit(0))
+            + F.coalesce(F.col(f"_os_{out}"), F.lit(0)),
+        ).alias(out)
+
+    # ONE select, every output computed from the pre-overwrite inputs:
+    # sequential withColumn would let a later entry read an earlier
+    # entry's already-overwritten output when names collide
+    # (e.g. {"v": "v", "v2": "v"}) — silently wrong running totals.
+    exprs: list[Column] = []
+    for c in attached.columns:
+        if c in reserved:
+            continue
+        exprs.append(_cum(c, value_cols[c]) if c in value_cols else F.col(c))
+    exprs.extend(
+        _cum(o, s) for o, s in value_cols.items() if o not in attached.columns
+    )
+    return attached.select(*exprs)
 
 
 def rolling_rows_agg(
@@ -222,6 +269,7 @@ def rolling_rows_agg(
     bucket_rows: int = 65_536,
     distributed_rank: bool = True,
     n_ranges: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Skew-proof trailing ROWS-frame aggregation: for each row,
     evaluate every entry of ``aggs`` over the trailing ``frame_rows``
@@ -262,7 +310,10 @@ def rolling_rows_agg(
 
     ``distributed_rank`` (default True): row positions come from
     :func:`_distributed_rank` — range-partition + offset prefix-sum,
-    fully parallel in ranges, one extra shuffle + a bounded persist.
+    fully parallel in ranges, one extra shuffle + a load-bearing
+    persist the CacheManager holds until explicit ``unpersist()``
+    (pass ``cache_registry`` to receive and release it — see
+    :func:`_distributed_rank`).
     Measured at the 6M-tick corpus (PLANS.md round-10 halo study):
     **2.0× faster than the portable window form on balanced keys,
     7.8× on a 96%-one-key corpus — and flat across the two (6.2 vs
@@ -288,7 +339,9 @@ def rolling_rows_agg(
     halo = frame_rows - 1
 
     if distributed_rank:
-        base = _distributed_rank(df, keys, order_cols, n_ranges)
+        base = _distributed_rank(
+            df, keys, order_cols, n_ranges, cache_registry=cache_registry
+        )
     else:
         rn_w = Window.partitionBy(*keys).orderBy(*order_cols)
         base = df.withColumn("_rn", F.row_number().over(rn_w))
@@ -329,6 +382,7 @@ def rolling_distinct_count(
     bucket_rows: int = 65_536,
     distributed_rank: bool = True,
     n_ranges: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per row: COUNT(DISTINCT ``value_col``) over the trailing
     ``frame_rows``-row frame — :func:`rolling_rows_agg` specialized to
@@ -351,4 +405,5 @@ def rolling_distinct_count(
         bucket_rows=bucket_rows,
         distributed_rank=distributed_rank,
         n_ranges=n_ranges,
+        cache_registry=cache_registry,
     )

@@ -140,7 +140,9 @@ def main(out: str = "/tmp/advfix") -> None:
     # (epoch_us ++ id) total-order key silently mis-orders pre-epoch
     # timestamps and ids ≥ 10^12 — assert the fixture stays in-domain
     # so every arg-by oracle comparison downstream is meaningful.
-    assert ts_us.min() >= 0 and 0 < eid.min() and eid.max() < 10**12
+    # eid.min() >= 0, not > 0: the tick_order_key contract and the
+    # tick_order_domain_violations guard accept 0 <= id < 10^12
+    assert ts_us.min() >= 0 and 0 <= eid.min() and eid.max() < 10**12
     w("events", {"event_id": eid, "ts": ts, "user_id": uid,
                  "event_type": [["click", "view", "purchase", "error",
                                  "login"][i % 5] for i in range(n_ev)],

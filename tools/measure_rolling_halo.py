@@ -63,9 +63,15 @@ def main(reps: int = 3) -> None:
         )
 
     def halo(src):
+        # distributed_rank=False EXPLICITLY: the default flipped to
+        # True in round 10, which silently made this arm identical to
+        # halo_dist_rank — this arm must measure the serial-rank
+        # bucketed configuration (the negative result recorded in
+        # PLANS.md: bucketing alone is a net LOSS both ways).
         return rolling_distinct_count(
             src, ["event_type"], ["ts", "event_id"], "user_id",
             frame_rows=100, out_col="rolling_users",
+            distributed_rank=False,
         ).select("event_type", "event_id", "rolling_users")
 
     def halo_dist(src):
