@@ -180,3 +180,139 @@ def asof_join_bucketed(
         tiebreak=tiebreak,
     )
     return out.drop("__b")
+
+
+def asof_carry_bucketed(
+    probes: DataFrame,
+    anchors: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    value_cols: Sequence[str],
+    bucket_width: int,
+) -> DataFrame:
+    """EXACT backward as-of carry, parallel in (key, time-bucket): for
+    each probe row, attach — per column of ``value_cols``,
+    independently — the LAST NON-NULL anchor value at ``anchor.ts <=
+    probe.ts`` within the probe's ``on`` key group (anchors at exactly
+    the probe ``ts`` included). Matches ``last(v, ignorenulls=True)
+    OVER (PARTITION BY on ORDER BY ts, is_anchor DESC ROWS UNBOUNDED
+    PRECEDING)`` over the anchor∪probe union — the serial
+    union-and-carry merge — for ANY null pattern, with no
+    one-task-per-key ceiling and, unlike :func:`asof_join_bucketed`,
+    no lost matches when anchor gaps exceed the bucket width.
+
+    Decomposition (each piece reconstructs "last non-null", which
+    composes associatively per column):
+
+    1. WITHIN-BUCKET: union anchors and probes inside each (key,
+       ``floor(ts / bucket_width)``) bucket and run the carry window
+       there — parallel in O(keys × buckets) tasks.
+    2. CROSS-BUCKET: collapse anchors to one row per (key, bucket)
+       holding each column's last non-null value, then carry those
+       summaries key-serially — over the COLLAPSED table, so the
+       serial pass is O(active buckets), not O(rows) — excluding the
+       probe's own bucket (step 1 owns it).
+    3. Per column: ``coalesce(within_bucket, cross_bucket)``.
+
+    Contracts: ``ts`` is exact-integer (µs — double bucket math at
+    epoch magnitude is the t3/t4 oracle hazard) and NON-NULL on both
+    sides; anchors are unique per (key, ``ts``) (the standard as-of
+    contract — duplicate anchors make "the last anchor" engine-
+    arbitrary). NULL values in ``on`` keys are first-class groups
+    (null-safe joins throughout — the round-10 ``_nullsafe_attach``
+    lesson). The cross-bucket carry table is broadcast back onto the
+    probes: it holds one row per distinct probe (key, bucket), so pick
+    ``bucket_width`` such that keys × span/bucket_width stays
+    driver-broadcastable (the natural choice — the caller's lookback
+    interval — gives span/lookback buckets).
+
+    Returns ``probes``' columns plus one carried column per
+    ``value_cols`` entry (NULL when no qualifying anchor exists).
+
+    Scale rationale (round-11, PLANS.md): this is the carry half of
+    trailing_interval_sum's distributed path — the cum-prefix half
+    parallelized in round 10 (distributed_cumsum), after which the
+    serial per-key carry window capped the gain at Amdahl's bound
+    (measured 1.34× one-key / 0.84× balanced). With the carry also
+    bucket-parallel, no per-key serial pass over O(rows) remains.
+    """
+    from security_master_spark.operators.rolling import _nullsafe_attach
+
+    on = list(on)
+    vals = list(value_cols)
+    bw = F.lit(int(bucket_width))
+    # integer floor-division bucket id (pmod is non-negative, so the
+    # subtraction lands exactly on a bucket multiple; the final divide
+    # is exact in double because the quotient is small)
+    bkt = ((F.col(ts) - F.pmod(F.col(ts), bw)) / bw).cast("long")
+
+    a = anchors.select(*on, ts, *vals).withColumn("_bkt", bkt)
+    p = probes.withColumn("_bkt", bkt)
+    extras = [c for c in probes.columns if c not in {*on, ts}]
+    vtype = {v: a.schema[v].dataType for v in vals}
+
+    a_u = a.select(
+        *on, ts, "_bkt", F.lit(1).alias("_is_a"), *vals,
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c)
+          for c in extras],
+    )
+    p_u = p.select(
+        *on, ts, "_bkt", F.lit(0).alias("_is_a"),
+        *[F.lit(None).cast(vtype[v]).alias(v) for v in vals],
+        *extras,
+    )
+    w_in = (
+        Window.partitionBy(*on, "_bkt")
+        .orderBy(F.col(ts).asc(), F.col("_is_a").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        a_u.unionByName(p_u)
+        .select(
+            *on, ts, "_bkt", "_is_a", *extras,
+            *[F.last(v, ignorenulls=True).over(w_in).alias(f"_in_{v}")
+              for v in vals],
+        )
+        .filter(F.col("_is_a") == 0)
+        .drop("_is_a")
+    )
+
+    # one row per (key, anchor bucket): each column's last non-null
+    summ = a.groupBy(*on, "_bkt").agg(
+        *[
+            F.max_by(v, F.when(F.col(v).isNotNull(), F.col(ts))).alias(v)
+            for v in vals
+        ]
+    )
+    pb = p.select(*on, "_bkt").distinct()
+    s_u = summ.select(*on, "_bkt", F.lit(1).alias("_is_a"), *vals)
+    pb_u = pb.select(
+        *on, "_bkt", F.lit(0).alias("_is_a"),
+        *[F.lit(None).cast(vtype[v]).alias(v) for v in vals],
+    )
+    # probes sort BEFORE summaries at equal bucket (_is_a ASC): the
+    # probe's own bucket is excluded here — step 1 owns it
+    w_x = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_bkt").asc(), F.col("_is_a").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cross = (
+        s_u.unionByName(pb_u)
+        .select(
+            *on, "_bkt", "_is_a",
+            *[F.last(v, ignorenulls=True).over(w_x).alias(f"_x_{v}")
+              for v in vals],
+        )
+        .filter(F.col("_is_a") == 0)
+        .drop("_is_a")
+    )
+
+    out = _nullsafe_attach(filled, cross, [*on, "_bkt"])
+    return out.select(
+        *on, ts, *extras,
+        *[
+            F.coalesce(F.col(f"_in_{v}"), F.col(f"_x_{v}")).alias(v)
+            for v in vals
+        ],
+    )

@@ -30,14 +30,16 @@ cannot difference prefixes — for those the halo-bucket rewrite
 emit home rows) remains the right tool, now generalized in
 operators/rolling.py:rolling_rows_agg (ROWS frames, skew-proof).
 
-Parallelism note (round 10): the three window passes here are
+Parallelism note: the window passes on the DEFAULT path are
 key-partitioned — one task per key value, which serializes under a
-dominant key. The cum-prefix stage is exactly
-operators/rolling.py:distributed_cumsum (measured 2.7× on a
-one-key 6M corpus, and strictly serial vs parallel beyond that);
-wiring it through (plus a bucketed as-of for the carry stage) is the
-staged round-11 skew path — not rewired this round to avoid
-re-certifying w11 late in the window (PLANS.md round-10 halo study).
+dominant key. ``distributed_prefix=True`` (round 10 for the
+cum-prefix via operators/rolling.py:distributed_cumsum, round 11 for
+the boundary carry via operators/asof.py:asof_carry_bucketed) removes
+every per-key serial pass over O(rows); the only key-serial work left
+is the cross-bucket summary carry over O(active buckets) rows.
+Measured numbers live in PLANS.md (round-10 halo study; round-11
+carry study). The default stays False so the certified w11 plan is
+byte-for-byte unchanged.
 """
 
 from __future__ import annotations
@@ -59,6 +61,8 @@ def trailing_interval_sum(
     out_units: str = "units_trailing",
     scratch_path: str | None = None,
     distributed_prefix: bool = False,
+    carry_bucket_us: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per row: COUNT(*) and SUM(units) over the trailing closed
     interval ``[ts − lookback_us, ts]`` within the row's key group,
@@ -83,13 +87,17 @@ def trailing_interval_sum(
     ``out_units`` (long, NULL when the frame has no non-null units).
 
     ``scratch_path``: optional parquet path (lake-backed at cluster
-    scale — the plans/io_scratch.py root) to which the cum-prefix
-    frame is materialized ONCE. The prefix window feeds two consumers
-    (the anchor table and the final re-attach) and Spark plans no
-    ReusedExchange across the subtrees, so by default it evaluates
-    twice — a 2× constant on the O(n) pass. Opting in trades one
-    parquet write+read of O(n) narrow rows for that recompute; worth
-    it whenever the input plan upstream of the window is itself
+    scale — the plans/io_scratch.py root) to which the prefix stage's
+    shared frame is materialized ONCE — the per-row cum-prefix frame
+    on the default path, the per-(key, ts) ANCHOR frame under
+    ``distributed_prefix`` (there the anchor subtree is the expensive
+    shared input: both the per-row re-attach and the carry stage
+    derive from the re-read, closing the round-10 gap where only the
+    re-attach side was covered). The shared subtree feeds two
+    consumers and Spark plans no ReusedExchange across them, so by
+    default it evaluates twice — a 2× constant on the O(n) pass.
+    Opting in trades one parquet write+read of narrow rows for that
+    recompute; worth it whenever the input plan upstream is itself
     expensive or the corpus is dense (measured at the 6M-tick stress
     corpus in PLANS.md). ``persist()`` is deliberately NOT the
     mechanism: InMemoryRelation drops size stats and downstream
@@ -105,18 +113,32 @@ def trailing_interval_sum(
     the first result. Namespace per call (uuid/monotonic suffix under
     a scratch root) when calling in a loop.
 
-    ``distributed_prefix`` (opt-in, round 10): compute the cum-prefix
-    stage without the per-key serial window — collapse to per-(key,
-    ts) partials, run them through
-    operators/rolling.py:distributed_cumsum, and re-attach per row by
-    null-safe (key, ts) equi-join. Value-identical by test. Measured
-    at the 6M-tick corpus (PLANS.md): **1.34× on a ONE-key corpus,
-    0.84× on 5 balanced keys** — opt in only under dominant-key skew.
-    The partial win is Amdahl: the carry pass stays per-key (cheap
-    last-non-null arithmetic, but serial), so once the prefix pass
-    parallelizes it becomes the bottleneck; the staged round-11
-    bucketed-as-of carry is where the rest lives. Default stays False
-    so the certified w11 plan is byte-for-byte unchanged this round.
+    ``distributed_prefix`` (opt-in, round 10; carry parallelized
+    round 11): compute BOTH skew-sensitive stages without a per-key
+    serial pass over O(rows) —
+
+    - cum-prefix: collapse to per-(key, ts) partials, run them through
+      operators/rolling.py:distributed_cumsum (range-partition +
+      offset prefix-sum), re-attach per row by null-safe (key, ts)
+      equi-join;
+    - boundary carry: operators/asof.py:asof_carry_bucketed — the
+      union-and-carry merge decomposed into within-(key, time-bucket)
+      windows plus a cross-bucket carry over a COLLAPSED per-bucket
+      summary table (the only remaining key-serial pass, O(active
+      buckets) rows). ``carry_bucket_us`` sets the bucket width;
+      default ``lookback_us`` (span/lookback buckets per key).
+
+    Value-identical to the default path by test (equal-ts ties, NULL
+    units, NULL keys). Round-10 prefix-only form measured 1.34× on a
+    ONE-key corpus but 0.84× on balanced keys (the serial carry was
+    the Amdahl cap); round-11 numbers for the full form are in
+    PLANS.md. Default stays False: the certified w11 plan is
+    byte-for-byte unchanged unless the caller opts in.
+
+    ``cache_registry``: distributed_cumsum embeds a load-bearing
+    ``persist()`` the CacheManager holds until explicit unpersist —
+    pass a list to receive it for release after consumption
+    (operators/rolling.py contract).
     """
     keys = list(keys)
     base = df.select(
@@ -143,6 +165,7 @@ def trailing_interval_sum(
             keys,
             ["_us"],
             {"_an": "_tc", "_au": "_tu", "_ann": "_tcn"},
+            cache_registry=cache_registry,
         ).select(*keys, "_us", "_an", "_au", "_ann")
         # counts are never NULL (count ≥ 1 per collapsed row), but the
         # cumsum leaves them nullable; normalize to the window form's
@@ -154,6 +177,13 @@ def trailing_interval_sum(
             "_au",
             F.coalesce("_ann", F.lit(0)).alias("_ann"),
         )
+        # Scratch covers the SHARED subtree: anchors feed both the
+        # per-row re-attach below and the carry stage — materializing
+        # the joined per-row frame instead (the round-10 form) left
+        # the carry recomputing the whole anchor plan.
+        if scratch_path is not None:
+            anchors.write.mode("overwrite").parquet(scratch_path)
+            anchors = df.sparkSession.read.parquet(scratch_path)
         a_small = anchors.withColumnRenamed("_us", "_a_us")
         for k in keys:
             a_small = a_small.withColumnRenamed(k, f"_a_{k}")
@@ -171,9 +201,6 @@ def trailing_interval_sum(
                 F.col("_ann").alias("_cnn"),
             )
         )
-        if scratch_path is not None:
-            cur.write.mode("overwrite").parquet(scratch_path)
-            cur = df.sparkSession.read.parquet(scratch_path)
     else:
         w_cum = (
             Window.partitionBy(*keys)
@@ -214,41 +241,72 @@ def trailing_interval_sum(
     # O(n) pass, measured fine at 10× density; `scratch_path`
     # materializes `cur` once instead (PLANS.md g6 rule; see the
     # docstring for why persist() is not the mechanism).
-    probes = base.select(
-        F.col(row_id).alias("_rid"),
-        *keys,
-        (F.col("_us") - F.lit(lookback_us + 1)).alias("_t"),
-        F.lit(0).alias("_is_a"),
-        F.lit(None).cast("long").alias("_an"),
-        F.lit(None).cast("long").alias("_au"),
-        F.lit(None).cast("long").alias("_ann"),
-    )
-    a_t = anchors.select(
-        F.lit(None).cast(cur.schema[row_id].dataType).alias("_rid"),
-        *keys,
-        F.col("_us").alias("_t"),
-        F.lit(1).alias("_is_a"),
-        "_an",
-        "_au",
-        "_ann",
-    )
-    w_carry = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_is_a").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    bnd = (
-        a_t.unionByName(probes)
-        .select(
-            "_rid",
-            "_is_a",
-            F.last("_an", ignorenulls=True).over(w_carry).alias("_bn"),
-            F.last("_au", ignorenulls=True).over(w_carry).alias("_bu"),
-            F.last("_ann", ignorenulls=True).over(w_carry).alias("_bnn"),
+    if distributed_prefix:
+        # Round-11 carry: same union-and-carry semantics, decomposed
+        # into (key, time-bucket) windows + a collapsed cross-bucket
+        # summary carry — no per-key serial pass over O(rows) remains
+        # on this path (operators/asof.py:asof_carry_bucketed).
+        from security_master_spark.operators.asof import (
+            asof_carry_bucketed,
         )
-        .filter(F.col("_is_a") == 0)
-        .select("_rid", "_bn", "_bu", "_bnn")
-    )
+
+        probes = base.select(
+            F.col(row_id).alias("_rid"),
+            *keys,
+            (F.col("_us") - F.lit(lookback_us + 1)).alias("_t"),
+        )
+        a_t = anchors.select(
+            *keys, F.col("_us").alias("_t"), "_an", "_au", "_ann"
+        )
+        bnd = asof_carry_bucketed(
+            probes,
+            a_t,
+            keys,
+            "_t",
+            ["_an", "_au", "_ann"],
+            carry_bucket_us or max(lookback_us, 1),
+        ).select(
+            "_rid",
+            F.col("_an").alias("_bn"),
+            F.col("_au").alias("_bu"),
+            F.col("_ann").alias("_bnn"),
+        )
+    else:
+        probes = base.select(
+            F.col(row_id).alias("_rid"),
+            *keys,
+            (F.col("_us") - F.lit(lookback_us + 1)).alias("_t"),
+            F.lit(0).alias("_is_a"),
+            F.lit(None).cast("long").alias("_an"),
+            F.lit(None).cast("long").alias("_au"),
+            F.lit(None).cast("long").alias("_ann"),
+        )
+        a_t = anchors.select(
+            F.lit(None).cast(cur.schema[row_id].dataType).alias("_rid"),
+            *keys,
+            F.col("_us").alias("_t"),
+            F.lit(1).alias("_is_a"),
+            "_an",
+            "_au",
+            "_ann",
+        )
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").asc(), F.col("_is_a").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        bnd = (
+            a_t.unionByName(probes)
+            .select(
+                "_rid",
+                "_is_a",
+                F.last("_an", ignorenulls=True).over(w_carry).alias("_bn"),
+                F.last("_au", ignorenulls=True).over(w_carry).alias("_bu"),
+                F.last("_ann", ignorenulls=True).over(w_carry).alias("_bnn"),
+            )
+            .filter(F.col("_is_a") == 0)
+            .select("_rid", "_bn", "_bu", "_bnn")
+        )
     out = cur.join(bnd, cur[row_id] == bnd["_rid"], "inner")
     nn_frame = F.col("_cnn") - F.coalesce(F.col("_bnn"), F.lit(0))
     return out.select(

@@ -109,3 +109,136 @@ def test_cache_registry_threads_through_distributed_row_number(spark):
     assert len(reg) == 1 and reg[0].is_cached
     reg[0].unpersist(blocking=True)
     assert not reg[0].is_cached
+
+
+# ---------------------------------------------------------------------------
+# round-11: bucket-parallel as-of carry (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+def _carry_reference(anchors, probes):
+    """anchors: [(k, t, a, b)] unique (k, t); probes: [(rid, k, t)].
+    Per column independently: last non-null anchor value at ts <= t."""
+    out = {}
+    for rid, k, t in probes:
+        best_a = best_b = None
+        for ak, at, av, bv in sorted(
+            anchors, key=lambda r: r[1]
+        ):
+            if ak == k and at <= t:
+                if av is not None:
+                    best_a = av
+                if bv is not None:
+                    best_b = bv
+        out[rid] = (best_a, best_b)
+    return out
+
+
+def test_asof_carry_bucketed_matches_reference(spark):
+    from security_master_spark.operators.asof import asof_carry_bucketed
+
+    # hostile shapes: equal-ts anchor/probe ties, all-NULL columns,
+    # NULL partition key, bucket-boundary timestamps, empty-key side,
+    # probes far before any anchor
+    anchors = [
+        ("k", 0, 10, None), ("k", 7, None, 70), ("k", 10, 11, None),
+        ("k", 25, None, None), ("z", 5, 1, 2), (None, 3, 9, 9),
+    ]
+    probes = [
+        (1, "k", -5), (2, "k", 0), (3, "k", 7), (4, "k", 9),
+        (5, "k", 10), (6, "k", 24), (7, "k", 26), (8, "k", 1000),
+        (9, "z", 4), (10, "z", 5), (11, None, 2), (12, None, 3),
+        (13, "missing", 50),
+    ]
+    ref = _carry_reference(anchors, probes)
+    a_df = spark.createDataFrame(anchors, "k string, t long, a long, b long")
+    p_df = spark.createDataFrame(probes, "rid long, k string, t long")
+    for bw in (1, 3, 10, 1000):
+        got = {
+            r.rid: (r.a, r.b)
+            for r in asof_carry_bucketed(
+                p_df, a_df, ["k"], "t", ["a", "b"], bw
+            ).collect()
+        }
+        assert got == ref, f"bucket_width={bw}: {got} != {ref}"
+    # column order / passthrough contract: probes' extra cols survive
+    out = asof_carry_bucketed(p_df, a_df, ["k"], "t", ["a"], 10)
+    assert {"rid", "k", "t", "a"} <= set(out.columns)
+
+
+def test_asof_carry_bucketed_randomized_vs_reference(spark):
+    import random
+
+    from security_master_spark.operators.asof import asof_carry_bucketed
+
+    rng = random.Random(1107)
+    for trial in range(4):
+        keys = ["a", "b", None]
+        seen = set()
+        anchors = []
+        for _ in range(40):
+            k = rng.choice(keys)
+            t = rng.randrange(-50, 200)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            anchors.append((
+                k, t,
+                rng.choice([None, rng.randrange(100)]),
+                rng.choice([None, rng.randrange(100)]),
+            ))
+        probes = [
+            (i, rng.choice(keys), rng.randrange(-60, 220))
+            for i in range(60)
+        ]
+        ref = _carry_reference(anchors, probes)
+        a_df = spark.createDataFrame(
+            anchors, "k string, t long, a long, b long"
+        )
+        p_df = spark.createDataFrame(probes, "rid long, k string, t long")
+        bw = rng.choice([1, 7, 64, 500])
+        got = {
+            r.rid: (r.a, r.b)
+            for r in asof_carry_bucketed(
+                p_df, a_df, ["k"], "t", ["a", "b"], bw
+            ).collect()
+        }
+        assert got == ref, f"trial={trial} bucket_width={bw}"
+
+
+def test_trailing_distributed_prefix_scratch_covers_both_subtrees(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 ADVICE: under distributed_prefix, scratch_path now
+    materializes the ANCHOR frame — the subtree shared by the per-row
+    re-attach AND the carry — and the result stays value-identical to
+    the default path."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.trailing import (
+        trailing_interval_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run(**kw):
+        return trailing_interval_sum(
+            events, ["event_type"], "us", 3_600_000_000,
+            F.col("cents"), "event_id", **kw,
+        ).select("event_id", "n_trailing", "units_trailing")
+
+    default = run()
+    reg: list = []
+    dist = run(
+        distributed_prefix=True,
+        scratch_path=str(tmp_path / "anchors"),
+        cache_registry=reg,
+    )
+    assert default.exceptAll(dist).isEmpty()
+    assert dist.exceptAll(default).isEmpty()
+    # the registry hands back distributed_cumsum's load-bearing persist
+    assert len(reg) == 1 and reg[0].is_cached
+    reg[0].unpersist(blocking=True)
