@@ -66,6 +66,7 @@ def _distributed_rank(
     order_cols: Sequence[str | Column],
     n_ranges: int | None,
     cache_registry: list[DataFrame] | None = None,
+    counts_col: str | None = None,
 ) -> DataFrame:
     """Per-key dense row positions with NO serial pass: range-partition
     by (keys, order), count rows per (range, key) — a tiny table —
@@ -109,11 +110,21 @@ def _distributed_rank(
     )
     local_w = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
     ranked = p.withColumn("_lrn", F.row_number().over(local_w))
-    return (
+    out = (
         _nullsafe_attach(ranked, offsets, ["_pid", *keys])
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
         .drop("_pid", "_lrn", "_off")
     )
+    if counts_col is not None:
+        # per-key TOTAL row counts, rolled up from the per-(range, key)
+        # counts table already in hand — a consumer needing n alongside
+        # rn (``count(*) OVER (PARTITION BY key)``) would otherwise
+        # re-scan the input with a second aggregate + second join
+        totals = counts.groupBy(*keys).agg(
+            F.sum("_c").alias(counts_col)
+        )
+        out = _nullsafe_attach(out, totals, keys)
+    return out
 
 
 def distributed_row_number(
@@ -123,6 +134,7 @@ def distributed_row_number(
     out_col: str = "row_num",
     n_ranges: int | None = None,
     cache_registry: list[DataFrame] | None = None,
+    counts_col: str | None = None,
 ) -> DataFrame:
     """Public spelling of :func:`_distributed_rank`: gap-free 1-based
     per-key row positions by ``order_cols`` — ``row_number() OVER
@@ -137,10 +149,16 @@ def distributed_row_number(
     it after the result is consumed (see :func:`_distributed_rank`).
     Sequence ids, pagination cursors, gap-free ranks over skewed
     keys — anywhere the window form's straggler task is the
-    bottleneck."""
+    bottleneck.
+
+    ``counts_col``: when set, also attach each key group's TOTAL row
+    count under that name — ``count(*) OVER (PARTITION BY keys)``
+    without its own one-task-per-key window, rolled up from the
+    per-(range, key) counts table the rank already computes (zero
+    extra input scans; the d39 rank+tail consumer pattern)."""
     out = _distributed_rank(
         df, list(part_keys), order_cols, n_ranges,
-        cache_registry=cache_registry,
+        cache_registry=cache_registry, counts_col=counts_col,
     )
     return out.withColumnRenamed("_rn", out_col)
 

@@ -55,16 +55,38 @@ def d39_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines, while the rank boundary is exact on both. One
     shuffle on the segment key for the window, reused by the final
     aggregate (same key); the customer dim broadcasts into the fact
-    scan. At 100 TB the per-segment sort is the honest cost of an
-    exact tail — the sketch path for screening is a13's t-digest, and
-    since r10 the RANK half of that cost has an exact parallel
-    spelling too (operators/rolling.py distributed_row_number: no
-    one-task-per-segment sort); the exact interpolated percentile
-    remains the serial half, which is why the sketch stays the
-    screening recommendation."""
+    scan.
+
+    Plan decision (round 11, measured — tools/measure_d39_rank.py):
+    the round-10 verdict named this query as the registry consumer
+    for operators/rolling.py:distributed_row_number. The swap was
+    built, hash-certified green against this unchanged oracle, and
+    A/B-measured: **0.49× at sf0.1** (0.87 → 1.77 s — the rank's
+    load-bearing persist + extra exchanges are fixed overhead that
+    dominates at 150k rows) vs **1.39× at a 10×-replicated 96%-
+    one-segment corpus** (3.77 → 2.72 s), so the REGISTERED plan
+    stays the portable window form and the distributed plan ships as
+    :func:`d39_var_es_distributed` below — held value-equal by
+    tests/test_round11_fixes.py, the a23/w10-w11 precedent. At 100 TB
+    the per-segment sort is the honest cost of an exact tail; the
+    sketch path for screening is a13's t-digest, and the rank half's
+    exact parallel spelling is one function away when a dominant
+    segment makes the window form straggle."""
+    px = _d39_px(spark, sf_dir)
+    w = Window.partitionBy("segment").orderBy(
+        F.col("price").desc(), F.col("o_orderkey")
+    )
+    wn = Window.partitionBy("segment")
+    px = px.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return _d39_tail_agg(px)
+
+
+def _d39_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    px = (
+    return (
         orders.join(
             F.broadcast(customer.select("c_custkey", "c_mktsegment")),
             orders.o_custkey == F.col("c_custkey"),
@@ -75,13 +97,9 @@ def d39_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
         )
     )
-    w = Window.partitionBy("segment").orderBy(
-        F.col("price").desc(), F.col("o_orderkey")
-    )
-    wn = Window.partitionBy("segment")
-    px = px.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(wn)
-    )
+
+
+def _d39_tail_agg(px: DataFrame) -> DataFrame:
     in_tail = F.col("rn") <= F.ceil(0.05 * F.col("n")).cast("bigint")
     return px.groupBy("segment").agg(
         F.max("n").cast("bigint").alias("n_orders"),
@@ -89,6 +107,34 @@ def d39_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.avg(F.when(in_tail, F.col("price"))), 4).alias("es95"),
         F.count(F.when(in_tail, 1)).cast("bigint").alias("n_tail"),
     )
+
+
+def d39_var_es_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d39_var_es with the rank half on
+    operators/rolling.py:distributed_row_number — range-partition +
+    offset prefix-sum, parallel in ranges instead of one WindowExec
+    sort task per segment — and the per-segment counts riding along
+    via ``counts_col`` (rolled up from the rank's internal
+    per-(range, key) counts table, broadcast back null-safe: zero
+    extra input scans, no partition-wide count window). NOT in the
+    registry (round-9 freeze; and the measured sf0.1 negative in the
+    d39 docstring keeps the bench on the window form): this is the
+    dominant-segment scale spelling, value-equal to d39_var_es by
+    test and 1.39× faster at the 10×-skew corpus, cluster-size-bound
+    beyond it. Embeds the rank's bounded load-bearing persist (3
+    narrow columns of orders; cache_registry is the release path)."""
+    from security_master_spark.operators.rolling import (
+        distributed_row_number,
+    )
+
+    px = distributed_row_number(
+        _d39_px(spark, sf_dir),
+        ["segment"],
+        [F.col("price").desc(), "o_orderkey"],
+        out_col="rn",
+        counts_col="n",
+    )
+    return _d39_tail_agg(px)
 
 
 @register(

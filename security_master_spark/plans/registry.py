@@ -209,6 +209,82 @@ def _load_all_plan_modules() -> None:
 #: a13 (weak by design; fresh rows-only row); (4) l21 (r02 rows-only,
 #: weak by design). After this window: NO registered query's driver
 #: evidence predates r04, with zero exceptions.
+#: ROUND-11 HEAD PIN (round-10 verdict order #1): evidence-freshness
+#: rotation, third window — the staged plan (48 r04 greens + 2 r05
+#: backfill) with the standing queue-jump rule applied: t4's oracle
+#: moved to integer-µs boundary math + the new_session DESC equal-ts
+#: tiebreak this round (its r07 row certifies the superseded
+#: double-seconds oracle) and displaces one backfill slot. d39 (the
+#: round-10 verdict's order-#4 candidate) does NOT jump: its
+#: registered plan stayed the window form on the measured sf0.1
+#: negative (0.49× — tools/measure_d39_rank.py, PLANS.md round-11);
+#: the distributed spelling ships as the unregistered
+#: d39_var_es_distributed sibling, value-equal by test. So: t4 + 48
+#: r04 greens + d34 (the oldest r05). After this window lands: no
+#: query's driver evidence predates r05 (verify: python
+#: tools/evidence_age.py --check).
+ROUND11_HEAD: tuple[str, ...] = (
+    # (1) queue-jump: t4 stale oracle
+    "t4_dynamic_session_window",
+    # (1b) backfill from the oldest r05 green
+    "d34_intraday_seasonality",
+    # (2) the 48 r04-evidence greens, age order (= registration order
+    # within the round; d25 jumped in round 10 already)
+    "d19_mad_outliers",
+    "l29_unigram_surprisal",
+    "io8_snapshot_diff",
+    "d21_vwap",
+    "d22_bollinger",
+    "d23_macd",
+    "d24_rolling_beta",
+    "l30_decontamination",
+    "l31_chunk_overlap",
+    "l32_source_mix",
+    "d26_cross_sectional_rank",
+    "d27_winsorize",
+    "d28_pairwise_correlation",
+    "l33_bigram_surprisal",
+    "l34_vocab_coverage",
+    "a15_histogram",
+    "a16_mode",
+    "io9_orc_roundtrip",
+    "q1_pricing_summary",
+    "q2_star_join_revenue",
+    "q3_top_orders",
+    "q4_filter_predicates",
+    "q5_left_outer_join",
+    "q6_semi_join",
+    "q7_anti_join",
+    "q8_set_ops",
+    "q9_scalar_subquery",
+    "q10_groupby_having",
+    "q11_correlated_exists",
+    "q12_in_subquery",
+    "q13_lateral_topn",
+    "q14_cross_join",
+    "q15_pagination",
+    "w1_ranking_functions",
+    "w2_lag_lead",
+    "w3_moving_average",
+    "w4_range_frame",
+    "w5_topk_per_group",
+    "w6_global_topk",
+    "u1_python_scalar_udf",
+    "u2_pandas_scalar_udf",
+    "u3_grouped_agg_udaf",
+    "u4_apply_in_pandas",
+    "u5_map_in_pandas",
+    "u6_udtf_lateral",
+    "m1_multimodal_features",
+    "m2_frame_sample",
+    "m3_embedding_batch_score",
+)
+
+
+#: Historical round-10 window (superseded by ROUND11_HEAD; kept so
+#: the rotation ledger stays in code — all 50 rows landed in
+#: CORRECTNESS_r10.json: 48 hash-green, a13/l21 ``no_oracle`` by
+#: design).
 ROUND10_HEAD: tuple[str, ...] = (
     # (1) stale-oracle queue-jumps: driver rows predate the round-9
     # oracle changes (t3 integer-µs; d-family (ts,id) tie-break keys)
@@ -347,16 +423,15 @@ ROUND9_HEAD: tuple[str, ...] = (
 )
 
 
-#: ROUND-11 ROTATION PLAN (staged at round-10 close): after the
-#: ROUND10_HEAD window lands, the oldest evidence anywhere is r04 —
-#: 48 rows (the 49 r04 greens minus d25, which queue-jumped into the
-#: r10 window; d19/d21-d24/d26-d28, l29-l34, a15/a16, io8/io9, q1...,
-#: registration order) — and the queue is purely age-ordered again:
-#: take those 48 + 2 backfill from the oldest r05 greens (the r05
-#: pool is itself down to 44 after d29-d33's r10 jump). Run
-#: ``python tools/evidence_age.py`` to recompute the histogram from
-#: the committed CORRECTNESS files instead of trusting this comment.
-#: Anything whose oracle changes in round 11 jumps the queue (the
+#: ROUND-12 ROTATION PLAN (staged at round-11 close): after the
+#: ROUND11_HEAD window lands, the oldest evidence anywhere is r05 —
+#: the 43 remaining r05 rows (d35-d38, dq2, l35, l37, a17-a19, io10,
+#: …, registration order; d34 took the r11 backfill slot) — plus 7
+#: backfill from the oldest r06 greens makes the next 50. Run
+#: ``python tools/evidence_age.py`` (preflight now runs it with
+#: ``--check``) to recompute the histogram from the committed
+#: CORRECTNESS files instead of trusting this comment. Anything whose
+#: oracle (or physical plan) changes in round 12 jumps the queue (the
 #: round-9 stale-evidence rule, now standing).
 
 
@@ -482,11 +557,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND10_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND11_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND10_HEAD if n in d]
+    head = [n for n in ROUND11_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))

@@ -242,3 +242,37 @@ def test_trailing_distributed_prefix_scratch_covers_both_subtrees(
     # the registry hands back distributed_cumsum's load-bearing persist
     assert len(reg) == 1 and reg[0].is_cached
     reg[0].unpersist(blocking=True)
+
+
+def test_distributed_row_number_counts_col(spark):
+    from security_master_spark.operators.rolling import (
+        distributed_row_number,
+    )
+
+    out = distributed_row_number(
+        _frame(spark), ["k"], ["o"], out_col="rn", counts_col="n",
+        n_ranges=3,
+    )
+    got = {(r.k, r.o): (r.rn, r.n) for r in out.collect()}
+    # n == count(*) OVER (PARTITION BY k), incl. the NULL key group
+    assert got[("a", 2)] == (2, 3)
+    assert got[("b", 3)] == (3, 3)
+    assert got[(None, 1)] == (1, 2)
+    assert got[(None, 2)] == (2, 2)
+
+
+def test_d39_distributed_sibling_is_value_equal(spark, sf_dir):
+    """plans/domain8.py: the unregistered distributed-rank spelling of
+    d39 (the a23/w10-w11 scale-sibling pattern — the registered plan
+    stayed the window form on the measured sf0.1 negative) must match
+    the registered query exactly."""
+    from security_master_spark.plans.domain8 import (
+        d39_var_es,
+        d39_var_es_distributed,
+    )
+
+    a = d39_var_es(spark, sf_dir)
+    b = d39_var_es_distributed(spark, sf_dir)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).isEmpty()
+    assert b.exceptAll(a).isEmpty()

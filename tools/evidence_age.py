@@ -4,9 +4,16 @@ the evidence-freshness rotation (ROUND{8,9,10}_HEAD in
 plans/registry.py). Prints the histogram and the oldest-first
 candidate list the next head pin should be built from.
 
-Usage: python tools/evidence_age.py [--max-round N] [--limit K]
+Usage: python tools/evidence_age.py [--max-round N] [--limit K] [--check]
     --max-round N   only list queries whose latest evidence ≤ rN
     --limit K       cap the candidate list (default 60)
+    --check         exit nonzero if any query was never driver-checked
+                    or the oldest evidence is more than 6 rounds older
+                    than the newest round on disk — the standing
+                    rolling-freshness bound (round-10 verdict order
+                    #5: preflight runs this so the staged-rotation
+                    comment can never drift from the committed
+                    artifacts)
 """
 
 from __future__ import annotations
@@ -36,12 +43,15 @@ def latest_evidence() -> dict[str, int]:
 def main(argv: list[str]) -> None:
     max_round = None
     limit = 60
+    check = False
     it = iter(argv)
     for a in it:
         if a == "--max-round":
             max_round = int(next(it))
         elif a == "--limit":
             limit = int(next(it))
+        elif a == "--check":
+            check = True
         else:
             sys.exit(f"unknown arg {a!r} — see module docstring")
 
@@ -63,6 +73,28 @@ def main(argv: list[str]) -> None:
     print(f"\noldest-evidence candidates (first {limit}):")
     for n in cands[:limit]:
         print(f"  r{ages[n]:02d} {n}")
+
+    if check:
+        never = sorted(n for n in names if ages[n] == 0)
+        newest = max(latest.values(), default=0)
+        oldest = min(ages.values(), default=0)
+        bound = newest - 6
+        if never:
+            sys.exit(
+                f"EVIDENCE CHECK FAILED: never driver-checked: {never}"
+            )
+        if oldest < bound:
+            stale = sorted(n for n in names if ages[n] < bound)
+            sys.exit(
+                f"EVIDENCE CHECK FAILED: oldest evidence r{oldest:02d} "
+                f"is more than 6 rounds behind r{newest:02d} "
+                f"(bound r{bound:02d}); stale: {stale[:20]}"
+                + (" …" if len(stale) > 20 else "")
+            )
+        print(
+            f"evidence check ok: oldest r{oldest:02d} within 6 rounds "
+            f"of newest r{newest:02d}"
+        )
 
 
 if __name__ == "__main__":

@@ -47,6 +47,9 @@ elif [ "$#" -gt 0 ]; then
     (cd /tmp && python "$REPO/tools/driver_sim.py" "$@")
 fi
 
+echo "== preflight: evidence-age histogram + rolling freshness bound =="
+python "$REPO/tools/evidence_age.py" --limit 0 --check
+
 echo "== preflight: registry smoke (callable signatures + oracle templates) =="
 python - <<'EOF'
 import inspect, re, sys
