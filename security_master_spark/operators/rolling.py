@@ -425,3 +425,141 @@ def rolling_distinct_count(
         n_ranges=n_ranges,
         cache_registry=cache_registry,
     )
+
+
+def distributed_percentile(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    value_col: str,
+    ps: Sequence[float],
+    out_cols: Sequence[str] | None = None,
+    n_ranges: int | None = None,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT interpolated percentiles per key — ``percentile(v, p)
+    GROUP BY keys`` — without the aggregate's per-key wall: Spark's
+    ``Percentile`` buffers EVERY value of a group on its one reduce
+    task (memory O(group) and one task per key), which is the
+    documented "serial half" of the d39-class exact-tail queries.
+    Here the heavy work is :func:`_distributed_rank` over the non-null
+    values ordered by value — parallel in ranges — after which each
+    requested percentile needs only the rows at two target ranks per
+    key: a broadcast rank-equi join extracts O(keys × 2·|ps|) rows and
+    the interpolation runs on that tiny frame.
+
+    Exactness: ranking by value alone is not a total order, but the
+    value AT a global rank is a deterministic function of the multiset
+    (ties are value-equal wherever they land), so the result is
+    engine-stable. The interpolation mirrors Spark's Percentile
+    formula term-for-term (``pos = p·(n−1)``; ``(hi−pos)·v_lo +
+    (pos−lo)·v_hi``) so results are bit-identical to the aggregate,
+    not merely close. NULL values are ignored (the aggregate's
+    semantics); a key whose values are ALL NULL yields a row with
+    NULL percentiles (matching ``groupBy().agg(percentile(...))``).
+    NULL keys are first-class groups.
+
+    ``ps`` are fractions in [0, 1]; ``out_cols`` names the output
+    columns (default ``p_<fraction with _ for .>``). Returns one row
+    per distinct key combination: keys + one double column per entry
+    of ``ps``. Embeds the rank's load-bearing persist —
+    ``cache_registry`` is the release path (module contract).
+    """
+    keys = list(part_keys)
+    ps = [float(p) for p in ps]
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile fraction out of [0,1]: {p}")
+    if out_cols is None:
+        out_cols = [f"p_{str(p).replace('.', '_')}" for p in ps]
+    out_cols = list(out_cols)
+    if len(out_cols) != len(ps):
+        raise ValueError("out_cols and ps must have equal length")
+
+    nn = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.col(value_col).cast("double").alias("_v")
+    )
+    ranked = _distributed_rank(
+        nn, keys, ["_v"], n_ranges,
+        cache_registry=cache_registry, counts_col="_n",
+    )
+    keytab = ranked.groupBy(*keys).agg(F.max("_n").alias("_n"))
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("_p"), F.lit(i).alias("_pi")
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    tgt = (
+        keytab.select(*keys, "_n", F.explode(pairs).alias("_pp"))
+        .select(
+            *keys,
+            "_n",
+            F.col("_pp._p").alias("_p"),
+            F.col("_pp._pi").alias("_pi"),
+        )
+        .withColumn("_pos", F.col("_p") * (F.col("_n") - 1).cast("double"))
+        .withColumn("_lo", F.floor("_pos").cast("long") + 1)
+        .withColumn("_hi", F.ceil("_pos").cast("long") + 1)
+    )
+    need = (
+        tgt.select(*keys, F.col("_lo").alias("_rn"))
+        .unionByName(tgt.select(*keys, F.col("_hi").alias("_rn")))
+        .distinct()
+    )
+    # rank-equi extraction: the big ranked frame sheds everything but
+    # the O(keys x 2|ps|) target rows via a broadcast hash join
+    picked = _nullsafe_attach(
+        ranked.select(*keys, "_rn", "_v"), need.withColumn("_hit", F.lit(1)),
+        [*keys, "_rn"],
+    ).drop("_hit")
+    lo_tab = picked.select(
+        *[F.col(k).alias(f"_l_{k}") for k in keys],
+        F.col("_rn").alias("_l_rn"),
+        F.col("_v").alias("_vlo"),
+    )
+    hi_tab = picked.select(
+        *[F.col(k).alias(f"_h_{k}") for k in keys],
+        F.col("_rn").alias("_h_rn"),
+        F.col("_v").alias("_vhi"),
+    )
+    cond_lo = F.col("_lo") == F.col("_l_rn")
+    for k in keys:
+        cond_lo = cond_lo & F.col(k).eqNullSafe(F.col(f"_l_{k}"))
+    cond_hi = F.col("_hi") == F.col("_h_rn")
+    for k in keys:
+        cond_hi = cond_hi & F.col(k).eqNullSafe(F.col(f"_h_{k}"))
+    j = (
+        tgt.join(F.broadcast(lo_tab), cond_lo, "inner")
+        .join(F.broadcast(hi_tab), cond_hi, "inner")
+    )
+    # Spark Percentile.getPercentile, term for term (0-based lower/
+    # higher), so the result is bit-identical to the aggregate
+    lower = (F.col("_lo") - 1).cast("double")
+    higher = (F.col("_hi") - 1).cast("double")
+    val = F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo")).otherwise(
+        (higher - F.col("_pos")) * F.col("_vlo")
+        + (F.col("_pos") - lower) * F.col("_vhi")
+    )
+    per_key = j.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col("_pi") == i, val)).alias(out_cols[i])
+            for i in range(len(ps))
+        ]
+    )
+    # keys whose values are ALL NULL: absent from the ranked frame but
+    # present in the aggregate's output (with NULL percentiles)
+    all_keys = df.select(*keys).distinct()
+    ak = all_keys
+    for k in keys:
+        ak = ak.withColumnRenamed(k, f"_a_{k}")
+    cond = None
+    for k in keys:
+        eq = F.col(f"_a_{k}").eqNullSafe(F.col(k))
+        cond = eq if cond is None else cond & eq
+    out = ak.join(F.broadcast(per_key), cond, "left").select(
+        *[F.col(f"_a_{k}").alias(k) for k in keys], *out_cols
+    )
+    return out

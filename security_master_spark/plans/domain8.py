@@ -110,19 +110,34 @@ def _d39_tail_agg(px: DataFrame) -> DataFrame:
 
 
 def d39_var_es_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d39_var_es with the rank half on
-    operators/rolling.py:distributed_row_number — range-partition +
-    offset prefix-sum, parallel in ranges instead of one WindowExec
-    sort task per segment — and the per-segment counts riding along
-    via ``counts_col`` (rolled up from the rank's internal
-    per-(range, key) counts table, broadcast back null-safe: zero
-    extra input scans, no partition-wide count window). NOT in the
-    registry (round-9 freeze; and the measured sf0.1 negative in the
-    d39 docstring keeps the bench on the window form): this is the
-    dominant-segment scale spelling, value-equal to d39_var_es by
-    test and 1.39× faster at the 10×-skew corpus, cluster-size-bound
-    beyond it. Embeds the rank's bounded load-bearing persist (3
-    narrow columns of orders; cache_registry is the release path)."""
+    """d39_var_es with BOTH exact halves parallel — the full scale
+    spelling of the tail-risk query, value-equal to the registered
+    window form by test (bit-equal, not rounded-equal):
+
+    - RANK half: operators/rolling.py:distributed_row_number —
+      range-partition + offset prefix-sum instead of one WindowExec
+      sort task per segment — with the per-segment counts riding
+      along via ``counts_col`` (zero extra input scans).
+    - PERCENTILE half: Spark's ``percentile`` aggregate buffers every
+      group value on one reduce task per key (the serial half the d39
+      docstring documents). Here the SAME descending rank the tail
+      already uses locates the two interpolation anchors: ascending
+      value index i (0-based) is descending rank n−i, so
+      ``pos = 0.95·(n−1)``, ``v_lo = price at rn = n−floor(pos)``,
+      ``v_hi = price at rn = n−ceil(pos)`` — two conditional
+      aggregates inside the segment rollup already being computed,
+      interpolated with Percentile's own formula term-for-term. No
+      per-key value buffer, no second pass, no extra shuffle.
+      (The general standalone operator is
+      operators/rolling.py:distributed_percentile, bit-equal to the
+      aggregate by test; this inline form exists because the rank is
+      already in hand.)
+
+    NOT in the registry (round-9 freeze; and the measured sf0.1
+    negative in the d39 docstring keeps the bench on the window
+    form): 1.39× at the 10×-skew corpus, cluster-size-bound beyond
+    it. Embeds the rank's bounded load-bearing persist (3 narrow
+    columns of orders; cache_registry is the release path)."""
     from security_master_spark.operators.rolling import (
         distributed_row_number,
     )
@@ -134,7 +149,35 @@ def d39_var_es_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="rn",
         counts_col="n",
     )
-    return _d39_tail_agg(px)
+    in_tail = F.col("rn") <= F.ceil(0.05 * F.col("n")).cast("bigint")
+    pos = F.lit(0.95) * (F.col("n") - 1).cast("double")
+    lo = F.floor(pos).cast("long")
+    hi = F.ceil(pos).cast("long")
+    agg = px.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max(F.when(F.col("rn") == F.col("n") - lo, F.col("price"))).alias(
+            "_vlo"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n") - hi, F.col("price"))).alias(
+            "_vhi"
+        ),
+        F.max(pos).alias("_pos"),
+        F.max(lo).alias("_lo"),
+        F.max(hi).alias("_hi"),
+        dround(F.avg(F.when(in_tail, F.col("price"))), 4).alias("es95"),
+        F.count(F.when(in_tail, 1)).cast("bigint").alias("n_tail"),
+    )
+    var_raw = F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo")).otherwise(
+        (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
+        + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
+    )
+    return agg.select(
+        "segment",
+        "n_orders",
+        dround(var_raw, 4).alias("var95"),
+        "es95",
+        "n_tail",
+    )
 
 
 @register(

@@ -276,3 +276,89 @@ def test_d39_distributed_sibling_is_value_equal(spark, sf_dir):
     assert a.columns == b.columns
     assert a.exceptAll(b).isEmpty()
     assert b.exceptAll(a).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# round-11: exact distributed percentile (operators/rolling.py)
+# ---------------------------------------------------------------------------
+
+def test_distributed_percentile_bit_equals_aggregate_small(spark):
+    """Hostile shapes: duplicate values (ties straddling range
+    boundaries), single-row group, all-NULL-value group (NULL
+    percentiles, key still present), NULL key group, p=0/0.5/0.95/1.
+    The interpolation mirrors Spark's Percentile formula term-for-term,
+    so equality is exact (==), not approximate."""
+    from security_master_spark.operators.rolling import (
+        distributed_percentile,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 10.0),
+        ("b", 5.0),
+        ("c", None), ("c", None),
+        (None, 3.0), (None, 7.0), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = [0.0, 0.5, 0.95, 1.0]
+    got = {
+        r.k: (r.q0, r.q50, r.q95, r.q100)
+        for r in distributed_percentile(
+            df, ["k"], "v", ps, out_cols=["q0", "q50", "q95", "q100"],
+            n_ranges=3,
+        ).collect()
+    }
+    exp = {
+        r.k: tuple(r.qs) if r.qs is not None else (None,) * 4
+        for r in df.groupBy("k")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("qs"))
+        .collect()
+    }
+    assert set(got) == set(exp) == {"a", "b", "c", None}
+    for k in exp:
+        assert got[k] == exp[k], f"key={k}: {got[k]} != {exp[k]}"
+
+
+def test_distributed_percentile_bit_equals_aggregate_corpus(spark, sf_dir):
+    """Full sf0.001 events corpus per event_type, NULLs minted on
+    'error' rows (the w9 pattern), 7 fractions including boundary and
+    irrational-position ones — every value must be == the aggregate's."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.rolling import (
+        distributed_percentile,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    ps = [0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 1.0]
+    cols = [f"q{i}" for i in range(len(ps))]
+    got = {
+        r.event_type: tuple(r[c] for c in cols)
+        for r in distributed_percentile(
+            events, ["event_type"], "v", ps, out_cols=cols
+        ).collect()
+    }
+    exp = {
+        r.event_type: tuple(r.qs) if r.qs is not None else (None,) * len(ps)
+        for r in events.groupBy("event_type")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("qs"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], f"{k}: {got[k]} != {exp[k]}"
+
+
+def test_distributed_percentile_validation(spark):
+    from security_master_spark.operators.rolling import (
+        distributed_percentile,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="out of"):
+        distributed_percentile(df, ["k"], "v", [1.5])
+    with pytest.raises(ValueError, match="equal length"):
+        distributed_percentile(df, ["k"], "v", [0.5], out_cols=["a", "b"])

@@ -85,6 +85,9 @@ def main(reps: int = 3) -> None:
         tail_agg(px).write.mode("overwrite").format("noop").save()
 
     def dist_form(src) -> None:
+        # mirrors plans/domain8.py:d39_var_es_distributed — rank +
+        # counts via distributed_row_number, percentile anchors pulled
+        # from the SAME descending rank (no per-key value buffer)
         reg: list = []
         px = distributed_row_number(
             src,
@@ -94,7 +97,37 @@ def main(reps: int = 3) -> None:
             counts_col="n",
             cache_registry=reg,
         )
-        tail_agg(px).write.mode("overwrite").format("noop").save()
+        in_tail = F.col("rn") <= F.ceil(0.05 * F.col("n")).cast("bigint")
+        pos = F.lit(0.95) * (F.col("n") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        agg = px.groupBy("segment").agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max(
+                F.when(F.col("rn") == F.col("n") - lo, F.col("price"))
+            ).alias("_vlo"),
+            F.max(
+                F.when(F.col("rn") == F.col("n") - hi, F.col("price"))
+            ).alias("_vhi"),
+            F.max(pos).alias("_pos"),
+            F.max(lo).alias("_lo"),
+            F.max(hi).alias("_hi"),
+            dround(F.avg(F.when(in_tail, F.col("price"))), 4).alias("es95"),
+            F.count(F.when(in_tail, 1)).cast("bigint").alias("n_tail"),
+        )
+        var_raw = F.when(
+            F.col("_lo") == F.col("_hi"), F.col("_vlo")
+        ).otherwise(
+            (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
+            + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
+        )
+        agg.select(
+            "segment",
+            "n_orders",
+            dround(var_raw, 4).alias("var95"),
+            "es95",
+            "n_tail",
+        ).write.mode("overwrite").format("noop").save()
         for p in reg:
             p.unpersist(blocking=True)
 
