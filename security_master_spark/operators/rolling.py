@@ -1,4 +1,26 @@
-"""Halo-parallel rolling ROWS-frame distinct counts.
+"""Skew-proof per-key ordered computations: the distributed-rank
+toolkit.
+
+Every member of this module removes the same wall — a per-key
+WindowExec (or value-buffering aggregate) that runs ONE task per
+partition key — by the same decomposition: range-partition by
+(keys, order), reduce each range to a tiny per-(range, key) summary,
+prefix-combine the summaries, and re-derive exact per-row (or
+per-key) results in parallel. Members:
+
+- ``distributed_row_number`` (+ ride-along ``counts_col``) — gap-free
+  per-key ranks without the one-sort-task-per-key ceiling;
+- ``distributed_cumsum`` — per-key running totals with exact SUM NULL
+  semantics;
+- ``rolling_rows_agg`` / ``rolling_distinct_count`` — trailing
+  ROWS-frame aggregates via rank + frame-halo buckets;
+- ``distributed_percentile`` — exact interpolated ``percentile(v, p)
+  GROUP BY k``, bit-identical to Spark's aggregate, without its
+  per-key value buffer.
+
+All embed a load-bearing ``persist()`` released via the
+``cache_registry`` parameter (see :func:`_distributed_rank`).
+The original motivating case, kept below as written:
 
 The portable spelling of a trailing-N distinct count —
 ``size(collect_set(v) OVER (PARTITION BY k ORDER BY ... ROWS BETWEEN
