@@ -362,3 +362,62 @@ def test_distributed_percentile_validation(spark):
         distributed_percentile(df, ["k"], "v", [1.5])
     with pytest.raises(ValueError, match="equal length"):
         distributed_percentile(df, ["k"], "v", [0.5], out_cols=["a", "b"])
+
+
+def test_asof_carry_bucketed_multi_key(spark):
+    """Two-part key incl. NULL components — the null-safe joins must
+    treat the composite (k1, k2) with NULLs as first-class groups."""
+    from security_master_spark.operators.asof import asof_carry_bucketed
+
+    anchors = [
+        ("x", 1, 5, 100), ("x", 2, 9, 200), ("x", None, 5, 300),
+        (None, 1, 5, 400), (None, None, 7, 500),
+    ]
+    probes = [
+        (1, "x", 1, 6), (2, "x", 2, 8), (3, "x", 2, 10),
+        (4, "x", None, 5), (5, None, 1, 5), (6, None, None, 8),
+        (7, None, None, 6), (8, "x", 1, 4),
+    ]
+    exp = {1: 100, 2: None, 3: 200, 4: 300, 5: 400, 6: 500, 7: None,
+           8: None}
+    a_df = spark.createDataFrame(
+        anchors, "k1 string, k2 int, t long, val long"
+    )
+    p_df = spark.createDataFrame(probes, "rid long, k1 string, k2 int, t long")
+    for bw in (2, 100):
+        got = {
+            r.rid: r.val
+            for r in asof_carry_bucketed(
+                p_df, a_df, ["k1", "k2"], "t", ["val"], bw
+            ).collect()
+        }
+        assert got == exp, f"bucket_width={bw}: {got}"
+
+
+def test_trailing_distributed_prefix_custom_carry_bucket(spark, sf_dir):
+    """carry_bucket_us propagates to the bucketed carry and any width
+    stays value-identical to the default path (width only moves work
+    between the within-bucket and cross-bucket halves)."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.trailing import (
+        trailing_interval_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def run(**kw):
+        return trailing_interval_sum(
+            events, ["event_type"], "us", 3_600_000_000,
+            F.col("cents"), "event_id", **kw,
+        ).select("event_id", "n_trailing", "units_trailing")
+
+    default = run()
+    for bw in (60_000_000, 30 * 86_400_000_000):  # 1 min; 30 days
+        dist = run(distributed_prefix=True, carry_bucket_us=bw)
+        assert default.exceptAll(dist).isEmpty(), bw
+        assert dist.exceptAll(default).isEmpty(), bw
