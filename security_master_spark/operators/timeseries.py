@@ -35,6 +35,50 @@ def forward_fill(
     return out
 
 
+def forward_fill_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    cols: Sequence[str],
+    bucket_width: int,
+) -> DataFrame:
+    """Skew-proof, JVM-side forward fill — the third spelling of the
+    carry-forward family, chosen by regime:
+
+    - :func:`forward_fill` (above): the portable window form — one
+      ordered WindowExec task per key; right whenever every key's
+      history fits an executor.
+    - ``operators/scan.py:forward_fill_distributed``: the segmented
+      scan — parallel within a monster key, but mapInPandas (Python
+      workers) with a driver-side fold of chunk summaries.
+    - THIS: operators/asof.py:asof_carry_bucketed with every input
+      row as both anchor and probe — parallel in O(keys × buckets)
+      tasks, no per-key serial pass over O(rows), no Python workers,
+      no driver state. A probe's own row is an anchor at the same
+      timestamp and anchors win ties, so each row fills to its OWN
+      value when non-null, else the last earlier non-null — exactly
+      the ``last(ignorenulls)`` running window, per column.
+
+    Contracts (inherited from the carry): ``ts`` is exact-integer
+    (µs — convert timestamps with ``unix_micros`` first) and
+    non-null, and (keys, ``ts``) is UNIQUE — the window form's output
+    under equal-ts ties is intra-ts-order-dependent anyway, so the
+    unique-ts contract is where all three spellings agree. NULL keys
+    are first-class groups. Column order of ``df`` is preserved.
+    """
+    from security_master_spark.operators.asof import asof_carry_bucketed
+
+    out = asof_carry_bucketed(
+        df.drop(*cols),
+        df.select(*keys, ts, *cols),
+        keys,
+        ts,
+        list(cols),
+        bucket_width,
+    )
+    return out.select(*df.columns)
+
+
 def pct_change(
     df: DataFrame, keys: Sequence[str], ts: str, col: str, out_col: str = "pct_change"
 ) -> DataFrame:

@@ -421,3 +421,44 @@ def test_trailing_distributed_prefix_custom_carry_bucket(spark, sf_dir):
         dist = run(distributed_prefix=True, carry_bucket_us=bw)
         assert default.exceptAll(dist).isEmpty(), bw
         assert dist.exceptAll(default).isEmpty(), bw
+
+
+def test_forward_fill_bucketed_equals_window_form(spark, sf_dir):
+    """operators/timeseries.py:forward_fill_bucketed — the JVM-side
+    skew-proof ffill — must equal the portable window form on the
+    full sf0.001 events corpus (NULLs minted on 'error' rows, two
+    fill columns, unique integer ts per key by construction)."""
+    from pyspark.sql import Window
+
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.timeseries import (
+        forward_fill,
+        forward_fill_bucketed,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # unique integer ts per key: rank by (ts, event_id) — the contract
+    # all three ffill spellings share
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    base = events.select(
+        "event_id",
+        "user_id",
+        rn.alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+        F.when(F.col("event_type") == "purchase", F.lit(None))
+        .otherwise(F.col("value") * 2)
+        .alias("w"),
+    )
+    want = forward_fill(base, ["user_id"], "seq", ["v", "w"]).select(
+        "event_id", "v", "w"
+    )
+    for bw in (7, 1000):
+        got = forward_fill_bucketed(
+            base, ["user_id"], "seq", ["v", "w"], bw
+        ).select("event_id", "v", "w")
+        assert want.exceptAll(got).isEmpty(), bw
+        assert got.exceptAll(want).isEmpty(), bw
