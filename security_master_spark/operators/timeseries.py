@@ -57,7 +57,11 @@ def forward_fill_bucketed(
       no driver state. A probe's own row is an anchor at the same
       timestamp and anchors win ties, so each row fills to its OWN
       value when non-null, else the last earlier non-null — exactly
-      the ``last(ignorenulls)`` running window, per column.
+      the ``last(ignorenulls)`` running window, per column. Measured
+      at the 6M-tick corpus (PLANS.md round-11 ffill study): 1.61×
+      vs the window form at 96% key skew and faster than the
+      segmented scan on BOTH shapes; 0.84× on balanced keys, where
+      the window form stays the right default.
 
     Contracts (inherited from the carry): ``ts`` is exact-integer
     (µs — convert timestamps with ``unix_micros`` first) and
