@@ -143,3 +143,131 @@ def test_rolling_distinct_all_null_frame_counts_zero(spark):
         [(0, 0, None), (0, 1, None)],
         frame_rows=2, bucket_rows=2, n_ranges=2, distributed_rank=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 members of the toolkit, same discipline: pure-Python
+# references independent of BOTH Spark forms
+# ---------------------------------------------------------------------------
+
+def _carry_ref(anchors, probes):
+    """anchors: [(k, t, v)] unique (k, t); probes: [(rid, k, t)] →
+    rid -> last non-null anchor v at t' <= t within k."""
+    out = {}
+    for rid, k, t in probes:
+        best = None
+        for ak, at, av in sorted(anchors, key=lambda r: r[1]):
+            if ak == k and at <= t and av is not None:
+                best = av
+        out[rid] = best
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a_cells=st.lists(
+        st.tuples(_KEY, st.integers(-5, 20), _VAL),
+        min_size=0, max_size=10,
+    ),
+    p_cells=st.lists(
+        st.tuples(_KEY, st.integers(-8, 25)), min_size=1, max_size=10
+    ),
+    bucket_width=st.integers(min_value=1, max_value=30),
+)
+def test_asof_carry_bucketed_matches_python_reference(
+    spark, a_cells, p_cells, bucket_width
+):
+    from security_master_spark.operators.asof import asof_carry_bucketed
+
+    seen = set()
+    anchors = []
+    for k, t, v in a_cells:  # unique (k, t) by the as-of contract
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        anchors.append((k, t, v))
+    probes = [(i, k, t) for i, (k, t) in enumerate(p_cells)]
+    import pandas as pd
+
+    a_df = spark.createDataFrame(
+        pd.DataFrame(anchors or [(None, 0, None)][:0],
+                     columns=["k", "t", "v"]).astype(
+            {"k": "Int64", "t": "int64", "v": "Int64"}
+        )
+    ) if anchors else spark.createDataFrame([], "k long, t long, v long")
+    p_df = spark.createDataFrame(
+        pd.DataFrame(probes, columns=["rid", "k", "t"]).astype(
+            {"rid": "int64", "k": "Int64", "t": "int64"}
+        )
+    )
+    got = {
+        r.rid: r.v
+        for r in asof_carry_bucketed(
+            p_df, a_df, ["k"], "t", ["v"], bucket_width
+        ).collect()
+    }
+    want = _carry_ref(anchors, probes)
+    assert got == want, (
+        f"carry mismatch (bw={bucket_width}):\n anchors={anchors}\n"
+        f" got={sorted(got.items())}\n want={sorted(want.items())}"
+    )
+
+
+def _pct_ref(values, p):
+    """Spark Percentile.getPercentile on a sorted non-null list."""
+    vs = sorted(v for v in values if v is not None)
+    if not vs:
+        return None
+    pos = p * (len(vs) - 1)
+    import math
+
+    lo, hi = math.floor(pos), math.ceil(pos)
+    if lo == hi:
+        return float(vs[lo])
+    return (hi - pos) * vs[lo] + (pos - lo) * vs[hi]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=st.lists(st.tuples(_KEY, _VAL), min_size=1, max_size=14),
+    p=st.sampled_from([0.0, 0.25, 0.5, 0.9, 0.95, 1.0]),
+    n_ranges=st.integers(min_value=1, max_value=4),
+)
+def test_distributed_percentile_matches_python_reference(
+    spark, cells, p, n_ranges
+):
+    import pandas as pd
+
+    from security_master_spark.operators.rolling import (
+        distributed_percentile,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(cells, columns=["k", "v"]).astype(
+            {"k": "Int64", "v": "Int64"}
+        )
+    )
+    got = {
+        r.k: r.q
+        for r in distributed_percentile(
+            df, ["k"], "v", [p], out_cols=["q"], n_ranges=n_ranges
+        ).collect()
+    }
+    by_key: dict = {}
+    for k, v in cells:
+        by_key.setdefault(k, []).append(v)
+    want = {k: _pct_ref(vs, p) for k, vs in by_key.items()}
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] == want[k], (k, got[k], want[k])
