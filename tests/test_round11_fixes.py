@@ -462,3 +462,60 @@ def test_forward_fill_bucketed_equals_window_form(spark, sf_dir):
         ).select("event_id", "v", "w")
         assert want.exceptAll(got).isEmpty(), bw
         assert got.exceptAll(want).isEmpty(), bw
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_round11_operators_plan_shape(spark, sf_dir):
+    """Plan-quality guard for the round-11 toolkit members (the
+    registry plan-guard only sweeps registered queries): every join
+    inside asof_carry_bucketed / distributed_percentile /
+    forward_fill_bucketed must be a hash join on the broadcast-small
+    side — never a sort-merge over the data side, a nested loop, or a
+    cartesian."""
+    from security_master_spark.datasets import load_table
+    from security_master_spark.operators.asof import asof_carry_bucketed
+    from security_master_spark.operators.rolling import (
+        distributed_percentile,
+    )
+    from security_master_spark.operators.timeseries import (
+        forward_fill_bucketed,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("value").alias("v"),
+    )
+    anchors = events.groupBy("event_type", "us").agg(
+        F.max("v").alias("av")
+    )
+    probes = events.select("event_id", "event_type", "us")
+    plans = {
+        "carry": _plan(
+            asof_carry_bucketed(
+                probes, anchors, ["event_type"], "us", ["av"],
+                86_400_000_000,
+            )
+        ),
+        "percentile": _plan(
+            distributed_percentile(
+                events, ["event_type"], "v", [0.5, 0.95],
+                out_cols=["p50", "p95"],
+            )
+        ),
+        "ffill": _plan(
+            forward_fill_bucketed(
+                events, ["event_type"], "us", ["v"], 86_400_000_000
+            )
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
