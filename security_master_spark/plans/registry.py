@@ -209,7 +209,10 @@ def _load_all_plan_modules() -> None:
 #: a13 (weak by design; fresh rows-only row); (4) l21 (r02 rows-only,
 #: weak by design). After this window: NO registered query's driver
 #: evidence predates r04, with zero exceptions.
-#: ROUND-11 HEAD PIN (round-10 verdict order #1): evidence-freshness
+#: Historical round-11 window (superseded by ROUND12_HEAD; kept so
+#: the rotation ledger stays in code — all 50 rows landed hash-green
+#: in CORRECTNESS_r11.json). Original pin rationale (round-10 verdict
+#: order #1): evidence-freshness
 #: rotation, third window — the staged plan (48 r04 greens + 2 r05
 #: backfill) with the standing queue-jump rule applied: t4's oracle
 #: moved to integer-µs boundary math + the new_session DESC equal-ts
@@ -423,16 +426,85 @@ ROUND9_HEAD: tuple[str, ...] = (
 )
 
 
-#: ROUND-12 ROTATION PLAN (staged at round-11 close): after the
-#: ROUND11_HEAD window lands, the oldest evidence anywhere is r05 —
-#: the 43 remaining r05 rows (d35-d38, dq2, l35, l37, a17-a19, io10,
-#: …, registration order; d34 took the r11 backfill slot) — plus 7
-#: backfill from the oldest r06 greens makes the next 50. Run
-#: ``python tools/evidence_age.py`` (preflight now runs it with
-#: ``--check``) to recompute the histogram from the committed
-#: CORRECTNESS files instead of trusting this comment. Anything whose
-#: oracle (or physical plan) changes in round 12 jumps the queue (the
-#: round-9 stale-evidence rule, now standing).
+#: ROUND-12 HEAD PIN (round-11 verdict order #1): evidence-freshness
+#: rotation, fourth window — the staged plan executed verbatim, with
+#: ZERO queue-jumps (round 12 changes no registered query's oracle or
+#: physical plan: the guards/selector land in operators/ on the
+#: unregistered toolkit spellings). Composition: (1) the 43 remaining
+#: r05-evidence rows in evidence-age order (= tools/evidence_age.py's
+#: candidate order; d34 took the r11 backfill slot); (2) 7 backfill
+#: from the oldest r06 hash-GREENS — l48 (r06, ``no_oracle`` by
+#: design) is skipped by the "greens" rule and rotates with the r06
+#: remainder next round. After this window lands: no query's driver
+#: evidence predates r06 (verify: python tools/evidence_age.py
+#: --check). Standing rule: anything whose oracle (or physical plan)
+#: changes mid-round jumps the queue.
+ROUND12_HEAD: tuple[str, ...] = (
+    # (1) the 43 r05-evidence rows, age order
+    "d35_execution_slippage",
+    "d36_seasonal_decomposition",
+    "d37_ewma_exact_distributed",
+    "d38_forward_fill_distributed",
+    "dq2_benford",
+    "l35_label_centroids",
+    "l37_shingle_novelty",
+    "a17_weighted_stats",
+    "a18_conditional_aggregates",
+    "a19_grouping_id",
+    "io10_gzip_csv_roundtrip",
+    "l38_language_mix",
+    "l39_importance_resample",
+    "l40_embedding_quantization",
+    "l41_source_drift",
+    "l42_dedup_pipeline",
+    "l43_zipf_slope",
+    "u7_map_in_arrow",
+    "u8_polymorphic_udtf",
+    "u9_arrow_optimized_udf",
+    "io11_python_datasource",
+    "io12_zorder_roundtrip",
+    "s18_variant_type",
+    "s19_collation",
+    "d39_var_es",
+    "d40_hhi_concentration",
+    "d41_event_funnel",
+    "l44_duplicate_ngram_fraction",
+    "l45_type_token_ratio",
+    "a20_kll_quantile_merge",
+    "a21_theta_sketch_sets",
+    "q16_recursive_cte",
+    "dq3_observed_metrics",
+    "g1_pagerank",
+    "g2_triangle_count",
+    "g3_triangle_estimate",
+    "dq4_ks_test",
+    "dq5_chisq_independence",
+    "dq6_psi_drift",
+    "dq7_message_rate_spike",
+    "dq8_duplicate_events",
+    "w7_exclude_current_row",
+    "w8_groups_frame",
+    # (2) backfill: the 7 oldest r06 hash-greens (l48 skipped —
+    # no_oracle by design, not a "green")
+    "d45_time_to_convert",
+    "d46_isin_validation",
+    "q17_pipe_syntax",
+    "q18_parameterized_sql",
+    "q19_group_by_all",
+    "q20_identifier_clause",
+    "q21_union_by_name",
+)
+
+
+#: ROUND-13 ROTATION PLAN (staged at round-12 close): after the
+#: ROUND12_HEAD window lands, the oldest evidence anywhere is r06 —
+#: the 37 remaining r06 rows (l48, q22, u10, u11, io13-io16, a22,
+#: a23, …, evidence-age order) — plus 13 backfill from the oldest
+#: r07 greens makes the next 50. Run ``python tools/evidence_age.py``
+#: (preflight runs it with ``--check``) to recompute the histogram
+#: from the committed CORRECTNESS files instead of trusting this
+#: comment. Anything whose oracle (or physical plan) changes in round
+#: 13 jumps the queue (the round-9 stale-evidence rule, standing).
 
 
 #: Historical round-8 window (superseded by ROUND9_HEAD; kept so the
@@ -557,11 +629,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND11_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND12_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND11_HEAD if n in d]
+    head = [n for n in ROUND12_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))
