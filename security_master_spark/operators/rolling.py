@@ -110,7 +110,24 @@ def _distributed_rank(
     result is fully consumed. Without one, long-lived sessions
     composing these operators in a loop must fall back to
     ``spark.catalog.clearCache()``.
+
+    Input columns named like the internal scratch columns (``_pid``/
+    ``_c``/``_off``/``_lrn``/``_rn``, or the attach-side ``_r_…``
+    spellings of the join keys) raise ``ValueError``: ``_pid`` in
+    particular would be silently REPLACED by ``spark_partition_id()``
+    and dropped from the result — data loss, not an error — under the
+    pre-round-12 behavior.
     """
+    guard = {"_pid", "_c", "_off", "_lrn", "_rn"} | {
+        f"_r_{c}" for c in ("_pid", *keys)
+    }
+    bad = sorted(set(df.columns) & guard)
+    if bad:
+        raise ValueError(
+            f"distributed rank toolkit: input columns collide with "
+            f"internal scratch columns: {bad} — rename them before "
+            f"calling"
+        )
     n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     p = (
         df.repartitionByRange(n, *keys, *order_cols)
@@ -222,8 +239,10 @@ def distributed_cumsum(
     column in place (``{"v": "v"}``); every output is computed from
     the PRE-overwrite inputs in one ``select``, so
     ``{"v": "v", "v2": "v"}`` reads the original ``v`` for both.
-    Names colliding with the operator's internal scratch columns
-    raise ``ValueError``.
+    Output names — and, since round 12, INPUT column names — colliding
+    with the operator's internal scratch columns (``_pid``,
+    ``_ps_*``/``_pc_*``/``_os_*``/``_oc_*``, attach-side ``_r_*``)
+    raise ``ValueError`` instead of silently dropping or shadowing.
 
     Skew-path consumer note: trailing_interval_sum's cum-prefix stage
     (operators/trailing.py) is this exact computation per (key, ts) —
@@ -239,6 +258,21 @@ def distributed_cumsum(
         raise ValueError(
             f"value_cols output names collide with internal scratch "
             f"columns: {bad}"
+        )
+    # the INPUT side of the same guard (round-11 ADVICE): an input
+    # column named _pid was silently replaced by spark_partition_id()
+    # and then dropped from the result (it sits in `reserved`, so the
+    # final select skips it) — data loss, not an error; _os_*/_oc_*
+    # inputs would shadow the offset columns the _cum expressions
+    # read, and _r_* inputs collide with _nullsafe_attach's renames.
+    bad_in = sorted(
+        set(df.columns)
+        & (reserved | {f"_r_{c}" for c in ("_pid", *keys)})
+    )
+    if bad_in:
+        raise ValueError(
+            f"distributed_cumsum: input columns collide with internal "
+            f"scratch columns: {bad_in} — rename them before calling"
         )
     n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     p = (

@@ -22,6 +22,11 @@ def _series_window(keys: Sequence[str], ts: str) -> Window:
     return Window.partitionBy(*keys).orderBy(ts)
 
 
+#: "inherit asof_carry_bucketed's DEFAULT_MAX_CARRY_ROWS" sentinel —
+#: distinct from None, which the carry treats as "disable the guard".
+_INHERIT = object()
+
+
 def forward_fill(
     df: DataFrame, keys: Sequence[str], ts: str, cols: Sequence[str]
 ) -> DataFrame:
@@ -41,6 +46,7 @@ def forward_fill_bucketed(
     ts: str,
     cols: Sequence[str],
     bucket_width: int,
+    max_carry_rows: int | None | object = _INHERIT,
 ) -> DataFrame:
     """Skew-proof, JVM-side forward fill — the third spelling of the
     carry-forward family, chosen by regime:
@@ -69,9 +75,37 @@ def forward_fill_bucketed(
     under equal-ts ties is intra-ts-order-dependent anyway, so the
     unique-ts contract is where all three spellings agree. NULL keys
     are first-class groups. Column order of ``df`` is preserved.
-    """
-    from security_master_spark.operators.asof import asof_carry_bucketed
 
+    Choosing ``bucket_width``: every row is a probe here, so the
+    carry's cross-bucket table holds one row per distinct (key,
+    ``floor(ts / bucket_width)``) — force-broadcast, ≈ n_keys ×
+    span/bucket_width rows. Two constraints bound the width from both
+    sides: (a) broadcastability — keep n_keys × span/bucket_width
+    under the carry's ``max_carry_rows`` bound (defaults to
+    asof_carry_bucketed's
+    :data:`~security_master_spark.operators.asof.DEFAULT_MAX_CARRY_ROWS`,
+    which raises ``ValueError`` instead of building an OOM-class
+    broadcast; pass ``None`` to disable); (b) parallelism — at least
+    ~``defaultParallelism``
+    (key, bucket) cells so the within-bucket stage fills the cluster.
+    The heuristic that satisfies both for any realistic corpus:
+    ``bucket_width ≈ span // max(defaultParallelism,
+    ceil(n_keys * span / (bound // 2)))`` — i.e. start from
+    span/parallelism (the round-11 measured configurations used
+    span/32-ish widths) and only narrow further while (a) holds. A
+    width a few × the median per-key observation gap stops mattering:
+    past that, within-bucket windows dominate and the cross-bucket
+    carry is noise.
+    """
+    from security_master_spark.operators.asof import (
+        DEFAULT_MAX_CARRY_ROWS,
+        asof_carry_bucketed,
+    )
+
+    bound = (
+        DEFAULT_MAX_CARRY_ROWS if max_carry_rows is _INHERIT
+        else max_carry_rows
+    )
     out = asof_carry_bucketed(
         df.drop(*cols),
         df.select(*keys, ts, *cols),
@@ -79,6 +113,7 @@ def forward_fill_bucketed(
         ts,
         list(cols),
         bucket_width,
+        max_carry_rows=bound,
     )
     return out.select(*df.columns)
 

@@ -1,0 +1,206 @@
+"""Round-12 contract fixes (round-11 verdict order #2 + ADVICE items)
+pinned as tests:
+
+1. ``asof_carry_bucketed``'s broadcastability contract is ENFORCED: a
+   bounded probe (``limit(max_carry_rows + 1)``) over the distinct
+   probe (key, bucket) projection raises ``ValueError`` when the
+   cross-bucket carry table that gets force-broadcast would exceed
+   the bound — a deliberately tiny ``bucket_width`` fails loudly
+   instead of building an OOM-class broadcast.
+2. ``asof_carry_bucketed`` scratch/duplicate-name collisions raise
+   ``ValueError`` up front (the distributed_cumsum convention):
+   inputs carrying ``_bkt``/``_is_a``/``_in_<v>``/``_x_<v>``/
+   ``_r_<key>`` and probe extras sharing a ``value_cols`` name.
+3. The bucket id uses exact integer ``div`` — correct for ALL longs,
+   where the old double-division spelling loses integer resolution
+   past 2^53 (doubles near 2^53 µs have >1 µs spacing).
+4. ``distributed_cumsum`` / ``_distributed_rank`` validate INPUT
+   columns against the internal scratch set: a ``_pid`` input column
+   was silently replaced by ``spark_partition_id()`` and dropped —
+   data loss, not an error.
+5. ``forward_fill_bucketed`` inherits the carry's broadcast bound by
+   default (the ``_INHERIT`` sentinel — ``None`` means disable, not
+   "use the default").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from security_master_spark.operators.asof import asof_carry_bucketed
+from security_master_spark.operators.rolling import (
+    distributed_cumsum,
+    distributed_row_number,
+)
+from security_master_spark.operators.timeseries import (
+    forward_fill,
+    forward_fill_bucketed,
+)
+
+
+def _anchors(spark, n=40, key="k"):
+    pdf = pd.DataFrame(
+        {
+            key: ["a" if i % 2 else "b" for i in range(n)],
+            "ts": [i * 10 for i in range(n)],
+            "v": [float(i) if i % 3 else None for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _probes(spark, n=40, key="k"):
+    pdf = pd.DataFrame(
+        {
+            key: ["a" if i % 2 else "b" for i in range(n)],
+            "ts": [i * 10 + 5 for i in range(n)],
+            "pid": list(range(n)),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------- #
+# 1. broadcastability guard                                         #
+# ---------------------------------------------------------------- #
+
+def test_carry_tiny_bucket_width_raises_before_broadcast(spark):
+    # span 0..395, bucket_width=1 -> ~40 distinct (key, bucket) probe
+    # cells; bound of 10 must trip with the count in the message
+    with pytest.raises(ValueError, match="max_carry_rows=10"):
+        asof_carry_bucketed(
+            _probes(spark), _anchors(spark), ["k"], "ts", ["v"],
+            bucket_width=1, max_carry_rows=10,
+        ).collect()
+
+
+def test_carry_guard_disabled_with_none(spark):
+    out = asof_carry_bucketed(
+        _probes(spark), _anchors(spark), ["k"], "ts", ["v"],
+        bucket_width=1, max_carry_rows=None,
+    )
+    assert out.count() == 40
+
+
+def test_carry_bound_at_or_above_cardinality_passes(spark):
+    # exactly at the distinct (key, bucket) count: no raise
+    out = asof_carry_bucketed(
+        _probes(spark), _anchors(spark), ["k"], "ts", ["v"],
+        bucket_width=1, max_carry_rows=40,
+    )
+    assert out.count() == 40
+
+
+def test_ffill_bucketed_inherits_guard_and_none_disables(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 30,
+            "ts": list(range(30)),
+            "v": [float(i) if i % 4 else None for i in range(30)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # explicit tiny bound trips through the wrapper
+    with pytest.raises(ValueError, match="max_carry_rows=5"):
+        forward_fill_bucketed(
+            df, ["k"], "ts", ["v"], bucket_width=1, max_carry_rows=5
+        ).collect()
+    # None disables (NOT "use default") — must run
+    out = forward_fill_bucketed(
+        df, ["k"], "ts", ["v"], bucket_width=1, max_carry_rows=None
+    )
+    assert out.count() == 30
+
+
+# ---------------------------------------------------------------- #
+# 2. name-collision guards                                          #
+# ---------------------------------------------------------------- #
+
+def test_carry_nonpositive_bucket_width_raises(spark):
+    with pytest.raises(ValueError, match="bucket_width must be positive"):
+        asof_carry_bucketed(
+            _probes(spark), _anchors(spark), ["k"], "ts", ["v"], 0
+        )
+
+
+@pytest.mark.parametrize("bad", ["_bkt", "_is_a", "_in_v", "_x_v", "_r_k"])
+def test_carry_probe_scratch_column_raises(spark, bad):
+    p = _probes(spark).withColumn(bad, F.lit(1))
+    with pytest.raises(ValueError, match="internal"):
+        asof_carry_bucketed(p, _anchors(spark), ["k"], "ts", ["v"], 100)
+
+
+def test_carry_scratch_named_value_col_raises(spark):
+    # a value column named _bkt collides with the bucket id scratch
+    a = _anchors(spark).withColumnRenamed("v", "_bkt")
+    with pytest.raises(ValueError, match="internal"):
+        asof_carry_bucketed(
+            _probes(spark), a, ["k"], "ts", ["_bkt"], 100
+        )
+
+
+def test_carry_probe_extra_sharing_value_name_raises(spark):
+    # probe already carries a column named like a value col -> the
+    # anchor∪probe union would hold duplicate columns
+    p = _probes(spark).withColumn("v", F.lit(0.0))
+    with pytest.raises(ValueError, match="value_cols"):
+        asof_carry_bucketed(p, _anchors(spark), ["k"], "ts", ["v"], 100)
+
+
+def test_cumsum_input_pid_column_raises(spark):
+    df = _anchors(spark).withColumn("_pid", F.lit(7))
+    with pytest.raises(ValueError, match="_pid"):
+        distributed_cumsum(df, ["k"], ["ts"], {"cv": "v"}, n_ranges=3)
+
+
+def test_cumsum_input_offset_shadow_raises(spark):
+    # an input _os_cv would shadow the offset column the _cum
+    # expression reads for output name "cv"
+    df = _anchors(spark).withColumn("_os_cv", F.lit(1.0))
+    with pytest.raises(ValueError, match="_os_cv"):
+        distributed_cumsum(df, ["k"], ["ts"], {"cv": "v"}, n_ranges=3)
+
+
+def test_rank_input_scratch_column_raises(spark):
+    df = _anchors(spark).withColumn("_lrn", F.lit(1))
+    with pytest.raises(ValueError, match="_lrn"):
+        distributed_row_number(df, ["k"], ["ts"], n_ranges=3)
+
+
+def test_cumsum_unrelated_underscore_inputs_still_pass(spark):
+    # the guard is surgical: _os_OTHER only collides when OTHER is an
+    # output name; an unrelated underscore column flows through intact
+    df = _anchors(spark).withColumn("_os_other", F.lit(1.0))
+    out = distributed_cumsum(df, ["k"], ["ts"], {"cv": "v"}, n_ranges=3)
+    assert "_os_other" in out.columns
+    assert out.count() == 40
+
+
+# ---------------------------------------------------------------- #
+# 3. exact integer bucketing past 2^53                              #
+# ---------------------------------------------------------------- #
+
+def test_carry_exact_at_2p53_timestamps(spark):
+    """Bucket ids use integer `div`: at ts magnitudes ≥ 2^53 (where
+    doubles have >1 spacing and the old double-division spelling loses
+    integer resolution) the bucketed forward fill still equals the
+    serial window form exactly."""
+    base = 2**53
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "k": ["a" if i % 2 else "b" for i in range(n)],
+            # odd offsets around 2^53: consecutive longs that doubles
+            # cannot distinguish
+            "ts": [base + i for i in range(n)],
+            "v": [float(i) if i % 5 else None for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = forward_fill_bucketed(df, ["k"], "ts", ["v"], bucket_width=7)
+    ref = forward_fill(df, ["k"], "ts", ["v"])
+    g = {(r.k, r.ts): r.v for r in got.collect()}
+    r = {(r.k, r.ts): r.v for r in ref.collect()}
+    assert g == r
