@@ -1,0 +1,156 @@
+"""Skew-probe spelling selector (round-11 verdict order #3): the
+probe measures the key regime in one partial-aggregated pass, and the
+selector applies the PLANS.md rounds-10-11 decision table — window
+form on balanced keys, distributed spelling under a dominant key,
+distributed always for the halo+rank family that won both arms."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from security_master_spark.operators.spelling import (
+    DECISION_TABLE,
+    SkewStats,
+    recommend_spelling,
+    skew_probe,
+)
+
+
+def _skewed(spark, n=1000, share=0.96):
+    hot = int(n * share)
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * hot + [f"k{i % 4}" for i in range(n - hot)],
+            "v": range(n),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _balanced(spark, n=1000, keys=5):
+    pdf = pd.DataFrame(
+        {"k": [f"k{i % keys}" for i in range(n)], "v": range(n)}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_probe_measures_dominant_key(spark):
+    s = skew_probe(_skewed(spark), ["k"])
+    assert s.n_rows == 1000
+    assert s.n_keys == 5
+    assert s.top_key == ("hot",)
+    assert s.top_share == pytest.approx(0.96)
+
+
+def test_probe_measures_balanced_keys(spark):
+    s = skew_probe(_balanced(spark), ["k"])
+    assert s.n_rows == 1000
+    assert s.n_keys == 5
+    assert s.top_share == pytest.approx(0.2)
+
+
+def test_probe_null_keys_are_first_class(spark):
+    pdf = pd.DataFrame({"k": [None] * 9 + ["a"], "v": range(10)})
+    s = skew_probe(spark.createDataFrame(pdf), ["k"])
+    assert s.n_keys == 2
+    assert s.top_key == (None,)
+    assert s.top_share == pytest.approx(0.9)
+
+
+def test_probe_composite_keys(spark):
+    pdf = pd.DataFrame(
+        {"k1": ["a", "a", "b"], "k2": [1, 1, 2], "v": [0, 1, 2]}
+    )
+    s = skew_probe(spark.createDataFrame(pdf), ["k1", "k2"])
+    assert s.n_keys == 2
+    assert s.top_key == ("a", 1)
+
+
+def test_probe_sampled_pins_dominant_share(spark):
+    s = skew_probe(
+        _skewed(spark, n=20_000), ["k"], sample_fraction=0.2, seed=7
+    )
+    assert s.sample_fraction == 0.2
+    assert 0 < s.n_rows < 20_000
+    assert s.top_key == ("hot",)
+    # a dominant key cannot hide from a uniform row sample
+    assert s.top_share > 0.9
+
+
+def test_probe_empty_frame(spark):
+    df = _balanced(spark).filter(F.lit(False))
+    s = skew_probe(df, ["k"])
+    assert s == SkewStats(0, 0, 0.0, None, None)
+
+
+def test_recommend_dominant_key_flips_to_distributed():
+    dominant = SkewStats(1000, 5, 0.96, ("hot",), None)
+    balanced = SkewStats(1000, 5, 0.2, ("k0",), None)
+    for op in (
+        "distributed_row_number",
+        "distributed_percentile",
+        "trailing_distributed_prefix",
+        "asof_carry_bucketed",
+        "forward_fill_bucketed",
+        "distributed_cumsum",
+    ):
+        assert recommend_spelling(op, dominant) == "distributed", op
+        assert recommend_spelling(op, balanced) == "window", op
+
+
+def test_recommend_halo_rank_family_always_distributed():
+    # won BOTH measured arms (2.03x balanced / 7.77x dominant)
+    balanced = SkewStats(1000, 5, 0.2, ("k0",), None)
+    for op in ("rolling_rows_agg", "rolling_distinct_count"):
+        assert recommend_spelling(op, balanced) == "distributed", op
+
+
+def test_recommend_empty_frame_is_window():
+    empty = SkewStats(0, 0, 0.0, None, None)
+    for op in DECISION_TABLE:
+        assert recommend_spelling(op, empty) == "window", op
+
+
+def test_recommend_threshold_is_inclusive():
+    at = SkewStats(100, 3, 0.5, ("a",), None)
+    below = SkewStats(100, 3, 0.49, ("a",), None)
+    assert recommend_spelling("distributed_percentile", at) == "distributed"
+    assert recommend_spelling("distributed_percentile", below) == "window"
+
+
+def test_recommend_unknown_operator_raises():
+    s = SkewStats(10, 2, 0.5, ("a",), None)
+    with pytest.raises(ValueError, match="unknown operator"):
+        recommend_spelling("nope", s)
+
+
+def test_end_to_end_probe_to_recommendation(spark):
+    assert (
+        recommend_spelling(
+            "forward_fill_bucketed", skew_probe(_skewed(spark), ["k"])
+        )
+        == "distributed"
+    )
+    assert (
+        recommend_spelling(
+            "forward_fill_bucketed", skew_probe(_balanced(spark), ["k"])
+        )
+        == "window"
+    )
+
+
+def test_decision_table_covers_the_whole_toolkit():
+    # the seven-member toolkit the round-11 verdict names (the halo
+    # family counts rolling_rows_agg + its collect_set specialization)
+    assert set(DECISION_TABLE) == {
+        "rolling_rows_agg",
+        "rolling_distinct_count",
+        "distributed_row_number",
+        "distributed_cumsum",
+        "distributed_percentile",
+        "trailing_distributed_prefix",
+        "asof_carry_bucketed",
+        "forward_fill_bucketed",
+    }
