@@ -154,3 +154,36 @@ def test_decision_table_covers_the_whole_toolkit():
         "asof_carry_bucketed",
         "forward_fill_bucketed",
     }
+
+
+# ---------------------------------------------------------------- #
+# property: probe vs a pure-pandas reference                        #
+# ---------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PKEY = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=st.lists(_PKEY, min_size=1, max_size=24))
+def test_probe_matches_pandas_reference(spark, keys):
+    """On random small frames (NULL keys included) the unsampled probe
+    must agree exactly with a pandas groupby reference on row count,
+    key count, and top share; top_key must be A maximal key (ties are
+    engine-arbitrary under max_by, so assert by count, not identity)."""
+    pdf = pd.DataFrame({"k": pd.array(keys, dtype="Int64"),
+                        "v": range(len(keys))})
+    s = skew_probe(spark.createDataFrame(pdf), ["k"])
+    counts = pdf.groupby("k", dropna=False)["v"].count()
+    assert s.n_rows == len(keys)
+    assert s.n_keys == len(counts)
+    assert s.top_share == pytest.approx(counts.max() / len(keys))
+    top = s.top_key[0]
+    top_count = counts[pd.NA if top is None else top]
+    assert top_count == counts.max()
