@@ -79,6 +79,13 @@ def skew_probe(
     percent); ``None`` scans the full frame. The probe is read-only
     and deterministic for a given seed.
     """
+    bad = sorted(set(keys) & {"_kc", "_nk", "_nr", "_top", "_topk"})
+    if bad:
+        raise ValueError(
+            f"skew_probe: key columns collide with internal scratch "
+            f"columns: {bad} — rename them before probing (the "
+            f"toolkit-wide guard convention)"
+        )
     s = (
         df.sample(fraction=sample_fraction, seed=seed)
         if sample_fraction is not None

@@ -187,3 +187,9 @@ def test_probe_matches_pandas_reference(spark, keys):
     top = s.top_key[0]
     top_count = counts[pd.NA if top is None else top]
     assert top_count == counts.max()
+
+
+def test_probe_scratch_key_name_raises(spark):
+    pdf = pd.DataFrame({"_kc": ["a", "b"], "v": [1, 2]})
+    with pytest.raises(ValueError, match="_kc"):
+        skew_probe(spark.createDataFrame(pdf), ["_kc"])
