@@ -500,11 +500,15 @@ ROUND12_HEAD: tuple[str, ...] = (
 #: ROUND12_HEAD window lands, the oldest evidence anywhere is r06 —
 #: the 37 remaining r06 rows (l48, q22, u10, u11, io13-io16, a22,
 #: a23, …, evidence-age order) — plus 13 backfill from the oldest
-#: r07 greens makes the next 50. Run ``python tools/evidence_age.py``
-#: (preflight runs it with ``--check``) to recompute the histogram
-#: from the committed CORRECTNESS files instead of trusting this
-#: comment. Anything whose oracle (or physical plan) changes in round
-#: 13 jumps the queue (the round-9 stale-evidence rule, standing).
+#: r07 greens makes the next 50. Run ``python tools/evidence_age.py
+#: --stage`` (added round 12) to print the ready-to-paste pin from
+#: the committed CORRECTNESS files by the standing rules — it
+#: reproduces ROUND12_HEAD byte-for-byte from the r11 artifacts
+#: (tests/test_evidence_stage.py pins the rules) — instead of
+#: trusting this comment; preflight still runs ``--check``. Anything
+#: whose oracle (or physical plan) changes in round 13 jumps the
+#: queue (the round-9 stale-evidence rule, standing — the stager
+#: cannot know what changed, so apply it by hand on top).
 
 
 #: Historical round-8 window (superseded by ROUND9_HEAD; kept so the

@@ -1,0 +1,72 @@
+"""The rotation-window stager (tools/evidence_age.py --stage) must
+reproduce the standing rules rounds 10-12 applied by hand:
+
+- main body = every registered query whose latest evidence is the
+  oldest round on disk, in head-pin order (evidence age, then
+  registration order);
+- backfill = next-oldest hash-GREENS only, topping the window up to
+  its size — a row whose latest evidence is weak (``no_oracle``)
+  never backfills and rotates with its own round's main body;
+- while the newest committed artifact is CORRECTNESS_r11, the staged
+  window is byte-for-byte the hand-derived ROUND12_HEAD (the pin the
+  round-11 verdict ordered). Once r12+ artifacts land this exactness
+  clause retires and the structural clauses keep guarding the rules.
+
+No Spark session needed — the stager reads committed JSON and the
+registry's name list.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location(
+        "evidence_age", os.path.join(_REPO, "tools", "evidence_age.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("evidence_age", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_stage_window_follows_the_standing_rules():
+    tool = _load_tool()
+    from security_master_spark.plans.registry import queries
+
+    names = list(queries())
+    rows = tool.latest_rows()
+    main, backfill, oldest = tool.stage_window(names, rows, 50)
+
+    assert len(main) + len(backfill) == 50
+    ages = {n: rows.get(n, (0, {}))[0] for n in names}
+    # main body is EXACTLY the oldest-round set (when it fits)
+    oldest_set = {n for n in names if ages[n] == oldest}
+    if len(oldest_set) <= 50:
+        assert set(main) == oldest_set
+    # backfill: hash-greens only, none from the oldest round, and in
+    # age-then-registration order
+    for n in backfill:
+        assert ages[n] > oldest
+        assert rows[n][1].get("hash_match") is True
+    keyed = [(ages[n], names.index(n)) for n in backfill]
+    assert keyed == sorted(keyed)
+    # no duplicates across the window
+    assert len(set(main) | set(backfill)) == 50
+
+
+def test_stage_reproduces_round12_head_while_r11_is_newest():
+    tool = _load_tool()
+    from security_master_spark.plans.registry import ROUND12_HEAD, queries
+
+    rows = tool.latest_rows()
+    newest = max(rnd for rnd, _r in rows.values())
+    if newest != 11:
+        return  # exactness clause retired; structural test still runs
+    main, backfill, _ = tool.stage_window(list(queries()), rows, 50)
+    assert tuple(main + backfill) == ROUND12_HEAD

@@ -5,6 +5,7 @@ plans/registry.py). Prints the histogram and the oldest-first
 candidate list the next head pin should be built from.
 
 Usage: python tools/evidence_age.py [--max-round N] [--limit K] [--check]
+                                    [--stage [K]]
     --max-round N   only list queries whose latest evidence ≤ rN
     --limit K       cap the candidate list (default 60)
     --check         exit nonzero if any query was never driver-checked
@@ -14,6 +15,24 @@ Usage: python tools/evidence_age.py [--max-round N] [--limit K] [--check]
                     #5: preflight runs this so the staged-rotation
                     comment can never drift from the committed
                     artifacts)
+    --stage [K]     print the NEXT rotation window (default 50 rows)
+                    as a ready-to-paste ROUND*_HEAD tuple, computed
+                    from the committed artifacts by the standing
+                    rules (rounds 10-12): the main body is every row
+                    whose evidence sits at the oldest round on disk,
+                    in head-pin order (evidence age, then
+                    registration order); the backfill tops the window
+                    up from the next-oldest rounds with hash-GREENS
+                    ONLY — a row whose latest evidence is
+                    ``no_oracle`` (weak by design) is skipped and
+                    rotates when its round becomes the oldest, so
+                    weak rows re-certify on the same cadence without
+                    ever displacing a hash re-certification. This
+                    mechanizes what rounds 10-12 derived by hand; the
+                    queue-jump rule (oracle or plan changed
+                    mid-round → to the front) still applies on top,
+                    by hand, because only the author knows what
+                    changed.
 """
 
 from __future__ import annotations
@@ -30,36 +49,109 @@ sys.path.insert(0, _REPO)
 
 
 def latest_evidence() -> dict[str, int]:
-    latest: dict[str, int] = {}
+    return {n: rnd for n, (rnd, _row) in latest_rows().items()}
+
+
+def latest_rows() -> dict[str, tuple[int, dict]]:
+    """name -> (latest round carrying a row for it, that row)."""
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
         with open(path, encoding="utf-8") as f:
-            for name in json.load(f):
-                latest[name] = max(latest.get(name, 0), rnd)
+            for name, row in json.load(f).items():
+                if name not in latest or rnd > latest[name][0]:
+                    latest[name] = (rnd, row)
     return latest
+
+
+def stage_window(
+    names: list[str], rows: dict[str, tuple[int, dict]], size: int
+) -> tuple[list[str], list[str], int]:
+    """Compute the next rotation window by the standing rules.
+
+    Returns (main_body, backfill, oldest_round). Main body: every
+    registered query whose latest evidence is the oldest round on
+    disk, head-pin order. Backfill: next-oldest hash-greens (latest
+    row has ``hash_match`` truthy) until the window holds ``size``
+    names; weak/no_oracle rows are skipped by backfill and rotate
+    with their round's main body instead.
+    """
+    ages = {n: rows.get(n, (0, {}))[0] for n in names}
+    cands = sorted(names, key=lambda n: (ages[n], names.index(n)))
+    oldest = ages[cands[0]] if cands else 0
+    main = [n for n in cands if ages[n] == oldest][:size]
+    backfill: list[str] = []
+    for n in cands:
+        if len(main) + len(backfill) >= size:
+            break
+        if ages[n] == oldest:
+            continue
+        if rows.get(n, (0, {}))[1].get("hash_match"):
+            backfill.append(n)
+    return main, backfill, oldest
 
 
 def main(argv: list[str]) -> None:
     max_round = None
     limit = 60
     check = False
-    it = iter(argv)
-    for a in it:
+    stage: int | None = None
+    args = list(argv)
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a == "--max-round":
-            max_round = int(next(it))
+            i += 1
+            max_round = int(args[i])
         elif a == "--limit":
-            limit = int(next(it))
+            i += 1
+            limit = int(args[i])
         elif a == "--check":
             check = True
+        elif a == "--stage":
+            stage = 50
+            if i + 1 < len(args) and args[i + 1].isdigit():
+                i += 1
+                stage = int(args[i])
         else:
             sys.exit(f"unknown arg {a!r} — see module docstring")
+        i += 1
 
     from security_master_spark.plans.registry import queries
 
     names = list(queries())
-    latest = latest_evidence()
+    rows = latest_rows()
+    latest = {n: rnd for n, (rnd, _r) in rows.items()}
     ages = {n: latest.get(n, 0) for n in names}  # 0 = never checked
+
+    if stage is not None:
+        main_body, backfill, oldest = stage_window(names, rows, stage)
+        newest = max(latest.values(), default=0)
+        print(
+            f"# NEXT rotation window ({len(main_body) + len(backfill)} "
+            f"rows = {len(main_body)} r{oldest:02d} main body + "
+            f"{len(backfill)} hash-green backfill), computed from the "
+            f"committed CORRECTNESS_r*.json (newest r{newest:02d}) by "
+            f"tools/evidence_age.py --stage. Apply the queue-jump rule "
+            f"by hand on top."
+        )
+        # at round-N start the artifacts run through r(N-1), so the
+        # window being pinned is ROUND N (e.g. artifacts through r11
+        # -> ROUND12_HEAD, which is how round 12 derived its pin)
+        print(f"ROUND{newest + 1}_HEAD: tuple[str, ...] = (")
+        print(f"    # (1) the {len(main_body)} r{oldest:02d}-evidence "
+              f"rows, age order")
+        for n in main_body:
+            print(f'    "{n}",')
+        if backfill:
+            print(f"    # (2) backfill: the {len(backfill)} oldest "
+                  f"hash-greens (weak/no_oracle rows skipped — they "
+                  f"rotate with their round's main body)")
+            for n in backfill:
+                print(f'    "{n}",')
+        print(")")
+        return
 
     hist = Counter(ages.values())
     print("latest-evidence histogram (0 = never driver-checked):")
