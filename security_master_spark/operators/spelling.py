@@ -117,19 +117,18 @@ def skew_probe(
 
 #: Measured speedups of each distributed spelling vs its portable
 #: window/aggregate form — minimums over interleaved batteries at the
-#: 6M-tick stress corpora (PLANS.md rounds 10-11; "balanced" = 5 even
+#: 6M-tick stress corpora (PLANS.md rounds 10-12; "balanced" = 5 even
 #: keys, "dominant" = one key owns 96% of rows; distributed_row_number
 #: was measured at sf0.1 balanced and a 10×-dominant-segment corpus;
-#: distributed_cumsum's dominant arm is the ONE-key corpus, its
-#: balanced arm was not separately measured — the trailing study
-#: (same pipeline) stands in). A balanced ratio ≥ 1 means the
-#: distributed form won BOTH arms and is the default once per-key
-#: volume is the bottleneck.
+#: distributed_cumsum's cells are the round-12 isolation study —
+#: tools/measure_cumsum.py closed the previously-unmeasured balanced
+#: arm). A balanced ratio ≥ 1 means the distributed form won BOTH
+#: arms and is the default once per-key volume is the bottleneck.
 DECISION_TABLE: dict[str, dict[str, float | None]] = {
     "rolling_rows_agg": {"balanced": 2.03, "dominant": 7.77},
     "rolling_distinct_count": {"balanced": 2.03, "dominant": 7.77},
     "distributed_row_number": {"balanced": 0.57, "dominant": 1.41},
-    "distributed_cumsum": {"balanced": None, "dominant": 2.7},
+    "distributed_cumsum": {"balanced": 0.93, "dominant": 3.64},
     "distributed_percentile": {"balanced": 0.86, "dominant": 2.58},
     "trailing_distributed_prefix": {"balanced": 0.60, "dominant": 1.77},
     "asof_carry_bucketed": {"balanced": 0.60, "dominant": 1.77},
