@@ -236,14 +236,17 @@ def asof_carry_bucketed(
     ``bucket_width`` such that keys × span/bucket_width stays
     driver-broadcastable (the natural choice — the caller's lookback
     interval — gives span/lookback buckets). That contract is
-    ENFORCED, not advisory (round-11 verdict): a bounded probe —
-    ``limit(max_carry_rows + 1)`` over the distinct probe (key,
-    bucket) projection, so LocalLimit caps what the probe
-    materializes — raises ``ValueError`` before the OOM-class
-    broadcast is built when the carry table exceeds
-    ``max_carry_rows`` (default :data:`DEFAULT_MAX_CARRY_ROWS`;
-    ``None`` disables). The probe is one extra bounded job over a
-    deterministic projection; the fix for a raise is a wider
+    ENFORCED, not advisory (round-11 verdict), and the guard is FUSED
+    into the plan (round-12 guard-cost study, PLANS.md: an eager
+    count action costs an extra input scan per call, +0.8-1.1 s at
+    the 6M corpus, and the persist-reclaim variant measured worse):
+    a global count window over the small carry table plus an in-plan
+    ``raise_error`` abort the job at the FIRST ACTION — surfacing as
+    a Spark runtime exception carrying this operator's message, not
+    a call-time ``ValueError`` — before the broadcast is built, when
+    the carry table exceeds ``max_carry_rows`` (default
+    :data:`DEFAULT_MAX_CARRY_ROWS`; ``None`` disables and removes
+    the count window entirely). The fix for a raise is a wider
     ``bucket_width`` (each doubling halves the carry rows).
 
     Reserved names: ``_bkt``/``_is_a``, the per-column scratch
@@ -268,6 +271,10 @@ def asof_carry_bucketed(
 
     on = list(on)
     vals = list(value_cols)
+    if not vals:
+        raise ValueError(
+            "asof_carry_bucketed: value_cols must be non-empty"
+        )
     bw_i = int(bucket_width)
     if bw_i <= 0:
         raise ValueError(
@@ -344,25 +351,6 @@ def asof_carry_bucketed(
         ]
     )
     pb = p.select(*on, "_bkt").distinct()
-    if max_carry_rows is not None:
-        # transpose_small-style bounded probe: the cross-bucket carry
-        # table (broadcast below via _nullsafe_attach) holds exactly
-        # one row per distinct probe (key, bucket) = pb's cardinality.
-        # limit(max + 1) caps what the probe materializes, so the
-        # guard stays cheap even when a bad bucket_width would yield
-        # billions of buckets; pb is a deterministic projection, so
-        # the later re-evaluation in the union cannot diverge.
-        n = pb.limit(max_carry_rows + 1).count()
-        if n > max_carry_rows:
-            raise ValueError(
-                f"asof_carry_bucketed: cross-bucket carry table "
-                f"exceeds max_carry_rows={max_carry_rows} distinct "
-                f"(key, bucket) rows (probe stopped at {n}); it is "
-                f"force-broadcast, so this plan is an OOM risk — "
-                f"widen bucket_width (each doubling halves the carry "
-                f"rows), or raise/disable max_carry_rows on a "
-                f"big-driver cluster"
-            )
     s_u = summ.select(*on, "_bkt", F.lit(1).alias("_is_a"), *vals)
     pb_u = pb.select(
         *on, "_bkt", F.lit(0).alias("_is_a"),
@@ -385,6 +373,43 @@ def asof_carry_bucketed(
         .filter(F.col("_is_a") == 0)
         .drop("_is_a")
     )
+    if max_carry_rows is not None:
+        # Broadcastability guard, FUSED into the plan (round 12): the
+        # carry table below is force-broadcast, one row per distinct
+        # probe (key, bucket). A separate eager count action pays an
+        # extra input scan per call (+0.8-1.1 s at the 6M corpus) and
+        # the persist-reclaim variant measured WORSE (guard-cost study,
+        # PLANS.md) — so the check rides the main job instead: a
+        # global count window over the SMALL carry table (one extra
+        # single-partition exchange of ≤ carry rows) and an in-plan
+        # raise on the first action when it exceeds the bound. When
+        # the guard trips, the single-task window spills instead of
+        # the driver OOMing, and the broadcast build never starts.
+        # The raise surfaces as a SparkRuntimeException wrapping this
+        # message at the first action, not a call-time ValueError —
+        # the price of a zero-cost guard on a lazy engine.
+        v0 = vals[0]
+        w_n = Window.partitionBy()
+        cross = (
+            cross.withColumn("_n", F.count("*").over(w_n))
+            .withColumn(
+                f"_x_{v0}",
+                F.when(
+                    F.col("_n") > max_carry_rows,
+                    F.raise_error(F.format_string(
+                        "asof_carry_bucketed: cross-bucket carry table "
+                        "holds %d distinct (key, bucket) rows, over "
+                        f"max_carry_rows={max_carry_rows}; it is "
+                        "force-broadcast, so this plan is an OOM risk "
+                        "— widen bucket_width (each doubling halves "
+                        "the carry rows), or raise/disable "
+                        "max_carry_rows on a big-driver cluster",
+                        F.col("_n"),
+                    )),
+                ).otherwise(F.col(f"_x_{v0}")),
+            )
+            .drop("_n")
+        )
 
     out = _nullsafe_attach(filled, cross, [*on, "_bkt"])
     return out.select(

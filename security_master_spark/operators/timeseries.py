@@ -84,8 +84,9 @@ def forward_fill_bucketed(
     under the carry's ``max_carry_rows`` bound (defaults to
     asof_carry_bucketed's
     :data:`~security_master_spark.operators.asof.DEFAULT_MAX_CARRY_ROWS`,
-    which raises ``ValueError`` instead of building an OOM-class
-    broadcast; pass ``None`` to disable); (b) parallelism — at least
+    whose in-plan guard aborts the first action instead of building
+    an OOM-class broadcast; pass ``None`` to disable); (b)
+    parallelism — at least
     ~``defaultParallelism``
     (key, bucket) cells so the within-bucket stage fills the cluster.
     The heuristic that satisfies both for any realistic corpus:

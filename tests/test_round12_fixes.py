@@ -68,8 +68,12 @@ def _probes(spark, n=40, key="k"):
 
 def test_carry_tiny_bucket_width_raises_before_broadcast(spark):
     # span 0..395, bucket_width=1 -> ~40 distinct (key, bucket) probe
-    # cells; bound of 10 must trip with the count in the message
-    with pytest.raises(ValueError, match="max_carry_rows=10"):
+    # cells; bound of 10 must trip with the count in the message.
+    # The guard is FUSED into the plan (round-12 guard-cost study) so
+    # the raise surfaces at the first ACTION as a Spark runtime
+    # exception carrying the operator's message, not a call-time
+    # ValueError.
+    with pytest.raises(Exception, match="max_carry_rows=10"):
         asof_carry_bucketed(
             _probes(spark), _anchors(spark), ["k"], "ts", ["v"],
             bucket_width=1, max_carry_rows=10,
@@ -102,8 +106,9 @@ def test_ffill_bucketed_inherits_guard_and_none_disables(spark):
         }
     )
     df = spark.createDataFrame(pdf)
-    # explicit tiny bound trips through the wrapper
-    with pytest.raises(ValueError, match="max_carry_rows=5"):
+    # explicit tiny bound trips through the wrapper (in-plan
+    # raise -> surfaces at the collect, wrapped by Spark)
+    with pytest.raises(Exception, match="max_carry_rows=5"):
         forward_fill_bucketed(
             df, ["k"], "ts", ["v"], bucket_width=1, max_carry_rows=5
         ).collect()
