@@ -249,7 +249,7 @@ def asof_carry_bucketed(
     the count window entirely). The fix for a raise is a wider
     ``bucket_width`` (each doubling halves the carry rows).
 
-    Reserved names: ``_bkt``/``_is_a``, the per-column scratch
+    Reserved names: ``_bkt``/``_is_a``/``_n``, the per-column scratch
     ``_in_<v>``/``_x_<v>``, and the attach-side ``_r_<key>``/
     ``_r__bkt`` are internal; inputs carrying them — or probe extras
     sharing a ``value_cols`` name (duplicate columns in the anchor∪
@@ -282,7 +282,11 @@ def asof_carry_bucketed(
             f"{bucket_width}"
         )
     reserved = (
-        {"_bkt", "_is_a"}
+        # _n is the fused guard's count column — reserved even when
+        # the guard is off, so behavior never depends on the bound
+        # (round-12 review: a join key named _n was silently replaced
+        # by the count and then dropped)
+        {"_bkt", "_is_a", "_n"}
         | {f"_in_{v}" for v in vals}
         | {f"_x_{v}" for v in vals}
         | {f"_r_{c}" for c in (*on, "_bkt")}
@@ -388,12 +392,18 @@ def asof_carry_bucketed(
         # The raise surfaces as a SparkRuntimeException wrapping this
         # message at the first action, not a call-time ValueError —
         # the price of a zero-cost guard on a lazy engine.
-        v0 = vals[0]
+        #
+        # The guard wraps the _bkt JOIN KEY, not a value column: a
+        # value column is pruned — guard and all — whenever the
+        # consumer doesn't read it (caught by the round-12 review:
+        # .select() of a subset silently skipped the check), while
+        # the attach below always evaluates its join keys for every
+        # carry row when building the broadcast hash table.
         w_n = Window.partitionBy()
         cross = (
             cross.withColumn("_n", F.count("*").over(w_n))
             .withColumn(
-                f"_x_{v0}",
+                "_bkt",
                 F.when(
                     F.col("_n") > max_carry_rows,
                     F.raise_error(F.format_string(
@@ -406,7 +416,7 @@ def asof_carry_bucketed(
                         "max_carry_rows on a big-driver cluster",
                         F.col("_n"),
                     )),
-                ).otherwise(F.col(f"_x_{v0}")),
+                ).otherwise(F.col("_bkt")),
             )
             .drop("_n")
         )

@@ -17,14 +17,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_master_spark.operators.asof import DEFAULT_MAX_CARRY_ROWS
+
 
 def _series_window(keys: Sequence[str], ts: str) -> Window:
     return Window.partitionBy(*keys).orderBy(ts)
-
-
-#: "inherit asof_carry_bucketed's DEFAULT_MAX_CARRY_ROWS" sentinel —
-#: distinct from None, which the carry treats as "disable the guard".
-_INHERIT = object()
 
 
 def forward_fill(
@@ -46,7 +43,7 @@ def forward_fill_bucketed(
     ts: str,
     cols: Sequence[str],
     bucket_width: int,
-    max_carry_rows: int | None | object = _INHERIT,
+    max_carry_rows: int | None = DEFAULT_MAX_CARRY_ROWS,
 ) -> DataFrame:
     """Skew-proof, JVM-side forward fill — the third spelling of the
     carry-forward family, chosen by regime:
@@ -89,24 +86,22 @@ def forward_fill_bucketed(
     parallelism — at least
     ~``defaultParallelism``
     (key, bucket) cells so the within-bucket stage fills the cluster.
-    The heuristic that satisfies both for any realistic corpus:
-    ``bucket_width ≈ span // max(defaultParallelism,
-    ceil(n_keys * span / (bound // 2)))`` — i.e. start from
-    span/parallelism (the round-11 measured configurations used
-    span/32-ish widths) and only narrow further while (a) holds. A
-    width a few × the median per-key observation gap stops mattering:
-    past that, within-bucket windows dominate and the cross-bucket
-    carry is noise.
+    Constraint (a) bounds the width from BELOW —
+    ``bucket_width ≥ 2 * n_keys * span / max_carry_rows`` (the 2× is
+    headroom; each halving of the width doubles the carry rows) —
+    and (b) from above: ``bucket_width ≤ n_keys * span /
+    cluster_parallelism``. Any width between the two works; with few
+    keys start at ``span / defaultParallelism`` (the round-11
+    measured configurations used span/32-ish widths), with many keys
+    start at the lower bound. (The round-12 review caught the
+    previous formula here inverting constraint (a) — it divided span
+    by the MINIMUM-width term, recommending widths ~bound× too
+    narrow.) A width a few × the median per-key observation gap
+    stops mattering: past that, within-bucket windows dominate and
+    the cross-bucket carry is noise.
     """
-    from security_master_spark.operators.asof import (
-        DEFAULT_MAX_CARRY_ROWS,
-        asof_carry_bucketed,
-    )
+    from security_master_spark.operators.asof import asof_carry_bucketed
 
-    bound = (
-        DEFAULT_MAX_CARRY_ROWS if max_carry_rows is _INHERIT
-        else max_carry_rows
-    )
     out = asof_carry_bucketed(
         df.drop(*cols),
         df.select(*keys, ts, *cols),
@@ -114,7 +109,7 @@ def forward_fill_bucketed(
         ts,
         list(cols),
         bucket_width,
-        max_carry_rows=bound,
+        max_carry_rows=max_carry_rows,
     )
     return out.select(*df.columns)
 

@@ -49,6 +49,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from security_master_spark.operators.asof import DEFAULT_MAX_CARRY_ROWS
+
 
 def trailing_interval_sum(
     df: DataFrame,
@@ -63,6 +65,7 @@ def trailing_interval_sum(
     distributed_prefix: bool = False,
     carry_bucket_us: int | None = None,
     cache_registry: list[DataFrame] | None = None,
+    max_carry_rows: int | None = DEFAULT_MAX_CARRY_ROWS,
 ) -> DataFrame:
     """Per row: COUNT(*) and SUM(units) over the trailing closed
     interval ``[ts − lookback_us, ts]`` within the row's key group,
@@ -139,6 +142,16 @@ def trailing_interval_sum(
     ``persist()`` the CacheManager holds until explicit unpersist —
     pass a list to receive it for release after consumption
     (operators/rolling.py contract).
+
+    ``max_carry_rows``: passthrough to the boundary carry's fused
+    broadcast guard (distributed path only) — the carry table holds
+    one row per distinct (key, boundary bucket) ≈ keys ×
+    span/carry_bucket_us, and the default bound aborts the first
+    action past :data:`~security_master_spark.operators.asof.
+    DEFAULT_MAX_CARRY_ROWS` cells. On corpora where keys ×
+    span/lookback legitimately exceeds the bound, widen
+    ``carry_bucket_us`` (the carry stays exact at any width), raise
+    the bound on a big-driver cluster, or pass ``None`` to disable.
     """
     keys = list(keys)
     base = df.select(
@@ -265,6 +278,7 @@ def trailing_interval_sum(
             "_t",
             ["_an", "_au", "_ann"],
             carry_bucket_us or max(lookback_us, 1),
+            max_carry_rows=max_carry_rows,
         ).select(
             "_rid",
             F.col("_an").alias("_bn"),

@@ -1,12 +1,16 @@
 """Round-12 contract fixes (round-11 verdict order #2 + ADVICE items)
 pinned as tests:
 
-1. ``asof_carry_bucketed``'s broadcastability contract is ENFORCED: a
-   bounded probe (``limit(max_carry_rows + 1)``) over the distinct
-   probe (key, bucket) projection raises ``ValueError`` when the
-   cross-bucket carry table that gets force-broadcast would exceed
-   the bound — a deliberately tiny ``bucket_width`` fails loudly
-   instead of building an OOM-class broadcast.
+1. ``asof_carry_bucketed``'s broadcastability contract is ENFORCED,
+   fused into the plan (the guard-cost study rejected both the eager
+   count action and a persist-reclaim variant — PLANS.md): a global
+   count window over the carry table wraps the ``_bkt`` JOIN KEY in
+   an in-plan ``raise_error``, so a deliberately tiny
+   ``bucket_width`` fails loudly at the FIRST ACTION (a Spark
+   runtime exception carrying the operator's message) instead of
+   building an OOM-class broadcast — and the guard survives column
+   pruning because join keys are always evaluated, whatever subset
+   of output columns the consumer reads.
 2. ``asof_carry_bucketed`` scratch/duplicate-name collisions raise
    ``ValueError`` up front (the distributed_cumsum convention):
    inputs carrying ``_bkt``/``_is_a``/``_in_<v>``/``_x_<v>``/
@@ -18,9 +22,9 @@ pinned as tests:
    columns against the internal scratch set: a ``_pid`` input column
    was silently replaced by ``spark_partition_id()`` and dropped —
    data loss, not an error.
-5. ``forward_fill_bucketed`` inherits the carry's broadcast bound by
-   default (the ``_INHERIT`` sentinel — ``None`` means disable, not
-   "use the default").
+5. ``forward_fill_bucketed`` defaults to the carry's broadcast bound
+   (``DEFAULT_MAX_CARRY_ROWS`` imported directly) — ``None`` means
+   disable, not "use the default".
 """
 
 from __future__ import annotations
@@ -209,3 +213,83 @@ def test_carry_exact_at_2p53_timestamps(spark):
     g = {(r.k, r.ts): r.v for r in got.collect()}
     r = {(r.k, r.ts): r.v for r in ref.collect()}
     assert g == r
+
+
+# ---------------------------------------------------------------- #
+# 6. round-12 review fixes: guard survives pruning; _n reserved;    #
+#    trailing exposes the carry bound                               #
+# ---------------------------------------------------------------- #
+
+def test_carry_guard_survives_column_pruning(spark):
+    """The fused guard wraps the _bkt JOIN key: consuming any subset
+    of output columns — including none of the carried values — must
+    still trip the bound (the review reproduced a silent bypass when
+    the first value column was pruned)."""
+    a = _anchors(spark).withColumn("v2", F.col("v") * 2)
+    with pytest.raises(Exception, match="max_carry_rows=10"):
+        asof_carry_bucketed(
+            _probes(spark), a, ["k"], "ts", ["v", "v2"],
+            bucket_width=1, max_carry_rows=10,
+        ).select("k", "ts", "v2").collect()
+    with pytest.raises(Exception, match="max_carry_rows=10"):
+        asof_carry_bucketed(
+            _probes(spark), a, ["k"], "ts", ["v", "v2"],
+            bucket_width=1, max_carry_rows=10,
+        ).select("k", "ts", "pid").collect()
+
+
+def test_carry_key_named_n_raises_loudly(spark):
+    """A join key named _n collided with the fused guard's count
+    column (UNRESOLVED_COLUMN at analysis, or silent pass with the
+    guard off) — now a loud reserved-name ValueError either way."""
+    p = _probes(spark).withColumnRenamed("k", "_n")
+    a = _anchors(spark).withColumnRenamed("k", "_n")
+    for bound in (1000, None):
+        with pytest.raises(ValueError, match="_n"):
+            asof_carry_bucketed(
+                p, a, ["_n"], "ts", ["v"], bucket_width=50,
+                max_carry_rows=bound,
+            )
+
+
+def test_carry_empty_value_cols_raises(spark):
+    with pytest.raises(ValueError, match="value_cols must be non-empty"):
+        asof_carry_bucketed(
+            _probes(spark), _anchors(spark), ["k"], "ts", [],
+            bucket_width=50,
+        )
+
+
+def test_trailing_distributed_exposes_carry_bound(spark):
+    """trailing_interval_sum(distributed_prefix=True) inherits the
+    carry's guard; the bound must be reachable from this API — a
+    tiny bound trips, None disables, and the disabled run matches
+    the default path exactly."""
+    from security_master_spark.operators.trailing import (
+        trailing_interval_sum,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a" if i % 2 else "b" for i in range(60)],
+            "ts": [i * 1_000_000 for i in range(60)],
+            "u": [i % 7 for i in range(60)],
+            "rid": list(range(60)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kw = dict(
+        keys=["k"], ts_us="ts", lookback_us=5_000_000,
+        units=F.col("u"), row_id="rid", distributed_prefix=True,
+        carry_bucket_us=1_000_000,
+    )
+    with pytest.raises(Exception, match="max_carry_rows=3"):
+        trailing_interval_sum(df, max_carry_rows=3, **kw).collect()
+    got = trailing_interval_sum(df, max_carry_rows=None, **kw)
+    ref = trailing_interval_sum(
+        df, keys=["k"], ts_us="ts", lookback_us=5_000_000,
+        units=F.col("u"), row_id="rid",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
