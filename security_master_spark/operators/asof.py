@@ -282,11 +282,7 @@ def asof_carry_bucketed(
             f"{bucket_width}"
         )
     reserved = (
-        # _n is the fused guard's count column — reserved even when
-        # the guard is off, so behavior never depends on the bound
-        # (round-12 review: a join key named _n was silently replaced
-        # by the count and then dropped)
-        {"_bkt", "_is_a", "_n"}
+        {"_bkt", "_is_a"}
         | {f"_in_{v}" for v in vals}
         | {f"_x_{v}" for v in vals}
         | {f"_r_{c}" for c in (*on, "_bkt")}
@@ -296,6 +292,19 @@ def asof_carry_bucketed(
         raise ValueError(
             f"asof_carry_bucketed: input columns collide with internal "
             f"scratch columns: {bad} — rename them before calling"
+        )
+    # _n is the fused guard's count column on the INTERNAL cross
+    # table, which carries only join keys and value columns — so only
+    # those surfaces can collide (a probe passthrough column named _n
+    # never reaches it and stays legal). Checked even when the guard
+    # is off, so validity never depends on the bound (round-12
+    # review: a join key named _n was silently replaced by the count
+    # and then dropped).
+    if "_n" in {*on, *vals}:
+        raise ValueError(
+            "asof_carry_bucketed: '_n' among the join keys or "
+            "value_cols collides with the fused broadcast guard's "
+            "count column — rename it before calling"
         )
     extras = [c for c in probes.columns if c not in {*on, ts}]
     dup = sorted(set(extras) & set(vals))

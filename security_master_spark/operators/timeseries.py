@@ -17,7 +17,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.operators.asof import DEFAULT_MAX_CARRY_ROWS
+from security_master_spark.operators.asof import (
+    DEFAULT_MAX_CARRY_ROWS,
+    asof_carry_bucketed,
+)
 
 
 def _series_window(keys: Sequence[str], ts: str) -> Window:
@@ -100,8 +103,6 @@ def forward_fill_bucketed(
     stops mattering: past that, within-bucket windows dominate and
     the cross-bucket carry is noise.
     """
-    from security_master_spark.operators.asof import asof_carry_bucketed
-
     out = asof_carry_bucketed(
         df.drop(*cols),
         df.select(*keys, ts, *cols),

@@ -49,7 +49,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.operators.asof import DEFAULT_MAX_CARRY_ROWS
+from security_master_spark.operators.asof import (
+    DEFAULT_MAX_CARRY_ROWS,
+    asof_carry_bucketed,
+)
 
 
 def trailing_interval_sum(
@@ -259,10 +262,6 @@ def trailing_interval_sum(
         # into (key, time-bucket) windows + a collapsed cross-bucket
         # summary carry — no per-key serial pass over O(rows) remains
         # on this path (operators/asof.py:asof_carry_bucketed).
-        from security_master_spark.operators.asof import (
-            asof_carry_bucketed,
-        )
-
         probes = base.select(
             F.col(row_id).alias("_rid"),
             *keys,

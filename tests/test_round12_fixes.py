@@ -293,3 +293,18 @@ def test_trailing_distributed_exposes_carry_bound(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_carry_probe_passthrough_named_n_is_legal(spark):
+    """_n only collides on the internal cross table's surfaces (join
+    keys / value_cols); a probe passthrough column named _n never
+    reaches it and must flow through intact, guard on or off."""
+    p = _probes(spark).withColumnRenamed("pid", "_n")
+    for bound in (1000, None):
+        out = asof_carry_bucketed(
+            p, _anchors(spark), ["k"], "ts", ["v"],
+            bucket_width=50, max_carry_rows=bound,
+        )
+        rows = out.collect()
+        assert len(rows) == 40
+        assert sorted(r["_n"] for r in rows) == list(range(40))
