@@ -62,18 +62,76 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.window import WindowSpec
 
+#: Default bound on the force-broadcast side of every toolkit attach
+#: (offsets / totals / target-rank tables — all O(distinct key
+#: groups)). Mirrors asof.py's DEFAULT_MAX_CARRY_ROWS: 2M rows of the
+#: narrow scratch tables is tens of MB — inside every sane
+#: autoBroadcastJoinThreshold-class budget — while an unbounded key
+#: count is a driver/executor OOM, not a slow query.
+DEFAULT_MAX_BROADCAST_ROWS = 2_000_000
+
 
 def _nullsafe_attach(big: DataFrame, small: DataFrame,
-                     on: list[str]) -> DataFrame:
+                     on: list[str], max_rows: int | None = None,
+                     what: str = "distributed toolkit") -> DataFrame:
     """Inner-join ``small`` (broadcast) onto ``big`` with NULL-SAFE
     key equality, keeping ``big``'s key columns. A bare name-list join
     compares with ``=``, so any row whose key is NULL silently drops —
     but windows/groupBy treat NULL as a first-class group, and these
     operators must match the window form's semantics exactly (NULL
-    keys included)."""
+    keys included).
+
+    ``max_rows`` (round 12): broadcastability guard, FUSED into the
+    plan — the asof.py carry pattern. ``small`` here is always a
+    per-key-group scratch table (offsets, totals, target ranks) whose
+    row count is O(distinct key groups); nothing else bounds it, so a
+    pathological key cardinality builds an OOM-class broadcast. The
+    guard is a global count window over the SMALL side plus an
+    in-plan ``raise_error`` wrapped around a JOIN KEY (a value column
+    would be pruned — guard and all — whenever the consumer doesn't
+    read it; the broadcast hash-table build always evaluates its join
+    keys), so it costs one single-partition exchange of the small
+    side (statistically zero in the PLANS.md guard-cost study) and
+    aborts the FIRST ACTION as a SparkRuntimeException wrapping the
+    message below — before the broadcast is built. ``None`` (the
+    default here; the public operators default to
+    :data:`DEFAULT_MAX_BROADCAST_ROWS`) disables and removes the
+    window from the plan entirely."""
     s = small
     for c in on:
         s = s.withColumnRenamed(c, f"_r_{c}")
+    if max_rows is not None:
+        if "_na" in s.columns:
+            raise ValueError(
+                f"{what}: the broadcast guard's scratch column '_na' "
+                "collides with a broadcast-side column — rename it "
+                "before calling"
+            )
+        def _wrap(col_name: str):
+            return F.when(
+                F.col("_na") > max_rows,
+                F.raise_error(F.format_string(
+                    f"{what}: broadcast-side scratch table holds "
+                    "%d rows (one per distinct key group), over "
+                    f"max_broadcast_rows={max_rows}; it is "
+                    "force-broadcast, so this plan is an OOM risk "
+                    "— at this key cardinality the portable "
+                    "window/aggregate form already has ample "
+                    "per-key parallelism and no broadcast; or "
+                    "raise/disable max_broadcast_rows on a "
+                    "big-driver cluster",
+                    F.col("_na"),
+                )),
+            ).otherwise(F.col(col_name))
+        # wrap the first JOIN KEY (always evaluated by the broadcast
+        # build); with no join keys (global/keyless consumers — a
+        # 1-row cross attach) wrap EVERY payload column instead, so
+        # the guard survives any partial projection the consumer takes
+        wrap_cols = [f"_r_{on[0]}"] if on else list(s.columns)
+        s = s.withColumn("_na", F.count("*").over(Window.partitionBy()))
+        for c in wrap_cols:
+            s = s.withColumn(c, _wrap(c))
+        s = s.drop("_na")
     cond = None
     for c in on:
         eq = big[c].eqNullSafe(s[f"_r_{c}"])
@@ -89,6 +147,7 @@ def _distributed_rank(
     n_ranges: int | None,
     cache_registry: list[DataFrame] | None = None,
     counts_col: str | None = None,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Per-key dense row positions with NO serial pass: range-partition
     by (keys, order), count rows per (range, key) — a tiny table —
@@ -128,6 +187,18 @@ def _distributed_rank(
             f"internal scratch columns: {bad} — rename them before "
             f"calling"
         )
+    # counts_col is an OUTPUT name but rides the totals attach as a
+    # broadcast-side payload column: scratch spellings would collide
+    # with the attach's renames ("_r_<key>") or the fused guard's
+    # count column ("_na") — same loud-failure contract as above.
+    if counts_col is not None and (
+        counts_col in guard or counts_col == "_na"
+    ):
+        raise ValueError(
+            f"distributed rank toolkit: counts_col={counts_col!r} "
+            "collides with an internal scratch column — pick another "
+            "name"
+        )
     n = n_ranges or df.sparkSession.sparkContext.defaultParallelism
     p = (
         df.repartitionByRange(n, *keys, *order_cols)
@@ -149,8 +220,14 @@ def _distributed_rank(
     )
     local_w = Window.partitionBy("_pid", *keys).orderBy(*order_cols)
     ranked = p.withColumn("_lrn", F.row_number().over(local_w))
+    # broadcast-side size: per-(range, key) pairs. Range-partitioning
+    # by (keys, order) makes each key's rows CONTIGUOUS across ranges,
+    # so pairs ≈ distinct keys + n_ranges — O(keys), unbounded by
+    # anything else; hence the fused guard (round 12, session 2).
     out = (
-        _nullsafe_attach(ranked, offsets, ["_pid", *keys])
+        _nullsafe_attach(ranked, offsets, ["_pid", *keys],
+                         max_rows=max_broadcast_rows,
+                         what="distributed rank (offsets table)")
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
         .drop("_pid", "_lrn", "_off")
     )
@@ -162,7 +239,9 @@ def _distributed_rank(
         totals = counts.groupBy(*keys).agg(
             F.sum("_c").alias(counts_col)
         )
-        out = _nullsafe_attach(out, totals, keys)
+        out = _nullsafe_attach(out, totals, keys,
+                               max_rows=max_broadcast_rows,
+                               what="distributed rank (totals table)")
     return out
 
 
@@ -174,6 +253,7 @@ def distributed_row_number(
     n_ranges: int | None = None,
     cache_registry: list[DataFrame] | None = None,
     counts_col: str | None = None,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Public spelling of :func:`_distributed_rank`: gap-free 1-based
     per-key row positions by ``order_cols`` — ``row_number() OVER
@@ -194,10 +274,18 @@ def distributed_row_number(
     count under that name — ``count(*) OVER (PARTITION BY keys)``
     without its own one-task-per-key window, rolled up from the
     per-(range, key) counts table the rank already computes (zero
-    extra input scans; the d39 rank+tail consumer pattern)."""
+    extra input scans; the d39 rank+tail consumer pattern).
+
+    ``max_broadcast_rows``: the offsets/totals scratch tables are
+    O(distinct key groups) and force-broadcast; past this bound the
+    first action aborts with an in-plan raise instead of building an
+    OOM-class broadcast (fused guard, zero measured cost — see
+    :func:`_nullsafe_attach` and the PLANS.md guard-cost study).
+    ``None`` disables."""
     out = _distributed_rank(
         df, list(part_keys), order_cols, n_ranges,
         cache_registry=cache_registry, counts_col=counts_col,
+        max_broadcast_rows=max_broadcast_rows,
     )
     return out.withColumnRenamed("_rn", out_col)
 
@@ -209,6 +297,7 @@ def distributed_cumsum(
     value_cols: dict[str, str],
     n_ranges: int | None = None,
     cache_registry: list[DataFrame] | None = None,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Per-key running totals — ``SUM(v) OVER (PARTITION BY keys
     ORDER BY ... ROWS UNBOUNDED PRECEDING)`` — without the window
@@ -239,6 +328,12 @@ def distributed_cumsum(
     column in place (``{"v": "v"}``); every output is computed from
     the PRE-overwrite inputs in one ``select``, so
     ``{"v": "v", "v2": "v"}`` reads the original ``v`` for both.
+
+    ``max_broadcast_rows``: the per-(range, key) offsets table is
+    force-broadcast and O(distinct keys); past this bound the first
+    action aborts with an in-plan raise instead of building an
+    OOM-class broadcast (see :func:`_nullsafe_attach`). ``None``
+    disables.
     Output names — and, since round 12, INPUT column names — colliding
     with the operator's internal scratch columns (``_pid``,
     ``_ps_*``/``_pc_*``/``_os_*``/``_oc_*``, attach-side ``_r_*``)
@@ -308,7 +403,11 @@ def distributed_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    attached = _nullsafe_attach(p, offsets, ["_pid", *keys])
+    # offsets is O(distinct keys + ranges) and force-broadcast — same
+    # fused broadcastability guard as the rank's offsets table
+    attached = _nullsafe_attach(p, offsets, ["_pid", *keys],
+                                max_rows=max_broadcast_rows,
+                                what="distributed cumsum (offsets table)")
 
     def _cum(out: str, src: str) -> Column:
         ls = F.sum(src).over(local_w)
@@ -344,6 +443,7 @@ def rolling_rows_agg(
     distributed_rank: bool = True,
     n_ranges: int | None = None,
     cache_registry: list[DataFrame] | None = None,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Skew-proof trailing ROWS-frame aggregation: for each row,
     evaluate every entry of ``aggs`` over the trailing ``frame_rows``
@@ -414,7 +514,8 @@ def rolling_rows_agg(
 
     if distributed_rank:
         base = _distributed_rank(
-            df, keys, order_cols, n_ranges, cache_registry=cache_registry
+            df, keys, order_cols, n_ranges, cache_registry=cache_registry,
+            max_broadcast_rows=max_broadcast_rows,
         )
     else:
         rn_w = Window.partitionBy(*keys).orderBy(*order_cols)
@@ -457,6 +558,7 @@ def rolling_distinct_count(
     distributed_rank: bool = True,
     n_ranges: int | None = None,
     cache_registry: list[DataFrame] | None = None,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Per row: COUNT(DISTINCT ``value_col``) over the trailing
     ``frame_rows``-row frame — :func:`rolling_rows_agg` specialized to
@@ -480,6 +582,7 @@ def rolling_distinct_count(
         distributed_rank=distributed_rank,
         n_ranges=n_ranges,
         cache_registry=cache_registry,
+        max_broadcast_rows=max_broadcast_rows,
     )
 
 
@@ -491,6 +594,7 @@ def distributed_percentile(
     out_cols: Sequence[str] | None = None,
     n_ranges: int | None = None,
     cache_registry: list[DataFrame] | None = None,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """EXACT interpolated percentiles per key — ``percentile(v, p)
     GROUP BY keys`` — without the aggregate's per-key wall: Spark's
@@ -519,6 +623,11 @@ def distributed_percentile(
     per distinct key combination: keys + one double column per entry
     of ``ps``. Embeds the rank's load-bearing persist —
     ``cache_registry`` is the release path (module contract).
+
+    ``max_broadcast_rows`` bounds every force-broadcast scratch table
+    in the plan (the rank's offsets/totals AND the O(keys × 2|ps|)
+    target-rank extraction); past it the first action aborts with an
+    in-plan raise — see :func:`_nullsafe_attach`. ``None`` disables.
     """
     keys = list(part_keys)
     ps = [float(p) for p in ps]
@@ -537,6 +646,7 @@ def distributed_percentile(
     ranked = _distributed_rank(
         nn, keys, ["_v"], n_ranges,
         cache_registry=cache_registry, counts_col="_n",
+        max_broadcast_rows=max_broadcast_rows,
     )
     keytab = ranked.groupBy(*keys).agg(F.max("_n").alias("_n"))
 
@@ -566,10 +676,15 @@ def distributed_percentile(
         .distinct()
     )
     # rank-equi extraction: the big ranked frame sheds everything but
-    # the O(keys x 2|ps|) target rows via a broadcast hash join
+    # the O(keys x 2|ps|) target rows via a broadcast hash join. The
+    # guard on `need` also bounds the two direct F.broadcast(lo/hi)
+    # joins below: |picked| ≤ |need| (row positions are unique per
+    # key, so each (key, _rn) target matches at most one ranked row).
     picked = _nullsafe_attach(
         ranked.select(*keys, "_rn", "_v"), need.withColumn("_hit", F.lit(1)),
         [*keys, "_rn"],
+        max_rows=max_broadcast_rows,
+        what="distributed percentile (target-rank table)",
     ).drop("_hit")
     lo_tab = picked.select(
         *[F.col(k).alias(f"_l_{k}") for k in keys],

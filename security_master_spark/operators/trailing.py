@@ -53,6 +53,9 @@ from security_master_spark.operators.asof import (
     DEFAULT_MAX_CARRY_ROWS,
     asof_carry_bucketed,
 )
+from security_master_spark.operators.rolling import (
+    DEFAULT_MAX_BROADCAST_ROWS,
+)
 
 
 def trailing_interval_sum(
@@ -69,6 +72,7 @@ def trailing_interval_sum(
     carry_bucket_us: int | None = None,
     cache_registry: list[DataFrame] | None = None,
     max_carry_rows: int | None = DEFAULT_MAX_CARRY_ROWS,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Per row: COUNT(*) and SUM(units) over the trailing closed
     interval ``[ts − lookback_us, ts]`` within the row's key group,
@@ -155,6 +159,12 @@ def trailing_interval_sum(
     span/lookback legitimately exceeds the bound, widen
     ``carry_bucket_us`` (the carry stays exact at any width), raise
     the bound on a big-driver cluster, or pass ``None`` to disable.
+
+    ``max_broadcast_rows`` (distributed path only): passthrough to
+    the cum-prefix stage's fused guard — distributed_cumsum's
+    per-(range, key) offsets table is force-broadcast and O(distinct
+    keys); the same raise-at-first-action contract applies (see
+    operators/rolling.py:_nullsafe_attach). ``None`` disables.
     """
     keys = list(keys)
     base = df.select(
@@ -182,6 +192,7 @@ def trailing_interval_sum(
             ["_us"],
             {"_an": "_tc", "_au": "_tu", "_ann": "_tcn"},
             cache_registry=cache_registry,
+            max_broadcast_rows=max_broadcast_rows,
         ).select(*keys, "_us", "_an", "_au", "_ann")
         # counts are never NULL (count ≥ 1 per collapsed row), but the
         # cumsum leaves them nullable; normalize to the window form's
