@@ -70,8 +70,12 @@ def dq4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     s = (
+        # no forced broadcast: customer scales with SF, and a raw-table
+        # projection carries accurate file-size stats, so the planner
+        # broadcasts it while small and shuffle-joins past the
+        # threshold (round-12 broadcast-site audit, PLANS.md)
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))

@@ -80,8 +80,9 @@ def d47_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ob = (
+        # no forced broadcast: part is SF-linear (round-12 audit)
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
@@ -241,10 +242,12 @@ def d49_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate shuffles."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # no forced broadcast: orders is the SF-linear FACT table — the
+    # worst possible forced-broadcast side; the planner broadcasts the
+    # 3-col projection while it fits and shuffle-joins at scale
+    # (round-12 audit, PLANS.md)
     lat = li.join(
-        F.broadcast(
-            orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
-        ),
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
         li.l_orderkey == F.col("o_orderkey"),
     ).select(
         F.col("o_orderpriority").alias("priority"),

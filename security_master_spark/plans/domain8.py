@@ -87,8 +87,11 @@ def _d39_px(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
+        # no forced broadcast: customer is SF-linear; the raw-table
+        # projection's file stats let the planner broadcast while
+        # small and shuffle-join at scale (round-12 audit, PLANS.md)
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            customer.select("c_custkey", "c_mktsegment"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .select(
@@ -216,8 +219,9 @@ def d40_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     rev = (
+        # no forced broadcast: supplier is SF-linear (round-12 audit)
         li.join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("s_nationkey", "l_suppkey")

@@ -110,8 +110,12 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = deg.select(F.col("supp").alias("s1"), F.col("d").alias("deg1"))
     d2 = deg.select(F.col("supp").alias("s2"), F.col("d").alias("deg2"))
     return (
-        pairs.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        # no forced broadcast: deg is one row PER SUPPLIER (SF-linear,
+        # same cardinality class the toolkit's attach guard bounds) —
+        # AQE broadcasts from the actual shuffle size while small and
+        # shuffle-joins at scale (round-12 audit, PLANS.md)
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1",
             "s2",

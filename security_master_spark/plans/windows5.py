@@ -61,8 +61,10 @@ def w13_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     rev = (
+        # no forced broadcast on customer (SF-linear; round-12 audit) —
+        # nation below keeps its hint (25-row bounded dim)
         orders.join(
-            F.broadcast(cust),
+            cust,
             orders.o_custkey == cust.c_custkey,
         )
         .join(
