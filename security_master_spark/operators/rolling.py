@@ -90,13 +90,16 @@ def _nullsafe_attach(big: DataFrame, small: DataFrame,
     in-plan ``raise_error`` wrapped around a JOIN KEY (a value column
     would be pruned — guard and all — whenever the consumer doesn't
     read it; the broadcast hash-table build always evaluates its join
-    keys), so it costs one single-partition exchange of the small
-    side (statistically zero in the PLANS.md guard-cost study) and
-    aborts the FIRST ACTION as a SparkRuntimeException wrapping the
-    message below — before the broadcast is built. ``None`` (the
-    default here; the public operators default to
-    :data:`DEFAULT_MAX_BROADCAST_ROWS`) disables and removes the
-    window from the plan entirely."""
+    keys), so it costs one single-partition exchange + stage on the
+    broadcast build's critical path — measured as a FLAT ~0.1-0.45 s
+    per guarded attach at local[32] on the 6M-tick corpus
+    (tools/measure_attach_guard.py; a per-call constant, flat across
+    corpus shape and key skew — at cluster scale it is noise, at toy
+    scale it is visible) — and aborts the FIRST ACTION as a
+    SparkRuntimeException wrapping the message below, before the
+    broadcast is built. ``None`` (the default here; the public
+    operators default to :data:`DEFAULT_MAX_BROADCAST_ROWS`)
+    disables and removes the window from the plan entirely."""
     s = small
     for c in on:
         s = s.withColumnRenamed(c, f"_r_{c}")
@@ -239,9 +242,12 @@ def _distributed_rank(
         totals = counts.groupBy(*keys).agg(
             F.sum("_c").alias(counts_col)
         )
-        out = _nullsafe_attach(out, totals, keys,
-                               max_rows=max_broadcast_rows,
-                               what="distributed rank (totals table)")
+        # no second guard: |totals| = distinct keys ≤ |offsets| rows
+        # (every key appears in ≥1 range), so the offsets guard above
+        # already bounds this broadcast — and each guarded attach
+        # costs a flat ~0.2 s stage on the broadcast critical path
+        # (PLANS.md attach-guard cost study)
+        out = _nullsafe_attach(out, totals, keys)
     return out
 
 
@@ -279,9 +285,8 @@ def distributed_row_number(
     ``max_broadcast_rows``: the offsets/totals scratch tables are
     O(distinct key groups) and force-broadcast; past this bound the
     first action aborts with an in-plan raise instead of building an
-    OOM-class broadcast (fused guard, zero measured cost — see
-    :func:`_nullsafe_attach` and the PLANS.md guard-cost study).
-    ``None`` disables."""
+    OOM-class broadcast (fused guard, a flat ~0.2 s/attach constant —
+    see :func:`_nullsafe_attach` and PLANS.md). ``None`` disables."""
     out = _distributed_rank(
         df, list(part_keys), order_cols, n_ranges,
         cache_registry=cache_registry, counts_col=counts_col,
