@@ -43,6 +43,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from security_master_spark.operators.rolling import (
+    DEFAULT_MAX_BROADCAST_ROWS,
+)
+
 
 @dataclass(frozen=True)
 class SkewStats:
@@ -140,6 +144,7 @@ def recommend_spelling(
     operator: str,
     stats: SkewStats,
     dominant_share: float = 0.5,
+    max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> str:
     """Return ``"distributed"`` or ``"window"`` for ``operator`` given
     a :func:`skew_probe` result, from the measured decision table.
@@ -152,6 +157,21 @@ def recommend_spelling(
     docstring for why 0.5), else "window" — the portable form is
     both faster there and the hash-certified registered spelling.
     Empty frames recommend "window" (nothing to parallelize).
+
+    Cardinality override (round 12): every distributed spelling
+    force-broadcasts a per-key-group scratch table bounded by the
+    fused guard (``max_broadcast_rows`` here mirrors the operators'
+    knob, carry included — ≥1 bucket per key, so key count is a lower
+    bound on carry cells), so a probe observing MORE key groups than
+    the bound recommends "window" outright: the distributed form
+    would abort at its first action, and at that key cardinality the
+    portable form has ample per-key parallelism anyway. Note the
+    asymmetry under sampling: a sampled probe UNDERESTIMATES distinct
+    keys (a share it cannot miss, a long tail it can), so probe
+    unsampled when the cardinality override is the decision that
+    matters — the operators' own guard still fails loudly either way.
+    ``None`` disables the override (matching a caller who disables
+    the operators' guard).
     """
     try:
         row = DECISION_TABLE[operator]
@@ -161,6 +181,8 @@ def recommend_spelling(
             f"{sorted(DECISION_TABLE)}"
         ) from None
     if stats.n_rows == 0:
+        return "window"
+    if max_broadcast_rows is not None and stats.n_keys > max_broadcast_rows:
         return "window"
     balanced = row["balanced"]
     if balanced is not None and balanced >= 1.0:

@@ -510,15 +510,23 @@ ROUND12_HEAD: tuple[str, ...] = (
 #: queue (the round-9 stale-evidence rule, standing — the stager
 #: cannot know what changed, so apply it by hand on top).
 #:
-#: ALREADY-KNOWN round-13 queue-jumpers (round-12 session 2): seven
-#: queries' class-C forced broadcasts were dropped in the
-#: broadcast-site audit (PLANS.md) — hint removal only, re-hash-
-#: verified green at sf0.01 this session. Three of them (dq4_ks_test,
-#: d39_var_es, d40_hhi_concentration) sit in ROUND12_HEAD, so the
-#: round-12 driver pass certifies their NEW plans already; the other
-#: FOUR — w13_ratio_to_report, d47_basket_lift, d49_fulfillment_sla,
-#: g4_link_prediction — must queue-jump the round-13 window
-#: regardless of evidence age (the round-9 stale-evidence rule).
+#: Round-13 queue-jumpers (round-12 session 2): seven queries'
+#: class-C forced broadcasts were dropped in the broadcast-site audit
+#: (PLANS.md) — hint removal only, re-hash-verified green at sf0.01
+#: this session. Three of them (dq4_ks_test, d39_var_es,
+#: d40_hhi_concentration) sit in ROUND12_HEAD, so the round-12 driver
+#: pass certifies their NEW plans already; the other FOUR below must
+#: queue-jump the round-13 window regardless of evidence age (the
+#: round-9 stale-evidence rule). ``tools/evidence_age.py --stage``
+#: reads this constant and places them at the front of the staged
+#: pin mechanically — declare mid-round plan/oracle changes HERE, not
+#: by editing the stager's output.
+ROUND13_QUEUE_JUMPERS: tuple[str, ...] = (
+    "w13_ratio_to_report",
+    "d47_basket_lift",
+    "d49_fulfillment_sla",
+    "g4_link_prediction",
+)
 
 
 #: Historical round-8 window (superseded by ROUND9_HEAD; kept so the

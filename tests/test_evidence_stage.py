@@ -70,3 +70,67 @@ def test_stage_reproduces_round12_head_while_r11_is_newest():
         return  # exactness clause retired; structural test still runs
     main, backfill, _ = tool.stage_window(list(queries()), rows, 50)
     assert tuple(main + backfill) == ROUND12_HEAD
+
+
+def test_stage_with_jumpers_front_loads_and_trims():
+    tool = _load_tool()
+    from security_master_spark.plans.registry import queries
+
+    names = list(queries())
+    rows = tool.latest_rows()
+    plain_main, plain_back, oldest = tool.stage_window(names, rows, 50)
+    # pick one jumper already in the rule window and one outside it
+    inside = plain_main[3]
+    outside = next(
+        n for n in names if n not in plain_main and n not in plain_back
+    )
+    jump, main, back, oldest2 = tool.stage_with_jumpers(
+        names, rows, 50, (outside, inside)
+    )
+    assert oldest2 == oldest
+    # declared order leads the window; no duplicates anywhere
+    assert jump == [outside, inside]
+    window = jump + main + back
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    assert inside not in main and inside not in back
+    # the rule-derived part is the plain window minus jumpers, with
+    # the TAIL trimmed (backfill first) to keep the size
+    assert main == [n for n in plain_main if n not in (inside, outside)]
+    survivors = [n for n in plain_back if n not in (inside, outside)]
+    assert back == survivors[: len(back)]
+
+
+def test_stage_with_jumpers_rejects_unknown_names():
+    tool = _load_tool()
+    from security_master_spark.plans.registry import queries
+
+    rows = tool.latest_rows()
+    try:
+        tool.stage_with_jumpers(list(queries()), rows, 50, ("nope_q",))
+    except ValueError as e:
+        assert "nope_q" in str(e)
+    else:
+        raise AssertionError("unknown jumper did not raise")
+
+
+def test_round13_jumpers_are_declared_and_registered():
+    # the four plans whose forced broadcasts were dropped in round 12
+    # (PLANS.md broadcast-site audit) must be declared for round 13 —
+    # and every declared name must resolve in the registry
+    from security_master_spark.plans.registry import (
+        ROUND12_HEAD,
+        ROUND13_QUEUE_JUMPERS,
+        queries,
+    )
+
+    assert set(ROUND13_QUEUE_JUMPERS) == {
+        "w13_ratio_to_report",
+        "d47_basket_lift",
+        "d49_fulfillment_sla",
+        "g4_link_prediction",
+    }
+    assert set(ROUND13_QUEUE_JUMPERS) <= set(queries())
+    # the three audit queries NOT declared are covered by ROUND12_HEAD
+    for n in ("dq4_ks_test", "d39_var_es", "d40_hhi_concentration"):
+        assert n in ROUND12_HEAD

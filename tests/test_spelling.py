@@ -120,6 +120,33 @@ def test_recommend_threshold_is_inclusive():
     assert recommend_spelling("distributed_percentile", below) == "window"
 
 
+def test_recommend_cardinality_override_beats_every_rule():
+    # round 12: more key groups than the broadcast guard's bound →
+    # the distributed forms would abort at their first action, so the
+    # selector must say "window" even for the always-distributed halo
+    # family and even under a dominant key
+    too_many = SkewStats(10_000_000, 3_000_000, 0.6, ("hot",), None)
+    for op in DECISION_TABLE:
+        assert recommend_spelling(op, too_many) == "window", op
+    # inclusive boundary: exactly at the bound is still distributed-
+    # eligible (the operators' guard raises strictly PAST the bound)
+    at_bound = SkewStats(10_000_000, 2_000_000, 0.6, ("hot",), None)
+    assert recommend_spelling("distributed_cumsum", at_bound) == "distributed"
+    # None disables the override (caller disabled the guard too)
+    assert (
+        recommend_spelling("rolling_rows_agg", too_many,
+                           max_broadcast_rows=None)
+        == "distributed"
+    )
+    # a custom bound threads through
+    assert (
+        recommend_spelling("rolling_rows_agg", SkewStats(100, 50, 0.2,
+                                                         ("a",), None),
+                           max_broadcast_rows=10)
+        == "window"
+    )
+
+
 def test_recommend_unknown_operator_raises():
     s = SkewStats(10, 2, 0.5, ("a",), None)
     with pytest.raises(ValueError, match="unknown operator"):

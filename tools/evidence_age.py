@@ -28,11 +28,16 @@ Usage: python tools/evidence_age.py [--max-round N] [--limit K] [--check]
                     rotates when its round becomes the oldest, so
                     weak rows re-certify on the same cadence without
                     ever displacing a hash re-certification. This
-                    mechanizes what rounds 10-12 derived by hand; the
+                    mechanizes what rounds 10-12 derived by hand. The
                     queue-jump rule (oracle or plan changed
-                    mid-round → to the front) still applies on top,
-                    by hand, because only the author knows what
-                    changed.
+                    mid-round → to the front) is folded in
+                    mechanically too (round-12 session 2): when the
+                    registry declares ``ROUND{N}_QUEUE_JUMPERS`` for
+                    the round being pinned, those names go to the
+                    FRONT of the window and the backfill shrinks to
+                    keep the size — the author records what changed
+                    as a constant next to the head pins instead of
+                    editing the staged output by hand.
 """
 
 from __future__ import annotations
@@ -92,6 +97,39 @@ def stage_window(
     return main, backfill, oldest
 
 
+def stage_with_jumpers(
+    names: list[str],
+    rows: dict[str, tuple[int, dict]],
+    size: int,
+    jumpers: tuple[str, ...],
+) -> tuple[list[str], list[str], list[str], int]:
+    """:func:`stage_window` with the queue-jump rule folded in.
+
+    Returns (jumpers, main_body, backfill, oldest_round): the
+    declared jumpers lead the window in their declared order (their
+    oracle or plan changed mid-round, so their next evidence must be
+    fresh regardless of age), the rule-derived window follows with
+    jumpers deduplicated out, and the tail is trimmed — backfill
+    first, then main body — to keep the total at ``size``. Unknown
+    jumper names raise (a typo here would silently certify nothing).
+    """
+    unknown = sorted(set(jumpers) - set(names))
+    if unknown:
+        raise ValueError(
+            f"queue-jumpers not in the registry: {unknown}"
+        )
+    main_body, backfill, oldest = stage_window(names, rows, size)
+    jump = list(dict.fromkeys(jumpers))
+    main_body = [n for n in main_body if n not in jump]
+    backfill = [n for n in backfill if n not in jump]
+    while len(jump) + len(main_body) + len(backfill) > size:
+        if backfill:
+            backfill.pop()
+        else:
+            main_body.pop()
+    return jump, main_body, backfill, oldest
+
+
 def main(argv: list[str]) -> None:
     max_round = None
     limit = 60
@@ -126,20 +164,33 @@ def main(argv: list[str]) -> None:
     ages = {n: latest.get(n, 0) for n in names}  # 0 = never checked
 
     if stage is not None:
-        main_body, backfill, oldest = stage_window(names, rows, stage)
         newest = max(latest.values(), default=0)
-        print(
-            f"# NEXT rotation window ({len(main_body) + len(backfill)} "
-            f"rows = {len(main_body)} r{oldest:02d} main body + "
-            f"{len(backfill)} hash-green backfill), computed from the "
-            f"committed CORRECTNESS_r*.json (newest r{newest:02d}) by "
-            f"tools/evidence_age.py --stage. Apply the queue-jump rule "
-            f"by hand on top."
-        )
         # at round-N start the artifacts run through r(N-1), so the
         # window being pinned is ROUND N (e.g. artifacts through r11
         # -> ROUND12_HEAD, which is how round 12 derived its pin)
+        from security_master_spark.plans import registry as _registry
+
+        jumpers = tuple(
+            getattr(_registry, f"ROUND{newest + 1}_QUEUE_JUMPERS", ())
+        )
+        jump, main_body, backfill, oldest = stage_with_jumpers(
+            names, rows, stage, jumpers
+        )
+        total = len(jump) + len(main_body) + len(backfill)
+        print(
+            f"# NEXT rotation window ({total} rows = {len(jump)} "
+            f"queue-jumpers + {len(main_body)} r{oldest:02d} main "
+            f"body + {len(backfill)} hash-green backfill), computed "
+            f"from the committed CORRECTNESS_r*.json (newest "
+            f"r{newest:02d}) by tools/evidence_age.py --stage."
+        )
         print(f"ROUND{newest + 1}_HEAD: tuple[str, ...] = (")
+        if jump:
+            print(f"    # (0) queue-jumpers: oracle/plan changed in "
+                  f"round {newest + 1 - 1} after their last evidence "
+                  f"(registry.ROUND{newest + 1}_QUEUE_JUMPERS)")
+            for n in jump:
+                print(f'    "{n}",')
         print(f"    # (1) the {len(main_body)} r{oldest:02d}-evidence "
               f"rows, age order")
         for n in main_body:
