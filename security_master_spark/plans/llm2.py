@@ -64,7 +64,12 @@ def l22_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1.0)
     )
     return (
-        tf.join(F.broadcast(df), "token")
+        # no forced broadcast on df: |vocab| grows with the corpus
+        # (Heap's law — sublinear but unbounded, ~1e9 tokens at the
+        # 100 TB web-text target), so the directive is an eventual
+        # OOM; AQE converts from the actual shuffle size while it
+        # fits (round-12 broadcast-site audit, PLANS.md)
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", dround(tfidf, 6))
         .withColumn("__rn", F.row_number().over(w))

@@ -55,15 +55,17 @@ def l29_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive boilerplate, high = rare-token noise; mid-band =
     keepable text). The LM *is* the corpus term-frequency table —
     explode → tf agg — but only tokens with corpus count >=
-    _MIN_COUNT enter the broadcast vocabulary; the long Zipf tail
-    (the part that grows without bound at 100 TB) collapses into a
-    single OOV bucket whose probability is the floored mass over the
-    corpus total, so the broadcast state is genuinely bounded, not
-    just asserted to be. Rare-token instances hit the OOV probability
-    via a left join + coalesce, surprisal is attached map-side (the
-    vocab and the 1-row {{total, oov_mass}} scalar both broadcast),
-    and the only wide exchange on the token stream is the final
-    per-doc aggregation. Plan honesty: the vocab and scalar branches
+    _MIN_COUNT enter the vocabulary; the long Zipf TAIL collapses
+    into a single OOV bucket whose probability is the floored mass
+    over the corpus total. The cutoff bounds the tail's MASS, not the
+    vocabulary's cardinality — the head still grows with the corpus
+    (Heap's law) — which is why the vocab join carries no forced
+    broadcast (round-12 audit): AQE broadcasts it from the actual
+    shuffle size while it fits and shuffle-joins at scale.
+    Rare-token instances hit the OOV probability via a left join +
+    coalesce; the 1-row {{total, oov_mass}} scalar stays a forced
+    broadcast (class A), and the widest exchange on the token stream
+    is the final per-doc aggregation. Plan honesty: the vocab and scalar branches
     each re-derive the tf aggregate through their own corpus scan (3
     scans total — Catalyst doesn't share the subtree; see PLANS.md
     'rollup-rescan trade' for the measurement and the
@@ -88,7 +90,11 @@ def l29_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n").cast("double")
     )
     return (
-        tok.join(F.broadcast(vocab), "token", "left")
+        # no forced broadcast on vocab: tf >= _MIN_COUNT bounds the
+        # TAIL mass (the OOV bucket), not the vocab's cardinality,
+        # which still grows with the corpus — AQE converts from the
+        # actual shuffle size while it fits (round-12 audit, PLANS.md)
+        tok.join(vocab, "token", "left")
         .crossJoin(F.broadcast(scal))
         .groupBy("doc_id")
         .agg(

@@ -521,11 +521,16 @@ ROUND12_HEAD: tuple[str, ...] = (
 #: reads this constant and places them at the front of the staged
 #: pin mechanically — declare mid-round plan/oracle changes HERE, not
 #: by editing the stager's output.
+#: The audit's second sweep added two unbounded-aggregate sides
+#: (Heap's-law vocabularies): l22's per-token df and l29's
+#: tf>=MIN_COUNT vocab — same hint-removal treatment, same rule.
 ROUND13_QUEUE_JUMPERS: tuple[str, ...] = (
     "w13_ratio_to_report",
     "d47_basket_lift",
     "d49_fulfillment_sla",
     "g4_link_prediction",
+    "l22_distinctive_terms",
+    "l29_unigram_surprisal",
 )
 
 

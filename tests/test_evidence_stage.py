@@ -129,6 +129,8 @@ def test_round13_jumpers_are_declared_and_registered():
         "d47_basket_lift",
         "d49_fulfillment_sla",
         "g4_link_prediction",
+        "l22_distinctive_terms",
+        "l29_unigram_surprisal",
     }
     assert set(ROUND13_QUEUE_JUMPERS) <= set(queries())
     # the three audit queries NOT declared are covered by ROUND12_HEAD
