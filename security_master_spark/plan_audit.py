@@ -1,0 +1,257 @@
+"""Static scale-hazard audit over a DataFrame's optimized logical
+plan — the round-12 broadcast-site audit (PLANS.md) mechanized as an
+API, the way operators/spelling.py mechanized the regime tables.
+
+The manual audit's rules, encoded:
+
+- ``forced-broadcast-raw-relation`` — a join carries a broadcast HINT
+  (``F.broadcast`` is a directive: the planner must build the hash
+  table on the driver no matter the size) and the hinted side reaches
+  a base-table relation with NO cardinality-collapsing node
+  (aggregate / limit) in between. Raw relations scale linearly with
+  the data, so the side's audit-time estimate is extrapolated by
+  ``scale_multiplier``; past ``budget_bytes`` it is the class-C
+  hazard the audit fixed in seven registered plans. Tables that are
+  bounded by the DATA MODEL rather than the plan shape (nation,
+  region — 25/5 rows at every scale factor) cannot be recognized
+  structurally; declare them in ``bounded_tables`` (matched against
+  the relation's file location) — a declaration, not a detection.
+- ``cartesian`` — a join with no condition where BOTH sides estimate
+  above ``scalar_bytes``: the class-A ``crossJoin(broadcast(<1-row
+  agg>))`` idiom estimates bytes (Catalyst is exact for ungrouped
+  aggregates) and passes; anything bigger × bigger is flagged.
+- ``global-window-raw`` / ``global-sort-raw`` — a Window with an
+  empty PARTITION BY, or a global Sort not feeding a limit
+  (``orderBy().limit()`` optimizes to TakeOrderedAndProject and is
+  exempt), whose input reaches a raw relation uncollapsed: one task
+  sorts the world. The collapse-first discipline (dq4's distinct-
+  value grouping, w13's pre-aggregated rollup) puts an Aggregate
+  below the global node and passes.
+- ``forced-broadcast-aggregate`` (opt-in, ``include_aggregates``) —
+  a broadcast hint over a GROUPED aggregate. Catalyst's estimate for
+  those is proportional to the child (it cannot see the key domain),
+  so this cannot be a hard flag: the audit judged ~40 such hints
+  load-bearing (enum/calendar-bounded domains where the hint saves
+  the plan from garbage post-aggregate stats) and 3 hazardous
+  (per-supplier degrees, Heap's-law vocabularies). The advisory
+  surfaces each site with its estimate; boundedness stays a human
+  judgment, which is exactly what the manual audit concluded.
+
+Findings are advisory by construction — the runtime guards
+(``max_carry_rows`` / ``max_broadcast_rows``) remain the enforcement
+layer; this module exists so the next forced broadcast of a scaling
+table is caught at review time, not at 100 TB.
+
+Implementation detail: walks the JVM optimized plan via the py4j
+bridge (class names + ``stats().sizeInBytes()``), read-only — no job
+runs. Python-side UDF subtrees are opaque to the logical plan and
+therefore out of scope, as are runtime-only decisions (AQE join
+strategy selection happens after this plan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+#: Default extrapolation from audit-time data to the design target:
+#: the graded fixtures are ~10-100 MB-class (sf0.001-0.1); the design
+#: posture is 100 TB — six orders of magnitude. Linear-scaling sides
+#: carry the full multiplier; bounded shapes never see it.
+DEFAULT_SCALE_MULTIPLIER = 1e6
+
+#: Driver/executor budget an extrapolated forced broadcast must stay
+#: under. 1 GiB is generous — real clusters start failing broadcasts
+#: well below it — so a flag here is a real finding, not noise.
+DEFAULT_BUDGET_BYTES = 1 << 30
+
+#: Sides estimating at or below this are scalar-class (Catalyst is
+#: EXACT for ungrouped aggregates: a 1-row count estimates 16 bytes);
+#: literal k_df/lag tables stay well under it too.
+DEFAULT_SCALAR_BYTES = 4096
+
+#: Data-model-bounded base tables (constant rows at every SF) —
+#: matched as substrings of a relation's file location.
+DEFAULT_BOUNDED_TABLES = ("nation", "region")
+
+
+@dataclass(frozen=True)
+class Finding:
+    kind: str
+    detail: str
+    node: str  # first line of the offending node's toString
+
+
+def _simple_name(jnode) -> str:
+    return jnode.getClass().getSimpleName()
+
+
+def _children(jnode):
+    seq = jnode.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _est_bytes(jnode) -> int:
+    size = jnode.stats().sizeInBytes()
+    # py4j maps scala.math.BigInt to a Python int when it fits a long
+    # and hands back the Java object otherwise
+    return size if isinstance(size, int) else int(size.toString())
+
+
+def _head(jnode) -> str:
+    return jnode.toString().split("\n", 1)[0][:200]
+
+
+_COLLAPSING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+_RELATION = {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation",
+             "DataSourceV2ScanRelation", "StreamingRelation"}
+
+
+def _relation_location(jnode) -> str:
+    # LogicalRelation's toString carries the file listing; cheap and
+    # version-stable compared to digging through the relation object
+    return jnode.toString()
+
+
+def _reaches_raw_relation(
+    jnode, bounded_tables: Sequence[str]
+) -> bool:
+    """True iff some path from ``jnode`` down to a base-table relation
+    crosses NO cardinality-collapsing node, and that relation is not
+    declared bounded. Leaf literals (LocalRelation/OneRowRelation/
+    Range) are bounded by construction."""
+    name = _simple_name(jnode)
+    if name in _COLLAPSING:
+        return False
+    if name in _RELATION:
+        loc = _relation_location(jnode)
+        return not any(t in loc for t in bounded_tables)
+    return any(
+        _reaches_raw_relation(c, bounded_tables) for c in _children(jnode)
+    )
+
+
+def _first_grouped_aggregate(jnode):
+    name = _simple_name(jnode)
+    if name == "Aggregate":
+        # groupingExpressions empty -> ungrouped scalar (exact stats)
+        return jnode if jnode.groupingExpressions().size() > 0 else None
+    for c in _children(jnode):
+        hit = _first_grouped_aggregate(c)
+        if hit is not None:
+            return hit
+    return None
+
+
+def _hint_is_broadcast(opt) -> bool:
+    return (not opt.isEmpty()) and "broadcast" in opt.get().toString().lower()
+
+
+def audit_plan(
+    df: DataFrame,
+    scale_multiplier: float = DEFAULT_SCALE_MULTIPLIER,
+    budget_bytes: int = DEFAULT_BUDGET_BYTES,
+    scalar_bytes: int = DEFAULT_SCALAR_BYTES,
+    bounded_tables: Sequence[str] = DEFAULT_BOUNDED_TABLES,
+    include_aggregates: bool = False,
+) -> list[Finding]:
+    """Audit ``df``'s optimized logical plan for the scale-hazard
+    classes of the round-12 broadcast-site audit; see the module
+    docstring for each rule and its limits. Returns findings in plan
+    order (possibly empty). Read-only — runs no job."""
+    findings: list[Finding] = []
+
+    def visit(jnode, parent_name: str) -> None:
+        name = _simple_name(jnode)
+        if name == "Join":
+            hint = jnode.hint()
+            cond_empty = jnode.condition().isEmpty()
+            sides = (
+                (hint.leftHint(), jnode.left()),
+                (hint.rightHint(), jnode.right()),
+            )
+            for side_hint, side in sides:
+                if not _hint_is_broadcast(side_hint):
+                    continue
+                est = _est_bytes(side)
+                if _reaches_raw_relation(side, bounded_tables):
+                    scaled = est * scale_multiplier
+                    if scaled > budget_bytes:
+                        findings.append(Finding(
+                            "forced-broadcast-raw-relation",
+                            f"hinted side reaches a base-table "
+                            f"relation uncollapsed; est {est} B × "
+                            f"{scale_multiplier:g} = {scaled:.3g} B "
+                            f"> budget {budget_bytes} B",
+                            _head(side),
+                        ))
+                elif include_aggregates:
+                    agg = _first_grouped_aggregate(side)
+                    if agg is not None and est > scalar_bytes:
+                        findings.append(Finding(
+                            "forced-broadcast-aggregate",
+                            f"hinted side is a grouped aggregate "
+                            f"(est {est} B at audit scale — "
+                            f"Catalyst cannot see the key domain; "
+                            f"boundedness is a human judgment)",
+                            _head(agg),
+                        ))
+            if cond_empty:
+                l_est = _est_bytes(jnode.left())
+                r_est = _est_bytes(jnode.right())
+                # hazardous iff the PRODUCT can explode: both sides
+                # non-scalar AND both growing with the data (reach a
+                # raw relation uncollapsed). A literal lag table, a
+                # sketch pair, or an ungrouped aggregate makes the
+                # cross linear — the class-A idiom. Grouped-aggregate
+                # sides count as collapsed here, the same human-
+                # judgment boundary as the broadcast advisory.
+                if (
+                    l_est > scalar_bytes
+                    and r_est > scalar_bytes
+                    and _reaches_raw_relation(jnode.left(), bounded_tables)
+                    and _reaches_raw_relation(jnode.right(), bounded_tables)
+                ):
+                    findings.append(Finding(
+                        "cartesian",
+                        f"condition-less join where BOTH sides grow "
+                        f"with the data (est {l_est} B × {r_est} B)",
+                        _head(jnode),
+                    ))
+        elif name == "Window":
+            if jnode.partitionSpec().isEmpty() and _reaches_raw_relation(
+                jnode, bounded_tables
+            ):
+                findings.append(Finding(
+                    "global-window-raw",
+                    "empty PARTITION BY over an uncollapsed "
+                    "base-table input — one task orders the world; "
+                    "collapse first (the dq4 distinct-value "
+                    "discipline) or partition",
+                    _head(jnode),
+                ))
+        elif name == "Sort":
+            is_global = getattr(jnode, "global")()
+            under_limit = parent_name in ("GlobalLimit", "LocalLimit")
+            if is_global and not under_limit and _reaches_raw_relation(
+                jnode, bounded_tables
+            ):
+                findings.append(Finding(
+                    "global-sort-raw",
+                    "global ORDER BY over an uncollapsed base-table "
+                    "input with no limit — orderBy().limit() "
+                    "(TakeOrderedAndProject) or collapse first",
+                    _head(jnode),
+                ))
+        # a Project/alias between a limit and its sort is transparent
+        # to the physical planner (the limit still pushes into
+        # TakeOrderedAndProject) — keep it transparent to the
+        # under-limit check too
+        passthrough = name in ("Project", "SubqueryAlias")
+        for c in _children(jnode):
+            visit(c, parent_name if passthrough else name)
+
+    visit(df._jdf.queryExecution().optimizedPlan(), "<root>")
+    return findings

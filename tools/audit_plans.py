@@ -1,0 +1,111 @@
+"""Run plan_audit over every registered query's optimized plan — the
+mechanized, re-runnable form of the round-12 broadcast-site audit
+(PLANS.md): each query is plan-constructed (no job executes) at a
+small fixture and checked for the scale-hazard classes.
+
+Usage: python tools/audit_plans.py [--sf DIR] [--aggregates]
+    --sf DIR      fixture dir (default /root/testdata/sf0.001 — plan
+                  SHAPES are SF-invariant; only estimates scale)
+    --aggregates  include the opt-in forced-broadcast-aggregate
+                  advisories (noisy by design: boundedness of a
+                  grouped aggregate's key domain is a human judgment)
+
+Exit status 1 if any HARD finding (raw-relation broadcast, cartesian)
+appears — those two classes were driven to zero in round 12 and a
+reappearance is a regression; global-window/sort findings print but
+don't fail, because the remaining ones are the documented
+collapse-first exceptions (see the sweep table in PLANS.md).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HARD = {"forced-broadcast-raw-relation", "cartesian"}
+
+#: Documented exceptions: structurally-flagged sites whose
+#: boundedness lives in a predicate or data contract the static
+#: audit cannot see. Each entry must say WHY; findings on these
+#: queries print as "noted" and do not fail the sweep.
+DOCUMENTED: dict[str, str] = {
+    "l5_cosine_topk": (
+        "the broadcast/cross side is the single query vector selected "
+        "by vec_id == 0 — O(1) rows by the fixture's data contract; an "
+        "equality filter does not collapse cardinality structurally"
+    ),
+    "q22_skyline": (
+        "the global skyline window runs over part rows by design; the "
+        "docstring documents the range-partition-on-price scale path "
+        "(the 2-D skyline's honest exact cost)"
+    ),
+}
+
+
+def main(argv: list[str]) -> None:
+    sf_dir = "/root/testdata/sf0.001"
+    include_aggregates = False
+    args = list(argv)
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            i += 1
+            sf_dir = args[i]
+        elif args[i] == "--aggregates":
+            include_aggregates = True
+        else:
+            sys.exit(f"unknown arg {args[i]!r} — see module docstring")
+        i += 1
+
+    from security_master_spark.plan_audit import audit_plan
+    from security_master_spark.plans import registry
+    from security_master_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_hard = 0
+    n_soft = 0
+    failed: list[str] = []
+    for name, build in registry.queries().items():
+        try:
+            df = build(spark, sf_dir)
+        except Exception as e:  # plan construction must never fail
+            failed.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        try:
+            findings = audit_plan(
+                df, include_aggregates=include_aggregates
+            )
+        except Exception as e:
+            failed.append(f"{name}: audit error {type(e).__name__}: {e}")
+            continue
+        for f in findings:
+            if name in DOCUMENTED:
+                tag = "noted"
+            elif f.kind in HARD:
+                tag = "HARD"
+                n_hard += 1
+            else:
+                tag = "soft"
+                n_soft += 1
+            print(f"{tag} {name} {f.kind}: {f.detail}")
+            if name in DOCUMENTED:
+                print(f"     documented: {DOCUMENTED[name]}")
+            print(f"     {f.node}")
+    print(
+        f"\naudited {len(registry.queries())} queries: "
+        f"{n_hard} hard finding(s), {n_soft} soft finding(s), "
+        f"{len(failed)} audit failure(s)"
+    )
+    for line in failed:
+        print("FAIL", line)
+    spark.stop()
+    if n_hard or failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
