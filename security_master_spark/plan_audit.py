@@ -253,5 +253,24 @@ def audit_plan(
         for c in _children(jnode):
             visit(c, parent_name if passthrough else name)
 
-    visit(df._jdf.queryExecution().optimizedPlan(), "<root>")
+    # children() does not descend into SUBQUERY EXPRESSIONS (scalar /
+    # IN / EXISTS subplans live in the expression tree), so a hinted
+    # broadcast inside one is invisible to the main walk — caught by
+    # this session's adversarial self-probe. subqueriesAll() collects
+    # every subquery plan under a node recursively; the worklist
+    # handles subqueries nested inside subqueries, deduped by JVM
+    # identity.
+    root = df._jdf.queryExecution().optimizedPlan()
+    work = [(root, "<root>")]
+    seen: set[int] = set()
+    while work:
+        plan, parent = work.pop()
+        ident = plan.hashCode()
+        if ident in seen:
+            continue
+        seen.add(ident)
+        visit(plan, parent)
+        subs = plan.subqueriesAll()
+        for i in range(subs.size()):
+            work.append((subs.apply(i), "<subquery>"))
     return findings

@@ -118,6 +118,24 @@ def test_aggregate_advisory_is_opt_in(orders):
     ]
 
 
+def test_subquery_plans_are_audited(spark, orders):
+    # children() never descends into subquery EXPRESSIONS — a hinted
+    # broadcast inside a scalar subquery was invisible to the first
+    # spelling (caught by this session's adversarial self-probe)
+    orders.createOrReplaceTempView("pa_orders")
+    df = spark.sql("""
+        SELECT o_orderkey FROM pa_orders
+        WHERE o_totalprice > (
+            SELECT avg(x.o_totalprice) FROM (
+                SELECT /*+ BROADCAST(b) */ b.o_totalprice
+                FROM pa_orders a JOIN pa_orders b
+                  ON a.o_orderkey = b.o_orderkey
+            ) x
+        )
+    """)
+    assert kinds(df) == ["forced-broadcast-raw-relation"]
+
+
 def test_sweep_known_state(spark):
     """Every registered query's plan, audited: zero findings outside
     the two documented exceptions. A new hard finding here means a
