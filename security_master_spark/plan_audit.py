@@ -27,6 +27,13 @@ The manual audit's rules, encoded:
   sorts the world. The collapse-first discipline (dq4's distinct-
   value grouping, w13's pre-aggregated rollup) puts an Aggregate
   below the global node and passes.
+- ``python-udf-row-batch`` — the PHYSICAL plan contains a
+  ``BatchEvalPython`` node: a pickled row-at-a-time Python UDF in
+  the plan, the 10-100× slow path the engine's UDF surface avoids
+  everywhere (Arrow paths — ``ArrowEvalPython`` / pandas_udf /
+  mapInPandas / applyInPandas — pass). The one rule read off the
+  physical plan rather than the optimized logical one, because eval
+  types only materialize there; still plan-construction-only.
 - ``forced-broadcast-aggregate`` (opt-in, ``include_aggregates``) —
   a broadcast hint over a GROUPED aggregate. Catalyst's estimate for
   those is proportional to the child (it cannot see the key domain),
@@ -260,7 +267,8 @@ def audit_plan(
     # every subquery plan under a node recursively; the worklist
     # handles subqueries nested inside subqueries, deduped by JVM
     # identity.
-    root = df._jdf.queryExecution().optimizedPlan()
+    qe = df._jdf.queryExecution()
+    root = qe.optimizedPlan()
     work = [(root, "<root>")]
     seen: set[int] = set()
     while work:
@@ -273,4 +281,21 @@ def audit_plan(
         subs = plan.subqueriesAll()
         for i in range(subs.size()):
             work.append((subs.apply(i), "<subquery>"))
+
+    # eval types only exist physically; sparkPlan() plans without
+    # executing (pre-AQE — AQE never changes a Python eval node)
+    phys = qe.sparkPlan().toString()
+    if "BatchEvalPython" in phys:
+        findings.append(Finding(
+            "python-udf-row-batch",
+            "pickled row-at-a-time Python UDF (BatchEvalPython) in "
+            "the physical plan — use useArrow=True / pandas_udf / "
+            "mapInPandas (ArrowEvalPython-class nodes) for the "
+            "10-100x Arrow batch path",
+            next(
+                (ln.strip() for ln in phys.splitlines()
+                 if "BatchEvalPython" in ln),
+                "BatchEvalPython",
+            )[:200],
+        ))
     return findings

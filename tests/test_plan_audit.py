@@ -136,6 +136,16 @@ def test_subquery_plans_are_audited(spark, orders):
     assert kinds(df) == ["forced-broadcast-raw-relation"]
 
 
+def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):
+    df = spark.range(10)
+    slow = F.udf(lambda x: x + 1, "long")
+    fast = F.udf(lambda x: x + 1, "long", useArrow=True)
+    assert kinds(df.select(slow("id").alias("y"))) == [
+        "python-udf-row-batch"
+    ]
+    assert kinds(df.select(fast("id").alias("y"))) == []
+
+
 def test_sweep_known_state(spark):
     """Every registered query's plan, audited: zero findings outside
     the two documented exceptions. A new hard finding here means a

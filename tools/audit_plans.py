@@ -41,6 +41,18 @@ DOCUMENTED: dict[str, str] = {
         "docstring documents the range-partition-on-price scale path "
         "(the 2-D skyline's honest exact cost)"
     ),
+    "u1_python_scalar_udf": (
+        "SURVEY §2.13's row-at-a-time reference row — the slow path "
+        "demonstrated ON PURPOSE; u2/u9/u12 are its Arrow siblings"
+    ),
+    "u6_udtf_lateral": (
+        "classic fixed-returnType Python UDTF surface row — the "
+        "contract being demonstrated predates Arrow UDTFs"
+    ),
+    "u8_polymorphic_udtf": (
+        "polymorphic (analyze-at-plan-time) UDTF surface row — same "
+        "deliberate-surface rationale as u6"
+    ),
 }
 
 
