@@ -44,6 +44,13 @@ The manual audit's rules, encoded:
   surfaces each site with its estimate; boundedness stays a human
   judgment, which is exactly what the manual audit concluded.
 
+- ``stateful-streaming-no-watermark`` (streaming frames, which
+  dispatch to :func:`audit_stream_plan`) — a grouped aggregate,
+  dropDuplicates, or stream-stream join with no EventTimeWatermark
+  below it: unbounded state-store growth, streaming's version of the
+  unbounded broadcast. Timeout/timer-managed stateful operators are
+  exempt; complete-mode aggregates make this advisory, not hard.
+
 Findings are advisory by construction — the runtime guards
 (``max_carry_rows`` / ``max_broadcast_rows``) remain the enforcement
 layer; this module exists so the next forced broadcast of a scaling
@@ -156,6 +163,67 @@ def _hint_is_broadcast(opt) -> bool:
     return (not opt.isEmpty()) and "broadcast" in opt.get().toString().lower()
 
 
+#: Stateful streaming operators that manage their own state lifetime
+#: (timeouts / timers) — exempt from the watermark rule.
+_SELF_MANAGED_STATE = {
+    "FlatMapGroupsInPandasWithState",
+    "FlatMapGroupsWithState",
+    "TransformWithStateInPandas",
+    "TransformWithState",
+    "DeduplicateWithinWatermark",  # Spark itself enforces a watermark
+}
+
+
+def audit_stream_plan(df: DataFrame) -> list[Finding]:
+    """Streaming arm of the audit: unbounded state is streaming's
+    OOM-class broadcast. Walks the ANALYZED plan (a streaming frame
+    refuses to optimize before ``writeStream.start()``) and flags
+    stateful operators — grouped aggregates, dropDuplicates,
+    stream-stream joins — whose input subtree carries NO
+    ``EventTimeWatermark``: without one, keys/rows accumulate in the
+    state store forever. Advisory by design — a complete-output-mode
+    aggregate over a small key domain legitimately runs unwatermarked
+    — and operators that manage their own state lifetime
+    (applyInPandasWithState timeouts, transformWithState timers,
+    dropDuplicatesWithinWatermark) are exempt."""
+    findings: list[Finding] = []
+    if not df.isStreaming:
+        return findings
+
+    def has_watermark(jnode) -> bool:
+        if _simple_name(jnode) == "EventTimeWatermark":
+            return True
+        return any(has_watermark(c) for c in _children(jnode))
+
+    def visit(jnode) -> None:
+        name = _simple_name(jnode)
+        stateful = (
+            (name == "Aggregate" and jnode.groupingExpressions().size() > 0)
+            or name == "Deduplicate"
+            or (name == "Join" and all(
+                c.isStreaming() for c in _children(jnode)
+            ))
+        )
+        if (
+            stateful
+            and name not in _SELF_MANAGED_STATE
+            and not has_watermark(jnode)
+        ):
+            findings.append(Finding(
+                "stateful-streaming-no-watermark",
+                f"{name} over a streaming input with no "
+                "EventTimeWatermark below it — state accumulates "
+                "forever; withWatermark() bounds it (or use a "
+                "timeout/timer-managed stateful operator)",
+                _head(jnode),
+            ))
+        for c in _children(jnode):
+            visit(c)
+
+    visit(df._jdf.queryExecution().analyzed())
+    return findings
+
+
 def audit_plan(
     df: DataFrame,
     scale_multiplier: float = DEFAULT_SCALE_MULTIPLIER,
@@ -167,7 +235,11 @@ def audit_plan(
     """Audit ``df``'s optimized logical plan for the scale-hazard
     classes of the round-12 broadcast-site audit; see the module
     docstring for each rule and its limits. Returns findings in plan
-    order (possibly empty). Read-only — runs no job."""
+    order (possibly empty). Read-only — runs no job. Streaming frames
+    dispatch to :func:`audit_stream_plan` (the batch rules need the
+    optimized plan, which streaming refuses to produce unstarted)."""
+    if df.isStreaming:
+        return audit_stream_plan(df)
     findings: list[Finding] = []
 
     def visit(jnode, parent_name: str) -> None:

@@ -146,6 +146,26 @@ def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):
     assert kinds(df.select(fast("id").alias("y"))) == []
 
 
+def test_streaming_watermark_rule(spark):
+    from security_master_spark.streaming import jobs
+
+    s = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    # unwatermarked stateful ops flag (advisory: unbounded state)
+    assert kinds(s.groupBy(F.window("timestamp", "10 seconds")).count()) \
+        == ["stateful-streaming-no-watermark"]
+    assert kinds(s.dropDuplicates(["value"])) == [
+        "stateful-streaming-no-watermark"
+    ]
+    # every house builder is watermarked or timeout/timer-managed
+    assert kinds(jobs.tumbling_counts(s)) == []
+    assert kinds(jobs.sliding_avg(s, "value")) == []
+    assert kinds(jobs.dedup_within_watermark(s, ["value"])) == []
+    kv = s.select(F.col("value").cast("string").alias("key"), "value")
+    assert kinds(jobs.running_max_state(kv)) == []
+    # stateless streaming projection: nothing to flag
+    assert kinds(s.select((F.col("value") * 2).alias("v2"))) == []
+
+
 def test_sweep_known_state(spark):
     """Every registered query's plan, audited: zero findings outside
     the two documented exceptions. A new hard finding here means a
