@@ -26,4 +26,4 @@ __all__ = [
     "load_tables",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
