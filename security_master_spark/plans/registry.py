@@ -426,7 +426,11 @@ ROUND9_HEAD: tuple[str, ...] = (
 )
 
 
-#: ROUND-12 HEAD PIN (round-11 verdict order #1): evidence-freshness
+#: Historical round-12 window (superseded by ROUND13_HEAD; kept so
+#: the rotation ledger stays in code — all 50 rows landed in
+#: CORRECTNESS_r12.json: 47 hash-green, d37/a20/a21 ``no_oracle`` by
+#: design). Original pin rationale (round-11 verdict order #1):
+#: evidence-freshness
 #: rotation, fourth window — the staged plan executed verbatim, with
 #: ZERO queue-jumps (round 12 changes no registered query's oracle or
 #: physical plan: the guards/selector land in operators/ on the
@@ -531,6 +535,77 @@ ROUND13_QUEUE_JUMPERS: tuple[str, ...] = (
     "g4_link_prediction",
     "l22_distinctive_terms",
     "l29_unigram_surprisal",
+)
+
+
+#: ROUND-13 HEAD PIN (round-12 verdict order #1): evidence-freshness
+#: rotation, fifth window — the stager's output verbatim
+#: (``python tools/evidence_age.py --stage`` against the committed
+#: r01-r12 artifacts; tests/test_evidence_stage.py's exactness clause
+#: pins the reproduction while r12 is the newest artifact).
+#: Composition: (0) the six ROUND13_QUEUE_JUMPERS — the only plans in
+#: the repo whose current text (post the round-12 broadcast-site
+#: audit's hint removals) lacks driver evidence — front-loaded by the
+#: standing round-9 stale-evidence rule; (1) the 34 remaining
+#: r06-evidence rows in age-then-registration order (l48 heads it:
+#: skipped by the r12 backfill "greens" rule, it rotates with its
+#: round's main body here); (2) 10 backfill from the oldest r07
+#: hash-greens. After this window lands: no query's driver evidence
+#: predates r07 (verify: python tools/evidence_age.py --check).
+ROUND13_HEAD: tuple[str, ...] = (
+    # (0) queue-jumpers: plan changed in round 12 after last evidence
+    "w13_ratio_to_report",
+    "d47_basket_lift",
+    "d49_fulfillment_sla",
+    "g4_link_prediction",
+    "l22_distinctive_terms",
+    "l29_unigram_surprisal",
+    # (1) the 34 r06-evidence rows, age order
+    "l48_pca_project",
+    "q22_skyline",
+    "u10_sql_scalar_udf",
+    "u11_sql_table_udf",
+    "io13_xml_roundtrip",
+    "io14_file_metadata",
+    "io15_incremental_aggregate",
+    "io16_malformed_csv_handling",
+    "a22_listagg",
+    "a23_rolling_distinct",
+    "a24_hll_partial_union",
+    "l49_source_vocab_overlap",
+    "l50_tokenizer_fertility",
+    "l51_weighted_sample",
+    "l52_boilerplate_chunks",
+    "l53_dedup_survivorship",
+    "l54_split_leakage",
+    "l55_langid_confusion",
+    "d48_cohort_retention",
+    "d50_volume_bars",
+    "d51_drawdown_duration",
+    "d52_kyle_lambda",
+    "d53_cusip_sedol_validation",
+    "d54_bond_analytics",
+    "d55_ytm_newton",
+    "d56_black_scholes",
+    "d57_monte_carlo_pricing",
+    "d58_implied_volatility",
+    "d59_min_variance_pairs",
+    "l56_chunk_dedup_retention",
+    "l57_filter_funnel",
+    "l58_corpus_build_pipeline",
+    "l59_bleu_pairs",
+    "g5_degree_histogram",
+    # (2) backfill: the 10 oldest r07 hash-greens
+    "u12_pandas_api_on_spark",
+    "a26_count_min_sketch",
+    "a27_transpose",
+    "t5_late_data_accounting",
+    "dq9_referential_integrity",
+    "u13_iter_pandas_udf",
+    "io17_text_roundtrip",
+    "s20_url_functions",
+    "s21_data_protection",
+    "s22_outer_explode",
 )
 
 
@@ -656,11 +731,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND12_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND13_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND12_HEAD if n in d]
+    head = [n for n in ROUND13_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))

@@ -72,6 +72,29 @@ def test_stage_reproduces_round12_head_while_r11_is_newest():
     assert tuple(main + backfill) == ROUND12_HEAD
 
 
+def test_stage_reproduces_round13_head_while_r12_is_newest():
+    """While CORRECTNESS_r12 is the newest committed artifact, the
+    stager run with the declared ROUND13_QUEUE_JUMPERS must reproduce
+    the pinned ROUND13_HEAD byte-for-byte (the round-13 window was
+    pasted from its output). Retires once r13+ artifacts land; the
+    structural clauses above keep guarding the rules."""
+    tool = _load_tool()
+    from security_master_spark.plans.registry import (
+        ROUND13_HEAD,
+        ROUND13_QUEUE_JUMPERS,
+        queries,
+    )
+
+    rows = tool.latest_rows()
+    newest = max(rnd for rnd, _r in rows.values())
+    if newest != 12:
+        return  # exactness clause retired
+    jump, main, back, _ = tool.stage_with_jumpers(
+        list(queries()), rows, 50, ROUND13_QUEUE_JUMPERS
+    )
+    assert tuple(jump + main + back) == ROUND13_HEAD
+
+
 def test_stage_with_jumpers_front_loads_and_trims():
     tool = _load_tool()
     from security_master_spark.plans.registry import queries

@@ -173,35 +173,36 @@ def test_every_registered_callable_is_invocable():
     )
 
 
-#: the round-12 driver window: pinned explicitly in
-#: registry.ROUND12_HEAD (queries()/oracle_sql() reorder the dict so
-#: these 50 are the first 50 the driver sees). The 43 remaining
-#: r05-evidence rows + the 7 oldest r06 hash-greens (l48 skipped —
-#: no_oracle by design); zero queue-jumps — after this window no
-#: query's driver evidence predates r06.
-from security_master_spark.plans.registry import ROUND12_HEAD as _ROUND12_HEAD
+#: the round-13 driver window: pinned explicitly in
+#: registry.ROUND13_HEAD (queries()/oracle_sql() reorder the dict so
+#: these 50 are the first 50 the driver sees). The 6 queue-jumpers
+#: (de-broadcast plans lacking driver evidence on their current text)
+#: + the 34 remaining r06-evidence rows + the 10 oldest r07
+#: hash-greens — after this window no query's driver evidence
+#: predates r07.
+from security_master_spark.plans.registry import ROUND13_HEAD as _ROUND13_HEAD
 
-#: the guarded ROUND-13 wave: empty at rotation time — every
-#: registered name has driver evidence (CORRECTNESS_r01-r11 union
-#: covers all 333). Any round-12 addition must register its name here;
+#: the guarded ROUND-14 wave: empty at rotation time — every
+#: registered name has driver evidence (CORRECTNESS_r01-r12 union
+#: covers all 333). Any round-13 addition must register its name here;
 #: test_never_checked_queries_all_have_a_documented_wave enforces
-#: that no never-checked name lives outside ROUND12_HEAD ∪ this set.
-_ROUND13_REMAINDER: set[str] = set()
+#: that no never-checked name lives outside ROUND13_HEAD ∪ this set.
+_ROUND14_REMAINDER: set[str] = set()
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-11 all stopped
-    at exactly 50). Round-12 rotation: the pinned ROUND12_HEAD must BE
+    entries per round in registration order (rounds 1-12 all stopped
+    at exactly 50). Round-13 rotation: the pinned ROUND13_HEAD must BE
     the first 50 entries of queries(), in pin order — nothing else may
     spend a cap slot."""
     names = list(_QUERIES)
-    assert len(_ROUND12_HEAD) == 50
-    assert len(set(_ROUND12_HEAD)) == 50
-    assert names[:50] == list(_ROUND12_HEAD), (
+    assert len(_ROUND13_HEAD) == 50
+    assert len(set(_ROUND13_HEAD)) == 50
+    assert names[:50] == list(_ROUND13_HEAD), (
         f"head-50 drift: missing="
-        f"{sorted(set(_ROUND12_HEAD) - set(names[:50]))} "
-        f"extra={sorted(set(names[:50]) - set(_ROUND12_HEAD))}"
+        f"{sorted(set(_ROUND13_HEAD) - set(names[:50]))} "
+        f"extra={sorted(set(names[:50]) - set(_ROUND13_HEAD))}"
     )
 
 
@@ -212,7 +213,7 @@ def test_never_checked_queries_all_have_a_documented_wave():
     m4_modality_accounting silently fell out of every wave. Recompute
     the never-driver-checked set from the committed CORRECTNESS_r*.json
     evidence files and assert every member is either in the current
-    head or in the literal round-13 remainder list."""
+    head or in the literal round-14 remainder list."""
     import glob
     import json
     import os
@@ -223,10 +224,10 @@ def test_never_checked_queries_all_have_a_documented_wave():
         with open(path, encoding="utf-8") as f:
             ever_checked.update(json.load(f).keys())
     never = set(_QUERIES) - ever_checked
-    orphans = never - set(_ROUND12_HEAD) - _ROUND13_REMAINDER
+    orphans = never - set(_ROUND13_HEAD) - _ROUND14_REMAINDER
     assert not orphans, (
         f"never-driver-checked queries outside every documented "
-        f"rotation wave: {sorted(orphans)} — add them to the round-13 "
+        f"rotation wave: {sorted(orphans)} — add them to the round-14 "
         f"remainder (tests/test_plans.py + registry.py comment)"
     )
 
