@@ -146,6 +146,16 @@ def near_duplicate_pairs(
             f"near_duplicate_pairs: columns collide with internal "
             f"scratch names: {bad} — rename them before calling"
         )
+    # OUTPUT names too (round-13 ADVICE, low): the result is
+    # ``*keys, id_lo, id_hi, gap_us`` — a key under one of those
+    # names would yield duplicate/ambiguous output columns, silently
+    # downstream; same loud-failure contract as the scratch set
+    bad_out = sorted(set(keys) & {"id_lo", "id_hi", "gap_us"})
+    if bad_out:
+        raise ValueError(
+            f"near_duplicate_pairs: key columns collide with output "
+            f"columns: {bad_out} — rename them before calling"
+        )
     w = int(window_us)
     bkt = F.expr(f"(`{ts_us}` - pmod(`{ts_us}`, {w})) div {w}")
     base = df.select(
@@ -204,6 +214,14 @@ def near_duplicate_cell_overflow(
         raise ValueError(f"window_us must be positive, got {window_us}")
     if max_per_cell < 1:
         raise ValueError(f"max_per_cell must be ≥ 1, got {max_per_cell}")
+    # output-name collision guard (round-13 ADVICE, low) — the result
+    # is ``*keys, bucket, n_rows``
+    bad_out = sorted(set(keys) & {"bucket", "n_rows"})
+    if bad_out:
+        raise ValueError(
+            f"near_duplicate_cell_overflow: key columns collide with "
+            f"output columns: {bad_out} — rename them before calling"
+        )
     w = int(window_us)
     bkt = F.expr(f"(`{ts_us}` - pmod(`{ts_us}`, {w})) div {w}")
     return (

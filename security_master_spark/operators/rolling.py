@@ -242,12 +242,19 @@ def _distributed_rank(
         totals = counts.groupBy(*keys).agg(
             F.sum("_c").alias(counts_col)
         )
-        # no second guard: |totals| = distinct keys ≤ |offsets| rows
-        # (every key appears in ≥1 range), so the offsets guard above
-        # already bounds this broadcast — and each guarded attach
-        # costs a flat ~0.2 s stage on the broadcast critical path
-        # (PLANS.md attach-guard cost study)
-        out = _nullsafe_attach(out, totals, keys)
+        # guarded too (round-13 ADVICE, medium): although |totals| =
+        # distinct keys ≤ |offsets| rows, "the offsets guard raises
+        # first" is NOT a safe ordering claim — Spark launches every
+        # BroadcastExchange's collect job concurrently at prepare
+        # time, so at pathological key cardinality the totals collect
+        # could OOM the driver in parallel before the offsets guard's
+        # raise_error propagates. Cost is the documented flat
+        # ~0.2 s/attach (PLANS.md attach-guard cost study).
+        out = _nullsafe_attach(
+            out, totals, keys,
+            max_rows=max_broadcast_rows,
+            what="distributed rank (totals table)",
+        )
     return out
 
 

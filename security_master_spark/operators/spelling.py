@@ -140,11 +140,25 @@ DECISION_TABLE: dict[str, dict[str, float | None]] = {
 }
 
 
+#: Headroom the cardinality override adds on top of the observed key
+#: count: the guarded offsets scratch table holds ≈ n_keys + n_ranges
+#: rows (each key spanning a range boundary adds one row), and
+#: ``n_ranges`` defaults to the cluster's defaultParallelism inside
+#: the operators — unknowable here. 4096 covers any sane parallelism
+#: (32-core local → 32; a 1000-executor cluster → low thousands)
+#: while moving the decision only inside the boundary band where
+#: "window" is the safe answer anyway (round-13 ADVICE: without
+#: headroom the selector recommended a spelling that aborts at its
+#: first action for n_keys within n_ranges of the bound).
+DEFAULT_EXPECTED_N_RANGES = 4096
+
+
 def recommend_spelling(
     operator: str,
     stats: SkewStats,
     dominant_share: float = 0.5,
     max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
+    expected_n_ranges: int = DEFAULT_EXPECTED_N_RANGES,
 ) -> str:
     """Return ``"distributed"`` or ``"window"`` for ``operator`` given
     a :func:`skew_probe` result, from the measured decision table.
@@ -162,10 +176,15 @@ def recommend_spelling(
     force-broadcasts a per-key-group scratch table bounded by the
     fused guard (``max_broadcast_rows`` here mirrors the operators'
     knob, carry included — ≥1 bucket per key, so key count is a lower
-    bound on carry cells), so a probe observing MORE key groups than
-    the bound recommends "window" outright: the distributed form
-    would abort at its first action, and at that key cardinality the
-    portable form has ample per-key parallelism anyway. Note the
+    bound on carry cells), so a probe observing more key groups than
+    the bound minus ``expected_n_ranges`` recommends "window"
+    outright: the distributed form would abort at its first action,
+    and at that key cardinality the portable form has ample per-key
+    parallelism anyway. The headroom term exists because the guarded
+    scratch table holds ≈ n_keys + n_ranges rows, not n_keys (each
+    key spanning a range boundary adds one row) — see
+    :data:`DEFAULT_EXPECTED_N_RANGES`; pass the operator call's
+    actual ``n_ranges`` for an exact boundary. Note the
     asymmetry under sampling: a sampled probe UNDERESTIMATES distinct
     keys (a share it cannot miss, a long tail it can), so probe
     unsampled when the cardinality override is the decision that
@@ -182,7 +201,10 @@ def recommend_spelling(
         ) from None
     if stats.n_rows == 0:
         return "window"
-    if max_broadcast_rows is not None and stats.n_keys > max_broadcast_rows:
+    if (
+        max_broadcast_rows is not None
+        and stats.n_keys + expected_n_ranges > max_broadcast_rows
+    ):
         return "window"
     balanced = row["balanced"]
     if balanced is not None and balanced >= 1.0:

@@ -123,10 +123,61 @@ _RELATION = {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation",
              "DataSourceV2ScanRelation", "StreamingRelation"}
 
 
-def _relation_location(jnode) -> str:
-    # LogicalRelation's toString carries the file listing; cheap and
-    # version-stable compared to digging through the relation object
-    return jnode.toString()
+def _relation_identifiers(jnode) -> list[str]:
+    """Real identifiers for a base-table relation node: the catalog
+    table name (``catalogTable`` / Hive ``tableMeta``), every path
+    segment of a HadoopFsRelation's file-index root paths, and a
+    DSv2 table name. The node's ``toString()`` is NOT usable for this
+    — it prints the output COLUMN list, not a location, so substring
+    matching there made any table with a ``*_nationkey`` column look
+    like the bounded ``nation`` (round-13 ADVICE, high: broadcast of
+    raw customer/supplier escaped the audit). Relation shapes this
+    cannot read return [] — fail-unbounded, never fail-bounded."""
+    idents: list[str] = []
+    for getter in (
+        lambda: jnode.catalogTable(),  # LogicalRelation Option[..]
+        lambda: jnode.v1Table(),  # some DSv2 wrappers
+    ):
+        try:
+            opt = getter()
+            if not opt.isEmpty():
+                idents.append(opt.get().identifier().table().lower())
+        except Exception:
+            pass
+    try:  # HiveTableRelation
+        idents.append(jnode.tableMeta().identifier().table().lower())
+    except Exception:
+        pass
+    try:  # DataSourceV2(Scan)Relation
+        idents.append(jnode.table().name().lower())
+    except Exception:
+        pass
+    try:  # LogicalRelation over HadoopFsRelation: real file location
+        paths = jnode.relation().location().rootPaths()
+        for i in range(paths.size()):
+            idents.extend(
+                seg.lower()
+                for seg in paths.apply(i).toString().split("/")
+                if seg
+            )
+    except Exception:
+        pass
+    return idents
+
+
+def _is_bounded_relation(jnode, bounded_tables: Sequence[str]) -> bool:
+    """A relation is declared-bounded iff one of its REAL identifiers
+    (catalog table name or a file-path segment) equals a bounded table
+    name or is that name plus an extension (``nation.parquet``).
+    Exact-segment comparison, never substring-in-toString — see
+    :func:`_relation_identifiers` for why."""
+    idents = _relation_identifiers(jnode)
+    for t in bounded_tables:
+        tl = t.lower()
+        for seg in idents:
+            if seg == tl or seg.startswith(tl + "."):
+                return True
+    return False
 
 
 def _reaches_raw_relation(
@@ -140,8 +191,7 @@ def _reaches_raw_relation(
     if name in _COLLAPSING:
         return False
     if name in _RELATION:
-        loc = _relation_location(jnode)
-        return not any(t in loc for t in bounded_tables)
+        return not _is_bounded_relation(jnode, bounded_tables)
     return any(
         _reaches_raw_relation(c, bounded_tables) for c in _children(jnode)
     )
@@ -335,24 +385,32 @@ def audit_plan(
     # children() does not descend into SUBQUERY EXPRESSIONS (scalar /
     # IN / EXISTS subplans live in the expression tree), so a hinted
     # broadcast inside one is invisible to the main walk — caught by
-    # this session's adversarial self-probe. subqueriesAll() collects
-    # every subquery plan under a node recursively; the worklist
-    # handles subqueries nested inside subqueries, deduped by JVM
-    # identity.
+    # the round-12 adversarial self-probe. Collect each tree node's
+    # DIRECT subqueries (QueryPlan.subqueries — this node's
+    # expressions only) across the popped plan and push those; their
+    # own nested subqueries are collected when they are popped. Each
+    # subquery plan is therefore pushed exactly once and no dedup set
+    # is needed — the earlier subqueriesAll()+hashCode() version
+    # deduped STRUCTURALLY (TreeNode.hashCode is structural, not JVM
+    # identity), silently dropping findings from distinct but
+    # structurally-equal subqueries (round-13 ADVICE, low).
+    def _direct_subqueries(jnode) -> list:
+        out = []
+        seq = jnode.subqueries()
+        for i in range(seq.size()):
+            out.append(seq.apply(i))
+        for c in _children(jnode):
+            out.extend(_direct_subqueries(c))
+        return out
+
     qe = df._jdf.queryExecution()
-    root = qe.optimizedPlan()
-    work = [(root, "<root>")]
-    seen: set[int] = set()
+    work = [(qe.optimizedPlan(), "<root>")]
     while work:
         plan, parent = work.pop()
-        ident = plan.hashCode()
-        if ident in seen:
-            continue
-        seen.add(ident)
         visit(plan, parent)
-        subs = plan.subqueriesAll()
-        for i in range(subs.size()):
-            work.append((subs.apply(i), "<subquery>"))
+        work.extend(
+            (s, "<subquery>") for s in _direct_subqueries(plan)
+        )
 
     # eval types only exist physically; sparkPlan() plans without
     # executing (pre-AQE — AQE never changes a Python eval node)

@@ -38,14 +38,18 @@ def q26_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every region, written as `FROM region, LATERAL (... ORDER BY ...
     LIMIT 2)` — the per-outer-row table subquery (Spark 3.4+ SQL
     surface). Catalyst decorrelates this into a join + per-key
-    window-rank plan, i.e. the SAME physical shape as the w6/q3 top-k
-    idiom — the certification is that the LATERAL spelling produces
-    identical rows (deterministic (acctbal DESC, custkey) order, the
-    float-tie discipline: the tie-break is an integer key).
+    window-rank plan — the certification is that the LATERAL spelling
+    produces identical rows (deterministic (acctbal DESC, custkey)
+    order, the float-tie discipline: the tie-break is an integer key).
 
-    Scale: after decorrelation this is one join of customer onto the
-    broadcast nation/region dims and a per-region rank — no
-    per-outer-row re-execution survives in the physical plan."""
+    Scale: no per-outer-row re-execution survives decorrelation, but
+    the plan is NOT identical to the hand-written w6/q3 rank idiom —
+    Catalyst carries the correlated ORDER BY as a range-partitioned
+    GLOBAL pre-sort of customer feeding an order-insensitive
+    row_number, i.e. one extra full sort + shuffle (distributed via
+    range partitioning, not one-task — audit_plans.py notes it as a
+    documented exception). The LATERAL dialect is the subject here;
+    w6/q3 is the production spelling of per-group top-k."""
     load_tables(spark, sf_dir)
     return spark.sql(f"""
     SELECT r.r_name AS region,

@@ -173,3 +173,34 @@ def test_scratch_and_parameter_guards(spark):
         near_duplicate_pairs(
             ok, ["user_id"], "event_id", "us", _W, max_per_cell=0
         )
+
+
+def test_output_name_collision_guards(spark):
+    # round-13 ADVICE (low): a KEY named like an output column
+    # (id_lo/id_hi/gap_us; bucket/n_rows in the overflow monitor)
+    # would yield duplicate/ambiguous output columns — loud failure,
+    # matching the scratch-name contract
+    from security_master_spark.operators.intervals import (
+        near_duplicate_cell_overflow,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1, 0)], "id_lo string, event_id long, us long"
+    )
+    with pytest.raises(ValueError, match="id_lo"):
+        near_duplicate_pairs(df, ["id_lo"], "event_id", "us", _W)
+    df2 = spark.createDataFrame(
+        [("u", 1, 0)], "bucket string, event_id long, us long"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        near_duplicate_cell_overflow(df2, ["bucket"], "us", _W, 2)
+    # non-key columns under those names are fine (they don't reach
+    # the output under their own name)
+    df3 = spark.createDataFrame(
+        [("u", 1, 0), ("u", 2, 5)],
+        "user_id string, event_id long, gap_us long",
+    )
+    out = near_duplicate_pairs(
+        df3, ["user_id"], "event_id", "gap_us", _W
+    )
+    assert out.columns == ["user_id", "id_lo", "id_hi", "gap_us"]

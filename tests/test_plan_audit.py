@@ -43,6 +43,46 @@ def test_forced_broadcast_of_raw_projection_flags(orders):
     assert kinds(df) == ["forced-broadcast-raw-relation"]
 
 
+def spark_of(df):
+    return df.sparkSession
+
+
+def test_forced_broadcast_of_raw_customer_flags(orders):
+    # round-13 ADVICE (high) regression: the first matcher compared
+    # bounded_tables against the relation's toString(), which prints
+    # COLUMN names — customer's c_nationkey substring-matched
+    # "nation", so broadcast(customer) yielded NO finding. The matcher
+    # now reads the real file location / catalog identifier.
+    customer = load_table(spark_of(orders), SF, "customer")
+    df = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    assert kinds(df) == ["forced-broadcast-raw-relation"]
+    # supplier (s_nationkey) had the same accidental pass
+    supplier = load_table(spark_of(orders), SF, "supplier")
+    df2 = orders.join(
+        F.broadcast(supplier), orders.o_custkey == supplier.s_suppkey
+    )
+    assert kinds(df2) == ["forced-broadcast-raw-relation"]
+
+
+def test_bounded_matching_is_exact_segment_not_substring(orders):
+    # a bounded name must match a PATH SEGMENT exactly (or segment
+    # plus extension), never a substring anywhere: declaring "custom"
+    # bounded must NOT whitelist customer.parquet
+    customer = load_table(spark_of(orders), SF, "customer")
+    df = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    assert kinds(df, bounded_tables=("custom",)) == [
+        "forced-broadcast-raw-relation"
+    ]
+    # the real segment (customer.parquet -> "customer") does match
+    assert kinds(df, bounded_tables=("customer",)) == []
+
+
 def test_declared_bounded_table_passes(orders, nation):
     df = orders.join(
         F.broadcast(nation), orders.o_custkey == nation.n_nationkey
@@ -134,6 +174,30 @@ def test_subquery_plans_are_audited(spark, orders):
         )
     """)
     assert kinds(df) == ["forced-broadcast-raw-relation"]
+
+
+def test_structurally_equal_subqueries_both_audited(spark, orders):
+    # round-13 ADVICE (low) regression: the first traversal deduped
+    # subquery plans by TreeNode.hashCode(), which is STRUCTURAL —
+    # two distinct but structurally-equal hazardous subqueries
+    # reported one finding, the second silently dropped. The walk now
+    # pushes each node's direct subqueries exactly once, no dedup.
+    orders.createOrReplaceTempView("pa_orders")
+    sub = """(
+        SELECT avg(x.o_totalprice) FROM (
+            SELECT /*+ BROADCAST(b) */ b.o_totalprice
+            FROM pa_orders a JOIN pa_orders b
+              ON a.o_orderkey = b.o_orderkey
+        ) x
+    )"""
+    df = spark.sql(f"""
+        SELECT o_orderkey FROM pa_orders
+        WHERE o_totalprice > {sub} OR o_totalprice < {sub}
+    """)
+    assert kinds(df) == [
+        "forced-broadcast-raw-relation",
+        "forced-broadcast-raw-relation",
+    ]
 
 
 def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):

@@ -129,6 +129,32 @@ def test_default_bound_changes_no_results(ticks):
     assert exp.exceptAll(got).count() == 0
 
 
+def test_totals_attach_is_guarded_too(ticks):
+    # round-13 ADVICE (medium): Spark launches every
+    # BroadcastExchange's collect job CONCURRENTLY at prepare time, so
+    # "the offsets guard raises first" never actually bounded the
+    # totals collect — at pathological key cardinality it could OOM
+    # the driver in parallel before the offsets raise propagates. The
+    # totals attach now carries its own fused guard; |totals| ≤
+    # |offsets| means a trip can't be attributed behaviorally, so
+    # assert the guard expression is IN the plan by its message.
+    out = distributed_row_number(
+        ticks, ["k"], ["t"], counts_col="n", max_broadcast_rows=1
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "totals table" in plan
+    assert "offsets table" in plan
+    with pytest.raises(Exception, match="max_broadcast_rows=1"):
+        out.count()
+    # None still disables BOTH guards
+    clean = distributed_row_number(
+        ticks, ["k"], ["t"], counts_col="n", max_broadcast_rows=None
+    )
+    assert "totals table" not in (
+        clean._jdf.queryExecution().analyzed().toString()
+    )
+
+
 def test_none_disables_guard(ticks):
     # max_broadcast_rows=None must remove the guard from the plan:
     # a key count far above any bound still evaluates fine

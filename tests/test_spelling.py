@@ -128,10 +128,28 @@ def test_recommend_cardinality_override_beats_every_rule():
     too_many = SkewStats(10_000_000, 3_000_000, 0.6, ("hot",), None)
     for op in DECISION_TABLE:
         assert recommend_spelling(op, too_many) == "window", op
-    # inclusive boundary: exactly at the bound is still distributed-
-    # eligible (the operators' guard raises strictly PAST the bound)
+    # boundary band (round-13 ADVICE, low): the guarded offsets table
+    # holds ≈ n_keys + n_ranges rows, so EXACTLY at the bound the
+    # operator would abort — the selector now subtracts an
+    # expected_n_ranges headroom and says "window" there
     at_bound = SkewStats(10_000_000, 2_000_000, 0.6, ("hot",), None)
-    assert recommend_spelling("distributed_cumsum", at_bound) == "distributed"
+    assert recommend_spelling("distributed_cumsum", at_bound) == "window"
+    # below the headroom band the distributed form is eligible again
+    from security_master_spark.operators.spelling import (
+        DEFAULT_EXPECTED_N_RANGES,
+    )
+
+    clear = SkewStats(
+        10_000_000, 2_000_000 - DEFAULT_EXPECTED_N_RANGES, 0.6,
+        ("hot",), None,
+    )
+    assert recommend_spelling("distributed_cumsum", clear) == "distributed"
+    # a caller who knows the actual n_ranges gets the exact boundary
+    assert (
+        recommend_spelling("distributed_cumsum", at_bound,
+                           expected_n_ranges=0)
+        == "distributed"
+    )
     # None disables the override (caller disabled the guard too)
     assert (
         recommend_spelling("rolling_rows_agg", too_many,

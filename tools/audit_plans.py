@@ -41,6 +41,15 @@ DOCUMENTED: dict[str, str] = {
         "docstring documents the range-partition-on-price scale path "
         "(the 2-D skyline's honest exact cost)"
     ),
+    "q26_lateral_topk": (
+        "Catalyst decorrelates LATERAL(... ORDER BY .. LIMIT k) via a "
+        "range-partitioned global pre-sort of customer (distributed, "
+        "not one-task, but one extra sort+shuffle vs the w6/q3 rank "
+        "idiom); this row certifies the LATERAL SQL dialect — the "
+        "spelling IS the subject. Surfaced only after the round-13 "
+        "bounded-table matcher fix (c_nationkey no longer matches "
+        "'nation'); w6/q3 is the production per-group top-k"
+    ),
     "u1_python_scalar_udf": (
         "SURVEY §2.13's row-at-a-time reference row — the slow path "
         "demonstrated ON PURPOSE; u2/u9/u12 are its Arrow siblings"
