@@ -24,15 +24,29 @@ Two pieces:
   bottleneck; everything else recommends "distributed" only past a
   dominant-key share threshold, "window" otherwise.
 
-The threshold defaults to 0.5 and is a DOCUMENTED HEURISTIC, not a
-measured crossover: the measured arms are 20% (balanced, 5 keys) and
-96% (dominant), and the true crossover lies somewhere between. At a
-majority key the portable form's critical path is ≥ half of all rows
-in ONE task — a cost that grows with data and that no cluster size
-amortizes — while the distributed forms' worst measured overhead is a
-flat ~2×. Callers tuning a specific corpus should interleave both
-spellings A/B/A/B and compare minimums (the repo's measurement
-discipline) rather than trust the default.
+The share threshold was a bracketing heuristic through round 12 (the
+measured arms were 20% and 96%); round 13 closed the bracket with
+intermediate arms at 50/60/70% dominant share
+(tools/measure_mid_skew.py, 6M-tick corpus, interleaved minimums):
+
+- **carry/trailing family**: crossover is AT ~0.5 — parity (0.98×)
+  at 50% share, distributed wins 1.20× at 60% and 1.41× at 70%. The
+  0.5 default is now a measured crossover for this family.
+- **rank family** (``distributed_row_number``): the window form
+  still wins at 70% share (0.84×); the crossover lies in
+  (0.70, 0.96) AT THIS CORPUS SIZE, so its per-operator default
+  threshold is 0.85 (the bracket midpoint). Caveat: the crossover
+  share falls as per-key volume grows — the window form's dominant
+  key is ONE sort task (linear in rows), the distributed form is
+  flat — so at much larger per-key volumes 0.85 is conservative;
+  probe-and-measure when it matters.
+
+At a majority key the portable form's critical path grows with data
+and no cluster size amortizes it, while the distributed forms' worst
+measured overhead is a flat ~2× — hence thresholds, not bans.
+Callers tuning a specific corpus should interleave both spellings
+A/B/A/B and compare minimums (the repo's measurement discipline)
+rather than trust the defaults.
 """
 
 from __future__ import annotations
@@ -121,22 +135,56 @@ def skew_probe(
 
 #: Measured speedups of each distributed spelling vs its portable
 #: window/aggregate form — minimums over interleaved batteries at the
-#: 6M-tick stress corpora (PLANS.md rounds 10-12; "balanced" = 5 even
-#: keys, "dominant" = one key owns 96% of rows; distributed_row_number
-#: was measured at sf0.1 balanced and a 10×-dominant-segment corpus;
-#: distributed_cumsum's cells are the round-12 isolation study —
-#: tools/measure_cumsum.py closed the previously-unmeasured balanced
-#: arm). A balanced ratio ≥ 1 means the distributed form won BOTH
-#: arms and is the default once per-key volume is the bottleneck.
-DECISION_TABLE: dict[str, dict[str, float | None]] = {
-    "rolling_rows_agg": {"balanced": 2.03, "dominant": 7.77},
-    "rolling_distinct_count": {"balanced": 2.03, "dominant": 7.77},
-    "distributed_row_number": {"balanced": 0.57, "dominant": 1.41},
-    "distributed_cumsum": {"balanced": 0.93, "dominant": 3.64},
-    "distributed_percentile": {"balanced": 0.86, "dominant": 2.58},
-    "trailing_distributed_prefix": {"balanced": 0.60, "dominant": 1.77},
-    "asof_carry_bucketed": {"balanced": 0.60, "dominant": 1.77},
-    "forward_fill_bucketed": {"balanced": 0.84, "dominant": 1.61},
+#: 6M-tick stress corpora (PLANS.md rounds 10-13; "balanced" = 5 even
+#: keys (20% top share), "mid" = measured intermediate dominant-key
+#: shares (round 13, tools/measure_mid_skew.py), "dominant" = one key
+#: owns 96% of rows; distributed_row_number's balanced/dominant arms
+#: were measured at sf0.1 and a 10×-dominant-segment corpus, its mid
+#: cells on the 6M-tick corpus; distributed_cumsum's
+#: balanced/dominant cells are the round-12 isolation study). A
+#: balanced ratio ≥ 1 means the distributed form won BOTH arms and is
+#: the default once per-key volume is the bottleneck. ``threshold``
+#: is the operator's recommend-distributed share:
+#: measured-crossover 0.5 for the carry/trailing family, 0.85 (the
+#: (0.70, 0.96) bracket midpoint) for the rank family, the 0.5
+#: family proxy for the unmeasured-mid members, ``None`` for the
+#: always-distributed halo family.
+DECISION_TABLE: dict[str, dict] = {
+    "rolling_rows_agg": {
+        "balanced": 2.03, "dominant": 7.77, "threshold": None,
+    },
+    "rolling_distinct_count": {
+        "balanced": 2.03, "dominant": 7.77, "threshold": None,
+    },
+    "distributed_row_number": {
+        "balanced": 0.57,
+        "mid": {0.5: 0.64, 0.6: 0.82, 0.7: 0.84},
+        "dominant": 1.41,
+        "threshold": 0.85,
+    },
+    "distributed_cumsum": {
+        "balanced": 0.93, "dominant": 3.64, "threshold": 0.5,
+    },
+    "distributed_percentile": {
+        "balanced": 0.86, "dominant": 2.58, "threshold": 0.5,
+    },
+    "trailing_distributed_prefix": {
+        "balanced": 0.60,
+        "mid": {0.5: 0.98, 0.6: 1.20, 0.7: 1.41},
+        "dominant": 1.77,
+        "threshold": 0.5,
+    },
+    "asof_carry_bucketed": {
+        # the carry IS the trailing path's second stage — shares its
+        # measurement, mid arms included
+        "balanced": 0.60,
+        "mid": {0.5: 0.98, 0.6: 1.20, 0.7: 1.41},
+        "dominant": 1.77,
+        "threshold": 0.5,
+    },
+    "forward_fill_bucketed": {
+        "balanced": 0.84, "dominant": 1.61, "threshold": 0.5,
+    },
 }
 
 
@@ -156,7 +204,7 @@ DEFAULT_EXPECTED_N_RANGES = 4096
 def recommend_spelling(
     operator: str,
     stats: SkewStats,
-    dominant_share: float = 0.5,
+    dominant_share: float | None = None,
     max_broadcast_rows: int | None = DEFAULT_MAX_BROADCAST_ROWS,
     expected_n_ranges: int = DEFAULT_EXPECTED_N_RANGES,
 ) -> str:
@@ -167,9 +215,13 @@ def recommend_spelling(
     too (the halo + distributed-rank family — ratios ≥ 1 in
     :data:`DECISION_TABLE`) recommend "distributed" for any non-empty
     frame; the rest recommend "distributed" only when the top key's
-    observed share reaches ``dominant_share`` (see the module
-    docstring for why 0.5), else "window" — the portable form is
-    both faster there and the hash-certified registered spelling.
+    observed share reaches the operator's MEASURED threshold from the
+    table (carry/trailing family 0.5 — the round-13 mid-skew arms put
+    the crossover there; rank family 0.85 — still window-faster at
+    the measured 0.7 arm), else "window" — the portable form is both
+    faster there and the hash-certified registered spelling.
+    ``dominant_share`` overrides the per-operator threshold when not
+    ``None`` (e.g. from a caller's own A/B on their corpus).
     Empty frames recommend "window" (nothing to parallelize).
 
     Cardinality override (round 12): every distributed spelling
@@ -209,4 +261,8 @@ def recommend_spelling(
     balanced = row["balanced"]
     if balanced is not None and balanced >= 1.0:
         return "distributed"
-    return "distributed" if stats.top_share >= dominant_share else "window"
+    threshold = (
+        dominant_share if dominant_share is not None
+        else (row.get("threshold") or 0.5)
+    )
+    return "distributed" if stats.top_share >= threshold else "window"

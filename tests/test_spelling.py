@@ -238,3 +238,29 @@ def test_probe_scratch_key_name_raises(spark):
     pdf = pd.DataFrame({"_kc": ["a", "b"], "v": [1, 2]})
     with pytest.raises(ValueError, match="_kc"):
         skew_probe(spark.createDataFrame(pdf), ["_kc"])
+
+
+def test_round13_measured_thresholds():
+    # round-13 mid-skew arms (tools/measure_mid_skew.py, PLANS.md):
+    # carry/trailing crossover measured AT ~0.5; the rank family's
+    # window form still wins at the 0.7 arm, so its per-operator
+    # threshold is the (0.70, 0.96) bracket midpoint
+    mid6 = SkewStats(1000, 5, 0.6, ("hot",), None)
+    mid7 = SkewStats(1000, 5, 0.7, ("hot",), None)
+    high = SkewStats(1000, 5, 0.9, ("hot",), None)
+    for op in ("trailing_distributed_prefix", "asof_carry_bucketed"):
+        assert recommend_spelling(op, mid6) == "distributed", op
+    assert recommend_spelling("distributed_row_number", mid7) == "window"
+    assert (
+        recommend_spelling("distributed_row_number", high)
+        == "distributed"
+    )
+    # explicit dominant_share still overrides the per-op default
+    assert (
+        recommend_spelling("distributed_row_number", mid7,
+                           dominant_share=0.5)
+        == "distributed"
+    )
+    # the measured mid cells are recorded in the table itself
+    assert DECISION_TABLE["trailing_distributed_prefix"]["mid"][0.6] == 1.20
+    assert DECISION_TABLE["distributed_row_number"]["threshold"] == 0.85
