@@ -148,10 +148,36 @@ def _relation_identifiers(jnode) -> list[str]:
         idents.append(jnode.tableMeta().identifier().table().lower())
     except Exception:
         pass
-    try:  # DataSourceV2(Scan)Relation
-        idents.append(jnode.table().name().lower())
-    except Exception:
-        pass
+    # DataSourceV2Relation holds its Table directly;
+    # DataSourceV2ScanRelation wraps the relation one level down. A
+    # FileTable's name() is "<format> <comma-joined paths>" — split on
+    # whitespace then into path segments — and its fileIndex() gives
+    # the root paths structurally.
+    for get_table in (
+        lambda: jnode.table(),
+        lambda: jnode.relation().table(),
+    ):
+        try:
+            t = get_table()
+        except Exception:
+            continue
+        try:
+            for part in t.name().split():
+                idents.extend(
+                    seg.lower() for seg in part.split("/") if seg
+                )
+        except Exception:
+            pass
+        try:
+            paths = t.fileIndex().rootPaths()
+            for i in range(paths.size()):
+                idents.extend(
+                    seg.lower()
+                    for seg in paths.apply(i).toString().split("/")
+                    if seg
+                )
+        except Exception:
+            pass
     try:  # LogicalRelation over HadoopFsRelation: real file location
         paths = jnode.relation().location().rootPaths()
         for i in range(paths.size()):

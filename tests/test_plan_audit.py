@@ -83,6 +83,33 @@ def test_bounded_matching_is_exact_segment_not_substring(orders):
     assert kinds(df, bounded_tables=("customer",)) == []
 
 
+def test_bounded_matching_works_on_the_dsv2_reader_path(spark):
+    # Spark can route parquet through DataSourceV2ScanRelation (e.g.
+    # useV1SourceList=""); the identifier extraction must resolve the
+    # real location there too — via the relation's FileTable name /
+    # fileIndex rootPaths — so nation stays bounded and customer
+    # stays flagged on either reader path
+    conf = "spark.sql.sources.useV1SourceList"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "")
+        orders_v2 = spark.read.parquet(f"{SF}/orders.parquet")
+        nation_v2 = spark.read.parquet(f"{SF}/nation.parquet")
+        cust_v2 = spark.read.parquet(f"{SF}/customer.parquet")
+        flagged = orders_v2.join(
+            F.broadcast(cust_v2.select("c_custkey", "c_nationkey")),
+            orders_v2.o_custkey == F.col("c_custkey"),
+        )
+        bounded = orders_v2.join(
+            F.broadcast(nation_v2),
+            orders_v2.o_custkey == nation_v2.n_nationkey,
+        )
+    finally:
+        spark.conf.set(conf, old)
+    assert kinds(flagged) == ["forced-broadcast-raw-relation"]
+    assert kinds(bounded) == []
+
+
 def test_declared_bounded_table_passes(orders, nation):
     df = orders.join(
         F.broadcast(nation), orders.o_custkey == nation.n_nationkey
