@@ -123,17 +123,53 @@ _RELATION = {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation",
              "DataSourceV2ScanRelation", "StreamingRelation"}
 
 
+def _internal_path_seg(seg: str) -> bool:
+    """Path segments that live INSIDE a table directory, not name it:
+    part files (``part-00000-…``), metadata (``_SUCCESS``,
+    ``_delta_log``), hidden entries, and Hive partition dirs
+    (``date=2020-01-01``)."""
+    return (
+        seg.startswith("part-")
+        or seg.startswith("_")
+        or seg.startswith(".")
+        or "=" in seg
+    )
+
+
+def _path_leaf(path: str) -> str | None:
+    """The single identifier a file path contributes: its deepest
+    segment that is not a within-table entry (see
+    :func:`_internal_path_seg`). ONE segment per path, never all of
+    them — matching every segment let a PARENT directory named like a
+    bounded table (``/lake/region/customer.parquet`` — region-named
+    prefixes are common lake layout) whitelist an SF-linear table,
+    a fail-bounded path (round-13 session-2 self-probe)."""
+    segs = [s for s in path.split("/") if s]
+    while segs and _internal_path_seg(segs[-1]):
+        segs.pop()
+    return segs[-1].lower() if segs else None
+
+
 def _relation_identifiers(jnode) -> list[str]:
     """Real identifiers for a base-table relation node: the catalog
-    table name (``catalogTable`` / Hive ``tableMeta``), every path
-    segment of a HadoopFsRelation's file-index root paths, and a
-    DSv2 table name. The node's ``toString()`` is NOT usable for this
-    — it prints the output COLUMN list, not a location, so substring
-    matching there made any table with a ``*_nationkey`` column look
-    like the bounded ``nation`` (round-13 ADVICE, high: broadcast of
-    raw customer/supplier escaped the audit). Relation shapes this
-    cannot read return [] — fail-unbounded, never fail-bounded."""
+    table name (``catalogTable`` / Hive ``tableMeta``), the LEAF
+    segment of each of a HadoopFsRelation's file-index root paths,
+    and a DSv2 table name. The node's ``toString()`` is NOT usable
+    for this — it prints the output COLUMN list, not a location, so
+    substring matching there made any table with a ``*_nationkey``
+    column look like the bounded ``nation`` (round-13 ADVICE, high:
+    broadcast of raw customer/supplier escaped the audit). Paths
+    contribute only their leaf (:func:`_path_leaf`) so a parent
+    directory can never declare its children bounded. Relation shapes
+    this cannot read return [] — fail-unbounded, never
+    fail-bounded."""
     idents: list[str] = []
+
+    def _add_paths(paths_str: str) -> None:
+        for p in paths_str.split(","):
+            leaf = _path_leaf(p)
+            if leaf is not None:
+                idents.append(leaf)
     for getter in (
         lambda: jnode.catalogTable(),  # LogicalRelation Option[..]
         lambda: jnode.v1Table(),  # some DSv2 wrappers
@@ -150,9 +186,10 @@ def _relation_identifiers(jnode) -> list[str]:
         pass
     # DataSourceV2Relation holds its Table directly;
     # DataSourceV2ScanRelation wraps the relation one level down. A
-    # FileTable's name() is "<format> <comma-joined paths>" — split on
-    # whitespace then into path segments — and its fileIndex() gives
-    # the root paths structurally.
+    # FileTable's name() is "<format> <comma-joined paths>" — each
+    # path contributes its leaf; a bare token (a catalog table name)
+    # contributes itself — and its fileIndex() gives the root paths
+    # structurally.
     for get_table in (
         lambda: jnode.table(),
         lambda: jnode.relation().table(),
@@ -163,29 +200,22 @@ def _relation_identifiers(jnode) -> list[str]:
             continue
         try:
             for part in t.name().split():
-                idents.extend(
-                    seg.lower() for seg in part.split("/") if seg
-                )
+                if "/" in part:
+                    _add_paths(part)
+                elif part:
+                    idents.append(part.lower())
         except Exception:
             pass
         try:
             paths = t.fileIndex().rootPaths()
             for i in range(paths.size()):
-                idents.extend(
-                    seg.lower()
-                    for seg in paths.apply(i).toString().split("/")
-                    if seg
-                )
+                _add_paths(paths.apply(i).toString())
         except Exception:
             pass
     try:  # LogicalRelation over HadoopFsRelation: real file location
         paths = jnode.relation().location().rootPaths()
         for i in range(paths.size()):
-            idents.extend(
-                seg.lower()
-                for seg in paths.apply(i).toString().split("/")
-                if seg
-            )
+            _add_paths(paths.apply(i).toString())
     except Exception:
         pass
     return idents

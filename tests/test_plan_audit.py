@@ -83,6 +83,59 @@ def test_bounded_matching_is_exact_segment_not_substring(orders):
     assert kinds(df, bounded_tables=("customer",)) == []
 
 
+def test_parent_dir_named_like_bounded_table_does_not_whitelist(
+    spark, orders, tmp_path_factory
+):
+    # fail-bounded regression (round-13 session-2 self-probe): paths
+    # must contribute only their LEAF segment. Matching every segment
+    # let /lake/region/customer.parquet — region-named prefixes are
+    # common lake layout — silently whitelist a forced broadcast of
+    # customer, the exact escape class the matcher fix targeted.
+    import shutil
+
+    root = tmp_path_factory.mktemp("lake") / "region"
+    root.mkdir()
+    src = f"{SF}/customer.parquet"
+    dst = str(root / "customer.parquet")
+    shutil.copy(src, dst)  # the sf0.001 tables are single files
+    cust = spark.read.parquet(dst).select("c_custkey", "c_nationkey")
+    df = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    assert kinds(df) == ["forced-broadcast-raw-relation"]
+    # and the leaf still matches: the same layout with the TABLE
+    # under the bounded name stays whitelisted
+    nroot = tmp_path_factory.mktemp("lake2") / "warehouse"
+    nroot.mkdir()
+    shutil.copy(f"{SF}/nation.parquet", str(nroot / "nation.parquet"))
+    nat = spark.read.parquet(str(nroot / "nation.parquet"))
+    df2 = orders.join(
+        F.broadcast(nat), orders.o_custkey == nat.n_nationkey
+    )
+    assert kinds(df2) == []
+
+
+def test_path_leaf_skips_within_table_entries():
+    # pure-function contract: one identifier per path — the deepest
+    # segment that names the table, never a part file, partition dir,
+    # or metadata entry; unreadable shapes yield None (fail-unbounded)
+    from security_master_spark.plan_audit import _path_leaf
+
+    assert _path_leaf("/lake/nation.parquet") == "nation.parquet"
+    assert _path_leaf("s3://bucket/warehouse/nation/") == "nation"
+    assert (
+        _path_leaf("/lake/nation.parquet/part-00000-abc.snappy.parquet")
+        == "nation.parquet"
+    )
+    assert (
+        _path_leaf("/lake/events/date=2020-01-01/part-0.parquet")
+        == "events"
+    )
+    assert _path_leaf("/lake/nation/_SUCCESS") == "nation"
+    assert _path_leaf("/lake/NATION.PARQUET") == "nation.parquet"
+    assert _path_leaf("part-00000.parquet") is None
+
+
 def test_bounded_matching_works_on_the_dsv2_reader_path(spark):
     # Spark can route parquet through DataSourceV2ScanRelation (e.g.
     # useV1SourceList=""); the identifier extraction must resolve the
