@@ -27,6 +27,13 @@ The manual audit's rules, encoded:
   sorts the world. The collapse-first discipline (dq4's distinct-
   value grouping, w13's pre-aggregated rollup) puts an Aggregate
   below the global node and passes.
+- ``single-partition-funnel`` — a ``coalesce(1)`` / ``repartition(1)``
+  whose input reaches a raw relation uncollapsed: every row of a
+  growing table funnels through ONE task (and ``coalesce(1)`` also
+  collapses the parallelism of everything fused ABOVE it in the
+  stage). The legitimate small-output-file idiom — collapse first,
+  then coalesce the handful of result rows — puts an Aggregate/limit
+  below the node and passes.
 - ``python-udf-row-batch`` — the PHYSICAL plan contains a
   ``BatchEvalPython`` node: a pickled row-at-a-time Python UDF in
   the plan, the 10-100× slow path the engine's UDF surface avoids
@@ -87,7 +94,9 @@ DEFAULT_BUDGET_BYTES = 1 << 30
 DEFAULT_SCALAR_BYTES = 4096
 
 #: Data-model-bounded base tables (constant rows at every SF) —
-#: matched as substrings of a relation's file location.
+#: matched against a relation's REAL identifiers: catalog table name
+#: or the leaf segment of its file location (exact, or leaf plus an
+#: extension — ``nation.parquet``), never substrings.
 DEFAULT_BOUNDED_TABLES = ("nation", "region")
 
 
@@ -405,6 +414,23 @@ def audit_plan(
                         f"with the data (est {l_est} B × {r_est} B)",
                         _head(jnode),
                     ))
+        elif name in ("Repartition", "RepartitionByExpression"):
+            try:
+                n = jnode.numPartitions()
+            except Exception:
+                # RepartitionByExpression with no explicit count takes
+                # the session default at planning — not a funnel
+                n = None
+            if n == 1 and _reaches_raw_relation(jnode, bounded_tables):
+                findings.append(Finding(
+                    "single-partition-funnel",
+                    "coalesce(1)/repartition(1) over an uncollapsed "
+                    "base-table input — one task carries every row "
+                    "(and coalesce(1) de-parallelizes the whole fused "
+                    "stage above it); collapse first, then funnel the "
+                    "result rows",
+                    _head(jnode),
+                ))
         elif name == "Window":
             if jnode.partitionSpec().isEmpty() and _reaches_raw_relation(
                 jnode, bounded_tables

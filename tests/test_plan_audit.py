@@ -280,6 +280,20 @@ def test_structurally_equal_subqueries_both_audited(spark, orders):
     ]
 
 
+def test_single_partition_funnel_rules(orders):
+    # coalesce(1)/repartition(1) over a growing input: one task
+    # carries every row — flagged
+    assert kinds(orders.coalesce(1)) == ["single-partition-funnel"]
+    assert kinds(orders.repartition(1)) == ["single-partition-funnel"]
+    # the legitimate small-output-file idiom: collapse first, then
+    # funnel the handful of result rows
+    agg = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    assert kinds(agg.coalesce(1)) == []
+    # key repartitioning at the session default is not a funnel
+    assert kinds(orders.repartition("o_custkey")) == []
+    assert kinds(orders.repartition(8, "o_custkey")) == []
+
+
 def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):
     df = spark.range(10)
     slow = F.udf(lambda x: x + 1, "long")
