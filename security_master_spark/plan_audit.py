@@ -129,7 +129,14 @@ def _head(jnode) -> str:
 
 _COLLAPSING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
 _RELATION = {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation",
-             "DataSourceV2ScanRelation", "StreamingRelation"}
+             "DataSourceV2ScanRelation", "StreamingRelation",
+             # ANALYZED-plan streaming sources (the streaming arm
+             # audits pre-optimization): DSv2 sources resolve to
+             # StreamingRelationV2; a started query's plan carries
+             # StreamingExecutionRelation / StreamingDataSourceV2*
+             "StreamingRelationV2", "StreamingExecutionRelation",
+             "StreamingDataSourceV2Relation",
+             "StreamingDataSourceV2ScanRelation"}
 
 
 def _internal_path_seg(seg: str) -> bool:
@@ -300,7 +307,10 @@ def audit_stream_plan(df: DataFrame) -> list[Finding]:
     aggregate over a small key domain legitimately runs unwatermarked
     — and operators that manage their own state lifetime
     (applyInPandasWithState timeouts, transformWithState timers,
-    dropDuplicatesWithinWatermark) are exempt."""
+    dropDuplicatesWithinWatermark) are exempt. The
+    ``single-partition-funnel`` rule applies on this arm too —
+    ``coalesce(1)`` on a stream serializes every micro-batch through
+    one task for the query's whole lifetime."""
     findings: list[Finding] = []
     if not df.isStreaming:
         return findings
@@ -312,6 +322,22 @@ def audit_stream_plan(df: DataFrame) -> list[Finding]:
 
     def visit(jnode) -> None:
         name = _simple_name(jnode)
+        if name in ("Repartition", "RepartitionByExpression"):
+            try:
+                n = jnode.numPartitions()
+            except Exception:
+                n = None
+            if n == 1 and _reaches_raw_relation(
+                jnode, DEFAULT_BOUNDED_TABLES
+            ):
+                findings.append(Finding(
+                    "single-partition-funnel",
+                    "coalesce(1)/repartition(1) on a streaming frame "
+                    "— every micro-batch funnels through one task "
+                    "for the query's whole lifetime; collapse first "
+                    "or keep the session parallelism",
+                    _head(jnode),
+                ))
         stateful = (
             (name == "Aggregate" and jnode.groupingExpressions().size() > 0)
             or name == "Deduplicate"

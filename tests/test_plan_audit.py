@@ -280,6 +280,42 @@ def test_structurally_equal_subqueries_both_audited(spark, orders):
     ]
 
 
+def test_sql_text_hints_and_hint_placement_are_seen(spark, orders):
+    # the SQL surface must not be a side door: /*+ BROADCAST */ and
+    # its dialect aliases resolve to the same JoinHint the DataFrame
+    # directive does, and a hint separated from the join by
+    # filter/project still propagates (EliminateResolvedHint)
+    customer = load_table(spark, SF, "customer")
+    customer.createOrReplaceTempView("pa_cust_v")
+    orders.createOrReplaceTempView("pa_orders_v")
+    for h in ("BROADCAST", "BROADCASTJOIN", "MAPJOIN"):
+        df = spark.sql(
+            f"SELECT /*+ {h}(c) */ * FROM pa_orders_v o "
+            f"JOIN pa_cust_v c ON o.o_custkey = c.c_custkey"
+        )
+        assert kinds(df) == ["forced-broadcast-raw-relation"], h
+    hinted = (
+        F.broadcast(customer)
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    df2 = orders.join(hinted, orders.o_custkey == hinted.c_custkey)
+    assert kinds(df2) == ["forced-broadcast-raw-relation"]
+
+
+def test_streaming_funnel_flags(spark):
+    s = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+    )
+    # StreamingRelationV2 (the ANALYZED-plan source node) must count
+    # as a raw relation, else the streaming arm fail-bounds
+    assert kinds(s.coalesce(1)) == ["single-partition-funnel"]
+    assert kinds(s.repartition(1)) == ["single-partition-funnel"]
+    assert kinds(s.repartition(8)) == []
+
+
 def test_single_partition_funnel_rules(orders):
     # coalesce(1)/repartition(1) over a growing input: one task
     # carries every row — flagged
