@@ -51,6 +51,20 @@ The manual audit's rules, encoded:
   surfaces each site with its estimate; boundedness stays a human
   judgment, which is exactly what the manual audit concluded.
 
+- ``unbounded-per-key-aggregate`` (opt-in, ``include_unbounded_agg``)
+  — an Aggregate whose expressions contain a buffer-per-key function:
+  value-linear buffers (``collect_list`` / ``array_agg`` /
+  ``listagg`` / exact ``percentile`` / ``percentile_disc`` /
+  ``median``) hold every group value in one executor's memory —
+  a hot key at 100 TB is an executor OOM no config can save — and
+  distinct-linear buffers (``collect_set`` / ``mode``) hold every
+  distinct group value. Advisory like the broadcast-aggregate rule
+  and for the same reason: whether the per-key volume (or distinct
+  domain) is bounded is a data-model judgment the plan cannot
+  express. Sketch-bounded siblings (``approx_percentile``, HLL,
+  CountMinSketch) never flag; the detail line says which regime the
+  site is in (input reaches a raw relation uncollapsed vs collapsed
+  upstream).
 - ``stateful-streaming-no-watermark`` (streaming frames, which
   dispatch to :func:`audit_stream_plan`) — a grouped aggregate,
   dropDuplicates, or stream-stream join with no EventTimeWatermark
@@ -139,15 +153,25 @@ _RELATION = {"LogicalRelation", "HiveTableRelation", "DataSourceV2Relation",
              "StreamingDataSourceV2ScanRelation"}
 
 
+_METADATA_SEGS = frozenset({
+    "_success", "_temporary", "_delta_log", "_metadata",
+    "_common_metadata", "_spark_metadata",
+})
+
+
 def _internal_path_seg(seg: str) -> bool:
     """Path segments that live INSIDE a table directory, not name it:
-    part files (``part-00000-…``), metadata (``_SUCCESS``,
-    ``_delta_log``), hidden entries, and Hive partition dirs
-    (``date=2020-01-01``)."""
+    part files (``part-00000-…``), the known writer-metadata names,
+    checksum artifacts, and Hive partition dirs (``date=2020-01-01``).
+    Deliberately NOT every ``_``/``.``-prefixed segment: skipping a
+    segment means falling back to its PARENT, so an over-broad skip
+    list turns an oddly-named table dir (``/lake/nation/_staging``)
+    into its parent's name — a fail-bounded path. Only shapes that
+    cannot themselves name a table are skipped."""
     return (
         seg.startswith("part-")
-        or seg.startswith("_")
-        or seg.startswith(".")
+        or seg in _METADATA_SEGS
+        or seg.endswith(".crc")
         or "=" in seg
     )
 
@@ -160,10 +184,10 @@ def _path_leaf(path: str) -> str | None:
     bounded table (``/lake/region/customer.parquet`` — region-named
     prefixes are common lake layout) whitelist an SF-linear table,
     a fail-bounded path (round-13 session-2 self-probe)."""
-    segs = [s for s in path.split("/") if s]
+    segs = [s.lower() for s in path.split("/") if s]
     while segs and _internal_path_seg(segs[-1]):
         segs.pop()
-    return segs[-1].lower() if segs else None
+    return segs[-1] if segs else None
 
 
 def _relation_identifiers(jnode) -> list[str]:
@@ -285,6 +309,32 @@ def _hint_is_broadcast(opt) -> bool:
     return (not opt.isEmpty()) and "broadcast" in opt.get().toString().lower()
 
 
+#: Aggregate functions whose buffer holds EVERY group value in one
+#: executor's memory (value-linear) vs every DISTINCT group value
+#: (distinct-linear). Matched by Catalyst expression class name —
+#: aliases collapse to one class (array_agg → CollectList,
+#: string_agg → ListAgg), and sketch-bounded siblings
+#: (ApproximatePercentile, HyperLogLog, CountMinSketch) are distinct
+#: classes that never match.
+_VALUE_LINEAR_AGGS = frozenset({
+    "CollectList", "ListAgg", "Percentile", "PercentileDisc", "Median",
+})
+_DISTINCT_LINEAR_AGGS = frozenset({"CollectSet", "Mode"})
+
+
+def _buffer_per_key_fns(jexpr) -> list[str]:
+    """Class names of buffer-per-key aggregate functions anywhere in
+    this expression tree (aggregate expressions wrap the function in
+    AggregateExpression/Alias nodes, so walk the whole tree)."""
+    out: list[str] = []
+    name = _simple_name(jexpr)
+    if name in _VALUE_LINEAR_AGGS or name in _DISTINCT_LINEAR_AGGS:
+        out.append(name)
+    for c in _children(jexpr):
+        out.extend(_buffer_per_key_fns(c))
+    return out
+
+
 #: Stateful streaming operators that manage their own state lifetime
 #: (timeouts / timers) — exempt from the watermark rule.
 _SELF_MANAGED_STATE = {
@@ -372,6 +422,7 @@ def audit_plan(
     scalar_bytes: int = DEFAULT_SCALAR_BYTES,
     bounded_tables: Sequence[str] = DEFAULT_BOUNDED_TABLES,
     include_aggregates: bool = False,
+    include_unbounded_agg: bool = False,
 ) -> list[Finding]:
     """Audit ``df``'s optimized logical plan for the scale-hazard
     classes of the round-12 broadcast-site audit; see the module
@@ -440,6 +491,29 @@ def audit_plan(
                         f"with the data (est {l_est} B × {r_est} B)",
                         _head(jnode),
                     ))
+        elif name == "Aggregate" and include_unbounded_agg:
+            exprs = jnode.aggregateExpressions()
+            fns: list[str] = []
+            for i in range(exprs.size()):
+                fns.extend(_buffer_per_key_fns(exprs.apply(i)))
+            if fns:
+                raw = any(
+                    _reaches_raw_relation(c, bounded_tables)
+                    for c in _children(jnode)
+                )
+                regime = (
+                    "input reaches a raw relation uncollapsed — "
+                    "per-key buffers grow with the data"
+                    if raw else
+                    "input is collapsed upstream — judge the "
+                    "key-group domain, not the plan"
+                )
+                findings.append(Finding(
+                    "unbounded-per-key-aggregate",
+                    f"{'/'.join(sorted(set(fns)))} buffers per-key "
+                    f"values in one executor's memory ({regime})",
+                    _head(jnode),
+                ))
         elif name in ("Repartition", "RepartitionByExpression"):
             try:
                 n = jnode.numPartitions()

@@ -134,6 +134,11 @@ def test_path_leaf_skips_within_table_entries():
     assert _path_leaf("/lake/nation/_SUCCESS") == "nation"
     assert _path_leaf("/lake/NATION.PARQUET") == "nation.parquet"
     assert _path_leaf("part-00000.parquet") is None
+    # skipping is restricted to shapes that cannot name a table:
+    # an oddly-named table dir must NOT fall back to its parent
+    # (that would be a fail-bounded path)
+    assert _path_leaf("/lake/nation/_staging") == "_staging"
+    assert _path_leaf("/lake/nation/.part-0.snappy.parquet.crc") == "nation"
 
 
 def test_bounded_matching_works_on_the_dsv2_reader_path(spark):
@@ -328,6 +333,40 @@ def test_single_partition_funnel_rules(orders):
     # key repartitioning at the session default is not a funnel
     assert kinds(orders.repartition("o_custkey")) == []
     assert kinds(orders.repartition(8, "o_custkey")) == []
+
+
+def test_unbounded_per_key_aggregate_is_opt_in(orders):
+    g = orders.groupBy("o_custkey")
+    raw = g.agg(F.collect_list("o_orderkey").alias("ids"))
+    # off by default — advisory, same contract as the broadcast-
+    # aggregate rule
+    assert kinds(raw) == []
+    assert kinds(raw, include_unbounded_agg=True) == [
+        "unbounded-per-key-aggregate"
+    ]
+    # the whole buffer-per-key class: exact percentile/median buffer
+    # every group value too (the d39 docstring's serial half)
+    for col in (
+        F.percentile("o_totalprice", 0.5),
+        F.median("o_totalprice"),
+        F.collect_set("o_orderstatus"),
+    ):
+        assert kinds(
+            g.agg(col.alias("x")), include_unbounded_agg=True
+        ) == ["unbounded-per-key-aggregate"]
+    # sketch-bounded siblings never flag
+    ok = g.agg(F.percentile_approx("o_totalprice", 0.5).alias("p"))
+    assert kinds(ok, include_unbounded_agg=True) == []
+    # collapsed-upstream sites still surface but say so in the detail
+    pre = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    f = audit_plan(
+        pre.groupBy("o_custkey").agg(F.collect_list("n").alias("ns")),
+        include_unbounded_agg=True,
+    )
+    assert [x.kind for x in f] == ["unbounded-per-key-aggregate"]
+    assert "collapsed upstream" in f[0].detail
 
 
 def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):

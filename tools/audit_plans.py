@@ -4,11 +4,17 @@ mechanized, re-runnable form of the round-12 broadcast-site audit
 small fixture and checked for the scale-hazard classes.
 
 Usage: python tools/audit_plans.py [--sf DIR] [--aggregates]
+                                   [--unbounded-agg]
     --sf DIR      fixture dir (default /root/testdata/sf0.001 — plan
                   SHAPES are SF-invariant; only estimates scale)
     --aggregates  include the opt-in forced-broadcast-aggregate
                   advisories (noisy by design: boundedness of a
                   grouped aggregate's key domain is a human judgment)
+    --unbounded-agg  include the opt-in buffer-per-key aggregate
+                  advisories (collect_list/set, listagg, exact
+                  percentile/median — per-key memory; boundedness of
+                  the per-key volume is a human judgment; the
+                  adjudicated inventory lives in PLANS.md)
 
 Exit status 1 if any HARD finding (raw-relation broadcast, cartesian)
 appears — those two classes were driven to zero in round 12 and a
@@ -68,6 +74,7 @@ DOCUMENTED: dict[str, str] = {
 def main(argv: list[str]) -> None:
     sf_dir = "/root/testdata/sf0.001"
     include_aggregates = False
+    include_unbounded_agg = False
     args = list(argv)
     i = 0
     while i < len(args):
@@ -76,6 +83,8 @@ def main(argv: list[str]) -> None:
             sf_dir = args[i]
         elif args[i] == "--aggregates":
             include_aggregates = True
+        elif args[i] == "--unbounded-agg":
+            include_unbounded_agg = True
         else:
             sys.exit(f"unknown arg {args[i]!r} — see module docstring")
         i += 1
@@ -98,7 +107,9 @@ def main(argv: list[str]) -> None:
             continue
         try:
             findings = audit_plan(
-                df, include_aggregates=include_aggregates
+                df,
+                include_aggregates=include_aggregates,
+                include_unbounded_agg=include_unbounded_agg,
             )
         except Exception as e:
             failed.append(f"{name}: audit error {type(e).__name__}: {e}")
