@@ -64,7 +64,12 @@ The manual audit's rules, encoded:
   express. Sketch-bounded siblings (``approx_percentile``, HLL,
   CountMinSketch) never flag; the detail line says which regime the
   site is in (input reaches a raw relation uncollapsed vs collapsed
-  upstream).
+  upstream). The WINDOW spelling of the same hazard is covered too:
+  a buffer function OVER a partition-growing frame (an unbounded
+  boundary, or any RANGE frame — value-width frames hold unboundedly
+  many rows under ties) flags; a ROWS frame with literal bounds caps
+  the buffer at the frame length and is exempt (a23's documented
+  O(frame) posture).
 - ``stateful-streaming-no-watermark`` (streaming frames, which
   dispatch to :func:`audit_stream_plan`) — a grouped aggregate,
   dropDuplicates, or stream-stream join with no EventTimeWatermark
@@ -205,11 +210,15 @@ def _relation_identifiers(jnode) -> list[str]:
     fail-bounded."""
     idents: list[str] = []
 
-    def _add_paths(paths_str: str) -> None:
-        for p in paths_str.split(","):
-            leaf = _path_leaf(p)
-            if leaf is not None:
-                idents.append(leaf)
+    def _add_path(path: str) -> None:
+        # ONE path per call — never comma-split here: a comma is a
+        # legal filename character, and splitting a structural
+        # rootPath on it would let a dir named "a,region" resolve to
+        # the bounded "region" (fail-bounded). Only FileTable name()
+        # tokens are comma-JOINED and split by their caller.
+        leaf = _path_leaf(path)
+        if leaf is not None:
+            idents.append(leaf)
     for getter in (
         lambda: jnode.catalogTable(),  # LogicalRelation Option[..]
         lambda: jnode.v1Table(),  # some DSv2 wrappers
@@ -239,23 +248,39 @@ def _relation_identifiers(jnode) -> list[str]:
         except Exception:
             continue
         try:
+            # name() contributes only BARE identifier-looking tokens
+            # (catalog-style table names). Path-looking tokens are
+            # skipped: a FileTable's name() comma-joins its paths,
+            # but a comma is also a legal filename character, so the
+            # string is ambiguous — "<dir>/a,region" parses as
+            # ".../a" + "region" and fail-bounds. The fileIndex()
+            # read below gets the same paths STRUCTURALLY, one per
+            # element. Tokens with structure characters are dropped
+            # too (RateStream's name() is "RateStream(rowsPerSecond=…"
+            # — option fragments, not identifiers).
             for part in t.name().split():
-                if "/" in part:
-                    _add_paths(part)
-                elif part:
+                if part and not any(
+                    ch in part for ch in "/(),="
+                ):
                     idents.append(part.lower())
         except Exception:
             pass
         try:
             paths = t.fileIndex().rootPaths()
             for i in range(paths.size()):
-                _add_paths(paths.apply(i).toString())
+                _add_path(paths.apply(i).toString())
         except Exception:
             pass
     try:  # LogicalRelation over HadoopFsRelation: real file location
         paths = jnode.relation().location().rootPaths()
         for i in range(paths.size()):
-            _add_paths(paths.apply(i).toString())
+            _add_path(paths.apply(i).toString())
+    except Exception:
+        pass
+    try:  # V1 StreamingRelation (file streams): DataSource options
+        opt = jnode.dataSource().options().get("path")
+        if not opt.isEmpty():
+            _add_path(opt.get())
     except Exception:
         pass
     return idents
@@ -335,6 +360,51 @@ def _buffer_per_key_fns(jexpr) -> list[str]:
     return out
 
 
+def _window_frame_growing(jwexpr) -> bool:
+    """True iff this window expression's frame can grow with the
+    partition: an UNBOUNDED boundary, or a RANGE frame (a value-width
+    frame holds unboundedly many rows under ties/density — the w10
+    lesson). A ROWS frame with literal bounds caps the buffer at the
+    frame length (a23's documented O(frame) memory) and returns
+    False."""
+    name = _simple_name(jwexpr)
+    if name in ("UnboundedPreceding$", "UnboundedFollowing$"):
+        return True
+    if name == "SpecifiedWindowFrame":
+        try:
+            if _simple_name(jwexpr.frameType()) == "RangeFrame$":
+                return True
+        except Exception:
+            return True  # unreadable frame: assume growing
+    return any(_window_frame_growing(c) for c in _children(jwexpr))
+
+
+def _funnel_finding(
+    jnode, name: str, bounded_tables: Sequence[str], detail: str
+) -> Finding | None:
+    """Shared single-partition-funnel gate for both audit arms.
+    ``Repartition`` (coalesce / repartition(n)) always carries an
+    explicit count; ``RepartitionByExpression`` without one plans at
+    the session default — read ``optNumPartitions()`` emptiness, NOT
+    a numPartitions() exception: numPartitions() never throws (it
+    falls back to spark.sql.shuffle.partitions, so under
+    shuffle.partitions=1 a keyed repartition would false-flag)."""
+    if name == "RepartitionByExpression":
+        try:
+            opt = jnode.optNumPartitions()
+            n = opt.get() if not opt.isEmpty() else None
+        except Exception:
+            n = None
+    else:
+        try:
+            n = jnode.numPartitions()
+        except Exception:
+            n = None
+    if n == 1 and _reaches_raw_relation(jnode, bounded_tables):
+        return Finding("single-partition-funnel", detail, _head(jnode))
+    return None
+
+
 #: Stateful streaming operators that manage their own state lifetime
 #: (timeouts / timers) — exempt from the watermark rule.
 _SELF_MANAGED_STATE = {
@@ -346,7 +416,10 @@ _SELF_MANAGED_STATE = {
 }
 
 
-def audit_stream_plan(df: DataFrame) -> list[Finding]:
+def audit_stream_plan(
+    df: DataFrame,
+    bounded_tables: Sequence[str] = DEFAULT_BOUNDED_TABLES,
+) -> list[Finding]:
     """Streaming arm of the audit: unbounded state is streaming's
     OOM-class broadcast. Walks the ANALYZED plan (a streaming frame
     refuses to optimize before ``writeStream.start()``) and flags
@@ -373,21 +446,15 @@ def audit_stream_plan(df: DataFrame) -> list[Finding]:
     def visit(jnode) -> None:
         name = _simple_name(jnode)
         if name in ("Repartition", "RepartitionByExpression"):
-            try:
-                n = jnode.numPartitions()
-            except Exception:
-                n = None
-            if n == 1 and _reaches_raw_relation(
-                jnode, DEFAULT_BOUNDED_TABLES
-            ):
-                findings.append(Finding(
-                    "single-partition-funnel",
-                    "coalesce(1)/repartition(1) on a streaming frame "
-                    "— every micro-batch funnels through one task "
-                    "for the query's whole lifetime; collapse first "
-                    "or keep the session parallelism",
-                    _head(jnode),
-                ))
+            f = _funnel_finding(
+                jnode, name, bounded_tables,
+                "coalesce(1)/repartition(1) on a streaming frame "
+                "— every micro-batch funnels through one task "
+                "for the query's whole lifetime; collapse first "
+                "or keep the session parallelism",
+            )
+            if f is not None:
+                findings.append(f)
         stateful = (
             (name == "Aggregate" and jnode.groupingExpressions().size() > 0)
             or name == "Deduplicate"
@@ -431,7 +498,7 @@ def audit_plan(
     dispatch to :func:`audit_stream_plan` (the batch rules need the
     optimized plan, which streaming refuses to produce unstarted)."""
     if df.isStreaming:
-        return audit_stream_plan(df)
+        return audit_stream_plan(df, bounded_tables=bounded_tables)
     findings: list[Finding] = []
 
     def visit(jnode, parent_name: str) -> None:
@@ -515,23 +582,36 @@ def audit_plan(
                     _head(jnode),
                 ))
         elif name in ("Repartition", "RepartitionByExpression"):
-            try:
-                n = jnode.numPartitions()
-            except Exception:
-                # RepartitionByExpression with no explicit count takes
-                # the session default at planning — not a funnel
-                n = None
-            if n == 1 and _reaches_raw_relation(jnode, bounded_tables):
-                findings.append(Finding(
-                    "single-partition-funnel",
-                    "coalesce(1)/repartition(1) over an uncollapsed "
-                    "base-table input — one task carries every row "
-                    "(and coalesce(1) de-parallelizes the whole fused "
-                    "stage above it); collapse first, then funnel the "
-                    "result rows",
-                    _head(jnode),
-                ))
+            f = _funnel_finding(
+                jnode, name, bounded_tables,
+                "coalesce(1)/repartition(1) over an uncollapsed "
+                "base-table input — one task carries every row "
+                "(and coalesce(1) de-parallelizes the whole fused "
+                "stage above it); collapse first, then funnel the "
+                "result rows",
+            )
+            if f is not None:
+                findings.append(f)
         elif name == "Window":
+            if include_unbounded_agg:
+                we = jnode.windowExpressions()
+                fns: list[str] = []
+                for i in range(we.size()):
+                    e = we.apply(i)
+                    hit = _buffer_per_key_fns(e)
+                    if hit and _window_frame_growing(e):
+                        fns.extend(hit)
+                if fns:
+                    findings.append(Finding(
+                        "unbounded-per-key-aggregate",
+                        f"{'/'.join(sorted(set(fns)))} OVER a "
+                        f"partition-growing frame (unbounded or "
+                        f"RANGE) buffers the partition in one task's "
+                        f"memory per row — the window spelling of "
+                        f"the grouped-aggregate hazard; bounded ROWS "
+                        f"frames cap the buffer and are exempt",
+                        _head(jnode),
+                    ))
             if jnode.partitionSpec().isEmpty() and _reaches_raw_relation(
                 jnode, bounded_tables
             ):

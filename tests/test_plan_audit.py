@@ -369,6 +369,104 @@ def test_unbounded_per_key_aggregate_is_opt_in(orders):
     assert "collapsed upstream" in f[0].detail
 
 
+def test_unbounded_agg_window_spelling(orders):
+    # the WINDOW spelling of the same executor-memory hazard: a
+    # buffer fn OVER a partition-growing frame flags; a literal ROWS
+    # frame caps the buffer at the frame length (a23's documented
+    # posture) and is exempt
+    w_unb = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    df = orders.withColumn(
+        "ids", F.collect_list("o_orderkey").over(w_unb)
+    )
+    assert kinds(df, include_unbounded_agg=True) == [
+        "unbounded-per-key-aggregate"
+    ]
+    assert kinds(df) == []  # still opt-in
+    # RANGE frames hold unboundedly many rows under ties → flagged
+    w_rng = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").cast("long"))
+        .rangeBetween(-100, 0)
+    )
+    df2 = orders.withColumn(
+        "ids", F.collect_list("o_orderkey").over(w_rng)
+    )
+    assert kinds(df2, include_unbounded_agg=True) == [
+        "unbounded-per-key-aggregate"
+    ]
+    # bounded ROWS frame: O(frame) buffer, exempt
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rowsBetween(-99, 0)
+    )
+    df3 = orders.withColumn(
+        "ids", F.collect_set("o_orderstatus").over(w_rows)
+    )
+    assert kinds(df3, include_unbounded_agg=True) == []
+
+
+def test_funnel_respects_bounded_tables_and_session_default(
+    spark, orders, nation, tmp_path_factory
+):
+    # a keyed repartition with NO explicit count plans at the session
+    # default — not a funnel even when spark.sql.shuffle.partitions=1
+    # (numPartitions() falls back to the conf and never throws; the
+    # gate reads optNumPartitions emptiness instead)
+    conf = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "1")
+        assert kinds(orders.repartition("o_custkey")) == []
+        # an EXPLICIT repartition(1, key) still flags
+        assert kinds(orders.repartition(1, "o_custkey")) == [
+            "single-partition-funnel"
+        ]
+    finally:
+        spark.conf.set(conf, old)
+    # declared-bounded inputs may funnel: 25 rows in one task is the
+    # small-output idiom, and the declaration is honored on the
+    # batch arm
+    assert kinds(nation.coalesce(1)) == []
+    # ...and on the streaming arm the bounded declaration reaches the
+    # funnel gate too (it was hardcoded to the default once): a file
+    # stream of the nation directory funnels silently, a same-shape
+    # stream of a growing table flags
+    import shutil
+
+    sdir = tmp_path_factory.mktemp("streams")
+    for tbl in ("nation", "customer"):
+        d = sdir / tbl
+        d.mkdir()
+        shutil.copy(f"{SF}/{tbl}.parquet", str(d / f"{tbl}.parquet"))
+    sch_n = spark.read.parquet(str(sdir / "nation")).schema
+    sn = spark.readStream.schema(sch_n).parquet(str(sdir / "nation"))
+    assert kinds(sn.coalesce(1)) == []
+    sch_c = spark.read.parquet(str(sdir / "customer")).schema
+    sc = spark.readStream.schema(sch_c).parquet(str(sdir / "customer"))
+    assert kinds(sc.coalesce(1)) == ["single-partition-funnel"]
+
+
+def test_comma_in_dirname_does_not_whitelist(
+    spark, orders, tmp_path_factory
+):
+    # a comma is a legal filename character: a table under a dir
+    # named "a,region" must NOT resolve to the bounded "region"
+    # (rootPaths are structural — one path per element — and name()
+    # tokens never contribute path segments)
+    import shutil
+
+    root = tmp_path_factory.mktemp("lake3") / "a,region"
+    root.mkdir()
+    dst = str(root / "customer.parquet")
+    shutil.copy(f"{SF}/customer.parquet", dst)
+    cust = spark.read.parquet(dst).select("c_custkey", "c_nationkey")
+    df = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    assert kinds(df) == ["forced-broadcast-raw-relation"]
+
+
 def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):
     df = spark.range(10)
     slow = F.udf(lambda x: x + 1, "long")
