@@ -248,21 +248,21 @@ def _relation_identifiers(jnode) -> list[str]:
         except Exception:
             continue
         try:
-            # name() contributes only BARE identifier-looking tokens
-            # (catalog-style table names). Path-looking tokens are
-            # skipped: a FileTable's name() comma-joins its paths,
-            # but a comma is also a legal filename character, so the
-            # string is ambiguous — "<dir>/a,region" parses as
-            # ".../a" + "region" and fail-bounds. The fileIndex()
-            # read below gets the same paths STRUCTURALLY, one per
-            # element. Tokens with structure characters are dropped
-            # too (RateStream's name() is "RateStream(rowsPerSecond=…"
-            # — option fragments, not identifiers).
-            for part in t.name().split():
-                if part and not any(
-                    ch in part for ch in "/(),="
-                ):
-                    idents.append(part.lower())
+            # name() contributes identifiers ONLY when it contains no
+            # path at all (a catalog-style table name). A FileTable's
+            # name() serializes its paths into one string, where
+            # commas AND SPACES are both legal filename characters —
+            # any token-level parse of "<format> <dir>/big nation.pq"
+            # yields a fragment ("nation.pq") that fail-bounds. The
+            # same paths arrive STRUCTURALLY, one per element, via
+            # fileIndex() below, so a path-bearing name() is simply
+            # ignored. Structure characters ((),=) mark option
+            # fragments (RateStream's name()), equally skipped.
+            name_str = t.name()
+            if "/" not in name_str:
+                for part in name_str.split():
+                    if part and not any(ch in part for ch in "(),="):
+                        idents.append(part.lower())
         except Exception:
             pass
         try:
@@ -406,7 +406,13 @@ def _funnel_finding(
 
 
 #: Stateful streaming operators that manage their own state lifetime
-#: (timeouts / timers) — exempt from the watermark rule.
+#: (timeouts / timers) — outside the watermark rule. DOCUMENTATION,
+#: not an enforcement gate: the rule's stateful predicate matches
+#: only Aggregate/Deduplicate/stream-stream Join node names, so these
+#: operators never reach it in the first place (a membership check
+#: against this set inside the rule would be dead code — it was, and
+#: a review pass removed it so no one extends the predicate assuming
+#: the gate is load-bearing).
 _SELF_MANAGED_STATE = {
     "FlatMapGroupsInPandasWithState",
     "FlatMapGroupsWithState",
@@ -462,11 +468,7 @@ def audit_stream_plan(
                 c.isStreaming() for c in _children(jnode)
             ))
         )
-        if (
-            stateful
-            and name not in _SELF_MANAGED_STATE
-            and not has_watermark(jnode)
-        ):
+        if stateful and not has_watermark(jnode):
             findings.append(Finding(
                 "stateful-streaming-no-watermark",
                 f"{name} over a streaming input with no "
@@ -602,6 +604,13 @@ def audit_plan(
                     if hit and _window_frame_growing(e):
                         fns.extend(hit)
                 if fns:
+                    regime = (
+                        "input reaches a raw relation uncollapsed — "
+                        "per-key buffers grow with the data"
+                        if _reaches_raw_relation(jnode, bounded_tables)
+                        else "input is collapsed upstream — judge "
+                        "the key-group domain, not the plan"
+                    )
                     findings.append(Finding(
                         "unbounded-per-key-aggregate",
                         f"{'/'.join(sorted(set(fns)))} OVER a "
@@ -609,7 +618,8 @@ def audit_plan(
                         f"RANGE) buffers the partition in one task's "
                         f"memory per row — the window spelling of "
                         f"the grouped-aggregate hazard; bounded ROWS "
-                        f"frames cap the buffer and are exempt",
+                        f"frames cap the buffer and are exempt "
+                        f"({regime})",
                         _head(jnode),
                     ))
             if jnode.partitionSpec().isEmpty() and _reaches_raw_relation(

@@ -467,6 +467,41 @@ def test_comma_in_dirname_does_not_whitelist(
     assert kinds(df) == ["forced-broadcast-raw-relation"]
 
 
+def test_space_in_dirname_and_format_token_do_not_whitelist(
+    spark, orders, tmp_path_factory
+):
+    # spaces are legal filename characters too: on the DSv2 path a
+    # FileTable's name() is one string ("<format> <paths>"), so any
+    # token-level parse of "/lake/big nation.parquet" yields the
+    # fragment "nation.parquet" and fail-bounds. A path-bearing
+    # name() is now ignored entirely (paths arrive structurally via
+    # fileIndex), which also stops the format token ("parquet") from
+    # registering as an identifier.
+    import shutil
+
+    root = tmp_path_factory.mktemp("lake4")
+    dst = str(root / "big nation.parquet")
+    shutil.copy(f"{SF}/customer.parquet", dst)
+    conf = "spark.sql.sources.useV1SourceList"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "")
+        cust = spark.read.parquet(dst).select(
+            "c_custkey", "c_nationkey"
+        )
+        df = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        flagged = kinds(df)
+        # declaring a bounded table named like a FORMAT must not
+        # whitelist every relation read with that format
+        format_probe = kinds(df, bounded_tables=("parquet",))
+    finally:
+        spark.conf.set(conf, old)
+    assert flagged == ["forced-broadcast-raw-relation"]
+    assert format_probe == ["forced-broadcast-raw-relation"]
+
+
 def test_row_at_a_time_python_udf_flags_and_arrow_passes(spark):
     df = spark.range(10)
     slow = F.udf(lambda x: x + 1, "long")
