@@ -306,6 +306,14 @@ def test_sql_text_hints_and_hint_placement_are_seen(spark, orders):
     )
     df2 = orders.join(hinted, orders.o_custkey == hinted.c_custkey)
     assert kinds(df2) == ["forced-broadcast-raw-relation"]
+    # the string-form DataFrame hint is the same directive...
+    h = customer.hint("broadcast").select("c_custkey")
+    df3 = orders.join(h, orders.o_custkey == h.c_custkey)
+    assert kinds(df3) == ["forced-broadcast-raw-relation"]
+    # ...while executor-side strategy hints are not a driver hazard
+    h2 = customer.hint("shuffle_hash").select("c_custkey")
+    df4 = orders.join(h2, orders.o_custkey == h2.c_custkey)
+    assert kinds(df4) == []
 
 
 def test_streaming_funnel_flags(spark):
