@@ -538,8 +538,11 @@ ROUND13_QUEUE_JUMPERS: tuple[str, ...] = (
 )
 
 
-#: ROUND-13 HEAD PIN (round-12 verdict order #1): evidence-freshness
-#: rotation, fifth window — the stager's output verbatim
+#: Historical round-13 window (superseded by ROUND14_HEAD; kept so
+#: the rotation ledger stays in code — all 50 rows landed in
+#: CORRECTNESS_r13.json: 48 hash-green, l48/a24 ``no_oracle`` by
+#: design). Original pin rationale (round-12 verdict order #1):
+#: evidence-freshness rotation, fifth window — the stager's output verbatim
 #: (``python tools/evidence_age.py --stage`` against the committed
 #: r01-r12 artifacts; tests/test_evidence_stage.py's exactness clause
 #: pins the reproduction while r12 is the newest artifact).
@@ -606,6 +609,76 @@ ROUND13_HEAD: tuple[str, ...] = (
     "s20_url_functions",
     "s21_data_protection",
     "s22_outer_explode",
+)
+
+
+#: ROUND-14 HEAD PIN (round-13 verdict order #1): evidence-freshness
+#: rotation, sixth window — the stager's output verbatim
+#: (``python tools/evidence_age.py --stage`` against the committed
+#: r01-r13 artifacts; tests/test_evidence_stage.py's exactness clause
+#: pins the reproduction while r13 is the newest artifact). ZERO
+#: queue-jumpers this round: round 13 changed no registered plan's
+#: text (the only plans/ diff was a q26 docstring), so the window is
+#: pure rule output. Composition: (1) the 38 remaining r07-evidence
+#: rows in age-then-registration order; (2) 12 backfill from the
+#: oldest r08 hash-greens (weak/``no_oracle`` rows skipped by the
+#: standing backfill rule — they rotate with their round's main
+#: body). After this window lands: no query's driver evidence
+#: predates r08 (verify: python tools/evidence_age.py --check).
+ROUND14_HEAD: tuple[str, ...] = (
+    # (1) the 38 r07-evidence rows, age order
+    "s23_map_higher_order",
+    "dq10_order_reconciliation",
+    "q23_null_safe_join",
+    "m5_image_decode_stats",
+    "m6_audio_decode_stats",
+    "d60_realized_vol_jump",
+    "d61_tick_rule_imbalance",
+    "d62_var_backtest",
+    "a28_weighted_median",
+    "l60_simhash_dedup_retention",
+    "l61_containment_dedup",
+    "q24_lateral_subquery",
+    "q25_limit_offset",
+    "io18_dynamic_partition_overwrite",
+    "dq11_volume_anomaly",
+    "dq12_winsorized_stats",
+    "d63_fifo_realized_pnl",
+    "d64_unrealized_pnl",
+    "w9_ignore_nulls_navigation",
+    "w10_time_range_frame",
+    "w11_halo_parallel_time_window",
+    "s24_try_arithmetic",
+    "s25_calendar_arithmetic",
+    "d65_spearman_corr",
+    "d66_adjusted_close",
+    "d67_rolling_beta",
+    "l62_bm25_topk",
+    "l64_quality_threshold_sweep",
+    "d68_tracking_error",
+    "d69_roll_spread",
+    "d70_variance_ratio",
+    "d71_rfm_segmentation",
+    "l63_pmi_collocations",
+    "d72_touch_attribution",
+    "d73_markov_transitions",
+    "l7_minhash_lsh_candidates",
+    "l8_simhash_fingerprints",
+    "m4_modality_accounting",
+    # (2) backfill: the 12 oldest r08 hash-greens (weak/no_oracle
+    # rows skipped — they rotate with their round's main body)
+    "t6_windowed_topk_trending",
+    "q26_lateral_topk",
+    "d75_curve_interpolation",
+    "d76_settlement_dates",
+    "d77_volatility_cone",
+    "io19_zstd_parquet_roundtrip",
+    "d78_parametric_portfolio_var",
+    "d79_cusum_changepoint",
+    "d80_lead_lag_xcorr",
+    "d81_portfolio_turnover",
+    "d82_calendar_effects",
+    "w12_streak_islands",
 )
 
 
@@ -731,11 +804,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND13_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND14_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND13_HEAD if n in d]
+    head = [n for n in ROUND14_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))
