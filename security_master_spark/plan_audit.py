@@ -195,30 +195,53 @@ def _path_leaf(path: str) -> str | None:
     return segs[-1] if segs else None
 
 
-def _relation_identifiers(jnode) -> list[str]:
-    """Real identifiers for a base-table relation node: the catalog
-    table name (``catalogTable`` / Hive ``tableMeta``), the LEAF
-    segment of each of a HadoopFsRelation's file-index root paths,
-    and a DSv2 table name. The node's ``toString()`` is NOT usable
-    for this — it prints the output COLUMN list, not a location, so
-    substring matching there made any table with a ``*_nationkey``
-    column look like the bounded ``nation`` (round-13 ADVICE, high:
-    broadcast of raw customer/supplier escaped the audit). Paths
-    contribute only their leaf (:func:`_path_leaf`) so a parent
-    directory can never declare its children bounded. Relation shapes
-    this cannot read return [] — fail-unbounded, never
-    fail-bounded."""
-    idents: list[str] = []
+#: Data-source FORMAT short names that appear as the leading token of
+#: a DSv2 ``FileTable.name()`` ("<format> <paths>"). Dropped from
+#: name()-sourced identifiers unconditionally: a bounded table
+#: literally named like a format must not whitelist every relation
+#: read WITH that format (round-14 ADVICE, low — the '/' gate alone
+#: left relative single-segment paths contributing both tokens).
+_SOURCE_FORMAT_NAMES = frozenset(
+    {
+        "parquet", "orc", "json", "csv", "text", "avro", "xml",
+        "binaryfile", "libsvm",
+    }
+)
+
+
+def _relation_identifiers(jnode) -> list[tuple[str, str]]:
+    """Real identifiers for a base-table relation node, each tagged
+    with its SOURCE — ``("catalog", name)`` for catalog table names
+    (``catalogTable`` / Hive ``tableMeta`` / DSv2 ``v1Table``),
+    ``("path", leaf)`` for the LEAF segment of each structural root
+    path, ``("name", token)`` for tokens of a path-less DSv2
+    ``name()``. The tag matters because the boundedness match rule
+    differs per source (:func:`_is_bounded_relation`): only a path
+    leaf may carry a file EXTENSION, so only path-sourced identifiers
+    get the ``nation.parquet``-matches-``nation`` form — applying it
+    to name() tokens let a v2 catalog table ``region.analytics.events``
+    match bounded ``region`` via its namespace qualifier (round-14
+    ADVICE, low).
+
+    The node's ``toString()`` is NOT usable for any of this — it
+    prints the output COLUMN list, not a location, so substring
+    matching there made any table with a ``*_nationkey`` column look
+    like the bounded ``nation`` (round-13 ADVICE, high: broadcast of
+    raw customer/supplier escaped the audit). Paths contribute only
+    their leaf (:func:`_path_leaf`) so a parent directory can never
+    declare its children bounded. Relation shapes this cannot read
+    return [] — fail-unbounded, never fail-bounded."""
+    idents: list[tuple[str, str]] = []
 
     def _add_path(path: str) -> None:
         # ONE path per call — never comma-split here: a comma is a
         # legal filename character, and splitting a structural
         # rootPath on it would let a dir named "a,region" resolve to
-        # the bounded "region" (fail-bounded). Only FileTable name()
-        # tokens are comma-JOINED and split by their caller.
+        # the bounded "region" (fail-bounded). name() tokens are
+        # never parsed for paths at all (see below).
         leaf = _path_leaf(path)
         if leaf is not None:
-            idents.append(leaf)
+            idents.append(("path", leaf))
     for getter in (
         lambda: jnode.catalogTable(),  # LogicalRelation Option[..]
         lambda: jnode.v1Table(),  # some DSv2 wrappers
@@ -226,19 +249,22 @@ def _relation_identifiers(jnode) -> list[str]:
         try:
             opt = getter()
             if not opt.isEmpty():
-                idents.append(opt.get().identifier().table().lower())
+                idents.append(
+                    ("catalog", opt.get().identifier().table().lower())
+                )
         except Exception:
             pass
     try:  # HiveTableRelation
-        idents.append(jnode.tableMeta().identifier().table().lower())
+        idents.append(
+            ("catalog", jnode.tableMeta().identifier().table().lower())
+        )
     except Exception:
         pass
     # DataSourceV2Relation holds its Table directly;
     # DataSourceV2ScanRelation wraps the relation one level down. A
-    # FileTable's name() is "<format> <comma-joined paths>" — each
-    # path contributes its leaf; a bare token (a catalog table name)
-    # contributes itself — and its fileIndex() gives the root paths
-    # structurally.
+    # FileTable's fileIndex() gives the root paths structurally; its
+    # name() is "<format> <comma-joined paths>" and is consulted ONLY
+    # for path-less tables (a catalog-style v2 name).
     for get_table in (
         lambda: jnode.table(),
         lambda: jnode.relation().table(),
@@ -247,28 +273,45 @@ def _relation_identifiers(jnode) -> list[str]:
             t = get_table()
         except Exception:
             continue
-        try:
-            # name() contributes identifiers ONLY when it contains no
-            # path at all (a catalog-style table name). A FileTable's
-            # name() serializes its paths into one string, where
-            # commas AND SPACES are both legal filename characters —
-            # any token-level parse of "<format> <dir>/big nation.pq"
-            # yields a fragment ("nation.pq") that fail-bounds. The
-            # same paths arrive STRUCTURALLY, one per element, via
-            # fileIndex() below, so a path-bearing name() is simply
-            # ignored. Structure characters ((),=) mark option
-            # fragments (RateStream's name()), equally skipped.
-            name_str = t.name()
-            if "/" not in name_str:
-                for part in name_str.split():
-                    if part and not any(ch in part for ch in "(),="):
-                        idents.append(part.lower())
-        except Exception:
-            pass
+        got_paths = False
         try:
             paths = t.fileIndex().rootPaths()
             for i in range(paths.size()):
+                got_paths = True
                 _add_path(paths.apply(i).toString())
+        except Exception:
+            pass
+        if got_paths:
+            # The same paths name() would serialize arrived
+            # STRUCTURALLY, one per element — any token-level parse
+            # of the joined string fails under legal-but-odd
+            # filenames (commas AND spaces are legal characters:
+            # "<format> <dir>/big nation.pq" tokenizes to a
+            # fail-bounding "nation.pq"). A path-bearing table's
+            # name() therefore contributes NOTHING — not even its
+            # format token, which the old '/' gate let through for
+            # relative single-segment paths ("parquet nation.parquet"
+            # has no slash; round-14 ADVICE, low).
+            continue
+        try:
+            # Path-less table: name() is a catalog-style identifier.
+            # Guards, in order: a '/' marks a serialized path (the
+            # fileIndex() read failed but the string is still
+            # unparseable — skip it; fail-unbounded); structure
+            # characters ((),=) mark option fragments (RateStream's
+            # name()); format short names are dropped so
+            # bounded_tables=("parquet",) cannot whitelist a parquet
+            # read whose fileIndex() was unreadable.
+            name_str = t.name()
+            if "/" not in name_str:
+                for part in name_str.split():
+                    pl = part.lower()
+                    if (
+                        part
+                        and not any(ch in part for ch in "(),=")
+                        and pl not in _SOURCE_FORMAT_NAMES
+                    ):
+                        idents.append(("name", pl))
         except Exception:
             pass
     try:  # LogicalRelation over HadoopFsRelation: real file location
@@ -288,15 +331,29 @@ def _relation_identifiers(jnode) -> list[str]:
 
 def _is_bounded_relation(jnode, bounded_tables: Sequence[str]) -> bool:
     """A relation is declared-bounded iff one of its REAL identifiers
-    (catalog table name or a file-path segment) equals a bounded table
-    name or is that name plus an extension (``nation.parquet``).
+    matches a bounded table name under the rule its SOURCE earns:
+
+    - ``path`` leaves: exact equality, or the name plus a file
+      EXTENSION (``nation.parquet`` matches ``nation``) — extensions
+      are a filesystem reality, and the leaf arrived structurally.
+    - ``catalog`` names and ``name()`` tokens: EXACT equality only.
+      These are identifiers, not filenames; applying the extension
+      form to them let a v2 catalog table named
+      ``region.analytics.events`` match bounded ``region`` via
+      ``startswith("region.")`` — its namespace QUALIFIER, a
+      fail-bounded hole of exactly the parent-dir class (round-14
+      ADVICE, low). A namespace-qualified v2 table is declared by
+      its qualified name (``bounded_tables=("default.region",)``).
+
     Exact-segment comparison, never substring-in-toString — see
     :func:`_relation_identifiers` for why."""
     idents = _relation_identifiers(jnode)
     for t in bounded_tables:
         tl = t.lower()
-        for seg in idents:
-            if seg == tl or seg.startswith(tl + "."):
+        for kind, seg in idents:
+            if seg == tl:
+                return True
+            if kind == "path" and seg.startswith(tl + "."):
                 return True
     return False
 
