@@ -1,0 +1,91 @@
+"""Best-ever per-query floor ledger (round-14 verdict order #2).
+
+The round-11..13 regression trigger was anchored to the LATEST
+minimums floor and ratcheted with it (225 -> 230 -> 245 s) while the
+floor itself crept 204.6 -> 251.6 s on host drift alone — a trigger
+that follows the thing it guards can hide a slow real regression
+under successive exonerations. This tool replaces it with an anchor
+that CANNOT ratchet: the per-query minimum across every committed
+BENCH_DETAIL_min_r*.json (a query's best-ever reproducible time —
+host drift can only add new minimums, never raise old ones).
+
+    python tools/bench_floor.py            # rebuild BENCH_FLOOR_BEST.json
+    python tools/bench_floor.py --compare BENCH_DETAIL_min_r14.json
+        # per-query ratios vs best-ever; prints queries > RATIO_FLAG
+        # (default 1.3) sorted worst-first, plus the host-drift
+        # reference ratio (median across ALL queries — a real code
+        # regression moves ONE query far above the median; host drift
+        # moves the median itself)
+
+Regression rule (round-14 protocol): a query is SUSPECT when its
+battery minimum exceeds 1.3x its best-ever floor AND the battery's
+median ratio is under ~1.15 (i.e. the box itself is not uniformly
+slow). When the median ratio is high, compare cpu probes in
+HOST_PROBES.jsonl first — rounds 14's batteries measured median
+ratios tracking the probe's own 1.38x swing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RATIO_FLAG = 1.3
+
+
+def best_floors() -> tuple[dict[str, float], list[str]]:
+    files = sorted(glob.glob(os.path.join(_REPO, "BENCH_DETAIL_min_r*.json")))
+    best: dict[str, float] = {}
+    for path in files:
+        with open(path, encoding="utf-8") as f:
+            qs = json.load(f)["queries_min"]
+        for name, sec in qs.items():
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    return best, [os.path.basename(p) for p in files]
+
+
+def main(argv: list[str]) -> None:
+    best, sources = best_floors()
+    out_path = os.path.join(_REPO, "BENCH_FLOOR_BEST.json")
+    payload = {
+        "method": (
+            "per-query minimum across all committed minimums batteries "
+            "— the non-ratcheting regression anchor"
+        ),
+        "sources": sources,
+        "total_best_floor_sec": round(sum(best.values()), 2),
+        "queries_best": dict(sorted(best.items())),
+    }
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=1)
+    print(
+        f"BENCH_FLOOR_BEST.json: {len(best)} queries, "
+        f"total {payload['total_best_floor_sec']} s from {sources}"
+    )
+
+    if "--compare" in argv:
+        target = argv[argv.index("--compare") + 1]
+        with open(os.path.join(_REPO, target), encoding="utf-8") as f:
+            qs = json.load(f)["queries_min"]
+        ratios = {
+            n: qs[n] / best[n] for n in qs if n in best and best[n] > 0
+        }
+        med = statistics.median(ratios.values())
+        print(f"median ratio vs best-ever: {med:.3f} (host-drift reference)")
+        sus = sorted(
+            ((r, n) for n, r in ratios.items() if r > RATIO_FLAG),
+            reverse=True,
+        )
+        for r, n in sus:
+            print(f"  {n:35s} {qs[n]:8.3f} vs best {best[n]:8.3f}  ({r:.2f}x)")
+        if not sus:
+            print(f"  no query above {RATIO_FLAG}x its best-ever floor")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
