@@ -25,13 +25,21 @@ Two pieces:
   dominant-key share threshold, "window" otherwise.
 
 The share threshold was a bracketing heuristic through round 12 (the
-measured arms were 20% and 96%); round 13 closed the bracket with
-intermediate arms at 50/60/70% dominant share
-(tools/measure_mid_skew.py, 6M-tick corpus, interleaved minimums):
+measured arms were 20% and 96%); rounds 13-14 closed the bracket with
+intermediate arms at 50/60/70% dominant share for EVERY family
+(tools/measure_mid_skew.py, 6M-tick corpus, interleaved minimums —
+round 13 measured carry+rank, round 14 cumsum/percentile/ffill):
 
 - **carry/trailing family**: crossover is AT ~0.5 — parity (0.98×)
   at 50% share, distributed wins 1.20× at 60% and 1.41× at 70%. The
   0.5 default is now a measured crossover for this family.
+- **percentile** (``distributed_percentile``): same shape — parity
+  (1.05×) at 50%, 1.32× at 60%, 1.76× at 70%; 0.5 is a measured
+  crossover.
+- **cumsum** (``distributed_cumsum``): distributed already wins at
+  50% share (1.28×, rising to 1.73× at 70%); the true crossover lies
+  in (0.2, 0.5), and 0.5 stays as the conservative measured-win
+  point (the window form is the safe answer in the unmeasured band).
 - **rank family** (``distributed_row_number``): the window form
   still wins at 70% share (0.84×); the crossover lies in
   (0.70, 0.96) AT THIS CORPUS SIZE, so its per-operator default
@@ -40,6 +48,9 @@ intermediate arms at 50/60/70% dominant share
   key is ONE sort task (linear in rows), the distributed form is
   flat — so at much larger per-key volumes 0.85 is conservative;
   probe-and-measure when it matters.
+- **ffill** (``forward_fill_bucketed``): the rank-family shape —
+  0.92/0.95/1.00× at 50/60/70% — so its threshold moves to the same
+  0.85 bracket midpoint (crossover in (0.70, 0.96)), same caveat.
 
 At a majority key the portable form's critical path grows with data
 and no cluster size amortizes it, while the distributed forms' worst
@@ -145,10 +156,12 @@ def skew_probe(
 #: balanced ratio ≥ 1 means the distributed form won BOTH arms and is
 #: the default once per-key volume is the bottleneck. ``threshold``
 #: is the operator's recommend-distributed share:
-#: measured-crossover 0.5 for the carry/trailing family, 0.85 (the
-#: (0.70, 0.96) bracket midpoint) for the rank family, the 0.5
-#: family proxy for the unmeasured-mid members, ``None`` for the
-#: always-distributed halo family.
+#: measured-crossover 0.5 for the carry/trailing and percentile
+#: families (and the conservative measured-win point for cumsum,
+#: whose crossover lies below it), 0.85 (the (0.70, 0.96) bracket
+#: midpoint) for the rank and ffill families, ``None`` for the
+#: always-distributed halo family. Every mid cell is measured — the
+#: round-13 "family proxy" placeholders are gone (round-14 run).
 DECISION_TABLE: dict[str, dict] = {
     "rolling_rows_agg": {
         "balanced": 2.03, "dominant": 7.77, "threshold": None,
@@ -163,10 +176,20 @@ DECISION_TABLE: dict[str, dict] = {
         "threshold": 0.85,
     },
     "distributed_cumsum": {
-        "balanced": 0.93, "dominant": 3.64, "threshold": 0.5,
+        "balanced": 0.93,
+        "mid": {0.5: 1.28, 0.6: 1.62, 0.7: 1.73},
+        "dominant": 3.64,
+        # distributed already wins AT 0.5 (1.28×); the crossover lies
+        # in (0.2, 0.5) — 0.5 kept as the conservative measured-win
+        # point (below it is unmeasured; the window form is safe there)
+        "threshold": 0.5,
     },
     "distributed_percentile": {
-        "balanced": 0.86, "dominant": 2.58, "threshold": 0.5,
+        "balanced": 0.86,
+        "mid": {0.5: 1.05, 0.6: 1.32, 0.7: 1.76},
+        "dominant": 2.58,
+        # parity (1.05×) at 50% share — 0.5 is a measured crossover
+        "threshold": 0.5,
     },
     "trailing_distributed_prefix": {
         "balanced": 0.60,
@@ -183,7 +206,15 @@ DECISION_TABLE: dict[str, dict] = {
         "threshold": 0.5,
     },
     "forward_fill_bucketed": {
-        "balanced": 0.84, "dominant": 1.61, "threshold": 0.5,
+        "balanced": 0.84,
+        "mid": {0.5: 0.92, 0.6: 0.95, 0.7: 1.00},
+        "dominant": 1.61,
+        # the rank-family shape: the window form holds parity through
+        # 70% share, so the crossover lies in (0.70, 0.96) at this
+        # corpus size — threshold is the bracket midpoint, with the
+        # same caveat as the rank family (falls as per-key volume
+        # grows)
+        "threshold": 0.85,
     },
 }
 

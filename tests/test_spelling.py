@@ -120,6 +120,22 @@ def test_recommend_threshold_is_inclusive():
     assert recommend_spelling("distributed_percentile", below) == "window"
 
 
+def test_recommend_ffill_follows_the_rank_family_threshold():
+    # round-14 mid-skew arms: the window form holds parity through 70%
+    # share (0.92/0.95/1.00x), so forward_fill_bucketed's threshold
+    # moved to the rank family's 0.85 bracket midpoint — 70% share must
+    # now recommend the window form, 85%+ the distributed one
+    seventy = SkewStats(1000, 5, 0.7, ("hot",), None)
+    at = SkewStats(1000, 5, 0.85, ("hot",), None)
+    assert recommend_spelling("forward_fill_bucketed", seventy) == "window"
+    assert recommend_spelling("forward_fill_bucketed", at) == "distributed"
+    # percentile's 0.5 is a MEASURED crossover now (1.05x at 50%), and
+    # cumsum's distributed form already wins at 0.5 (1.28x) — both keep
+    # recommending distributed from 0.5 up
+    half = SkewStats(1000, 5, 0.5, ("hot",), None)
+    assert recommend_spelling("distributed_cumsum", half) == "distributed"
+
+
 def test_recommend_cardinality_override_beats_every_rule():
     # round 12: more key groups than the broadcast guard's bound →
     # the distributed forms would abort at their first action, so the
