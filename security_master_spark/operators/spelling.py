@@ -48,9 +48,11 @@ round 13 measured carry+rank, round 14 cumsum/percentile/ffill):
   key is ONE sort task (linear in rows), the distributed form is
   flat — so at much larger per-key volumes 0.85 is conservative;
   probe-and-measure when it matters.
-- **ffill** (``forward_fill_bucketed``): the rank-family shape —
-  0.92/0.95/1.00× at 50/60/70% — so its threshold moves to the same
-  0.85 bracket midpoint (crossover in (0.70, 0.96)), same caveat.
+- **ffill** (``forward_fill_bucketed``): 0.92/0.95/1.00× at
+  50/60/70% — exact parity AT 0.70, so 0.70 is its measured
+  crossover threshold (the carry family's parity-arm convention;
+  the rank family differs in that its window form still WINS at
+  0.70, which is what earns a bracket-midpoint threshold instead).
 
 At a majority key the portable form's critical path grows with data
 and no cluster size amortizes it, while the distributed forms' worst
@@ -158,10 +160,12 @@ def skew_probe(
 #: is the operator's recommend-distributed share:
 #: measured-crossover 0.5 for the carry/trailing and percentile
 #: families (and the conservative measured-win point for cumsum,
-#: whose crossover lies below it), 0.85 (the (0.70, 0.96) bracket
-#: midpoint) for the rank and ffill families, ``None`` for the
-#: always-distributed halo family. Every mid cell is measured — the
-#: round-13 "family proxy" placeholders are gone (round-14 run).
+#: whose crossover lies below it), measured-crossover 0.7 for ffill
+#: (exact parity at its 70% arm), 0.85 (the (0.70, 0.96) bracket
+#: midpoint) for the rank family whose window form still WINS at
+#: 70%, ``None`` for the always-distributed halo family. Every mid
+#: cell is measured — the round-13 "family proxy" placeholders are
+#: gone (round-14 run).
 DECISION_TABLE: dict[str, dict] = {
     "rolling_rows_agg": {
         "balanced": 2.03, "dominant": 7.77, "threshold": None,
@@ -209,12 +213,11 @@ DECISION_TABLE: dict[str, dict] = {
         "balanced": 0.84,
         "mid": {0.5: 0.92, 0.6: 0.95, 0.7: 1.00},
         "dominant": 1.61,
-        # the rank-family shape: the window form holds parity through
-        # 70% share, so the crossover lies in (0.70, 0.96) at this
-        # corpus size — threshold is the bracket midpoint, with the
-        # same caveat as the rank family (falls as per-key volume
-        # grows)
-        "threshold": 0.85,
+        # exact parity (1.00×) AT 70% share — the measured crossover,
+        # same convention as the carry family's parity-arm threshold
+        # (0.98× at 0.5 → threshold 0.5); distributed wins 1.61× at
+        # the 96% arm
+        "threshold": 0.7,
     },
 }
 

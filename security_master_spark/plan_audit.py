@@ -214,8 +214,8 @@ def _relation_identifiers(jnode) -> list[tuple[str, str]]:
     with its SOURCE — ``("catalog", name)`` for catalog table names
     (``catalogTable`` / Hive ``tableMeta`` / DSv2 ``v1Table``),
     ``("path", leaf)`` for the LEAF segment of each structural root
-    path, ``("name", token)`` for tokens of a path-less DSv2
-    ``name()``. The tag matters because the boundedness match rule
+    path, ``("name", token)`` for a DSv2 ``name()`` that is one clean
+    catalog-style token. The tag matters because the boundedness match rule
     differs per source (:func:`_is_bounded_relation`): only a path
     leaf may carry a file EXTENSION, so only path-sourced identifiers
     get the ``nation.parquet``-matches-``nation`` form — applying it
@@ -263,8 +263,8 @@ def _relation_identifiers(jnode) -> list[tuple[str, str]]:
     # DataSourceV2Relation holds its Table directly;
     # DataSourceV2ScanRelation wraps the relation one level down. A
     # FileTable's fileIndex() gives the root paths structurally; its
-    # name() is "<format> <comma-joined paths>" and is consulted ONLY
-    # for path-less tables (a catalog-style v2 name).
+    # name() contributes only when it is a single clean token (a
+    # catalog-style v2 name — see the gate below).
     for get_table in (
         lambda: jnode.table(),
         lambda: jnode.relation().table(),
@@ -273,45 +273,45 @@ def _relation_identifiers(jnode) -> list[tuple[str, str]]:
             t = get_table()
         except Exception:
             continue
-        got_paths = False
         try:
             paths = t.fileIndex().rootPaths()
             for i in range(paths.size()):
-                got_paths = True
                 _add_path(paths.apply(i).toString())
         except Exception:
             pass
-        if got_paths:
-            # The same paths name() would serialize arrived
-            # STRUCTURALLY, one per element — any token-level parse
-            # of the joined string fails under legal-but-odd
-            # filenames (commas AND spaces are legal characters:
-            # "<format> <dir>/big nation.pq" tokenizes to a
-            # fail-bounding "nation.pq"). A path-bearing table's
-            # name() therefore contributes NOTHING — not even its
-            # format token, which the old '/' gate let through for
-            # relative single-segment paths ("parquet nation.parquet"
-            # has no slash; round-14 ADVICE, low).
-            continue
         try:
-            # Path-less table: name() is a catalog-style identifier.
-            # Guards, in order: a '/' marks a serialized path (the
-            # fileIndex() read failed but the string is still
-            # unparseable — skip it; fail-unbounded); structure
-            # characters ((),=) mark option fragments (RateStream's
-            # name()); format short names are dropped so
-            # bounded_tables=("parquet",) cannot whitelist a parquet
-            # read whose fileIndex() was unreadable.
-            name_str = t.name()
-            if "/" not in name_str:
-                for part in name_str.split():
-                    pl = part.lower()
-                    if (
-                        part
-                        and not any(ch in part for ch in "(),=")
-                        and pl not in _SOURCE_FORMAT_NAMES
-                    ):
-                        idents.append(("name", pl))
+            # name() contributes an identifier ONLY when the WHOLE
+            # string is one clean token — no '/', no whitespace, no
+            # structure characters, not a format short name. A
+            # FileTable's name() is "<format> <comma-joined paths>"
+            # (always contains a space), so every path-serializing
+            # name is skipped wholesale; this is the only gate that
+            # survives legal-but-odd filenames, because token-level
+            # SPLITTING of the string is itself unsound — space is
+            # both the separator and a legal filename character, so
+            # "parquet big nation.parquet" splits into fragments
+            # ("big", "nation.parquet") that exact-match the wrong
+            # bounded names (round-14 review self-probe; the earlier
+            # per-token parse had exactly this hole whenever
+            # fileIndex() was unreadable). Structure characters
+            # ((),=) mark option fragments (RateStream's name());
+            # format short names are dropped so
+            # bounded_tables=("parquet",) can never whitelist by
+            # format. A single-token name passing all gates is a
+            # catalog-style identifier, which is safe to emit even
+            # ALONGSIDE structural paths — it lets a catalog-backed
+            # v2 table whose storage leaf is opaque
+            # (/warehouse/tbl_00042) be declared bounded by its real
+            # name.
+            name_str = t.name().strip()
+            nl = name_str.lower()
+            if (
+                name_str
+                and not any(ch in name_str for ch in "/(),=")
+                and not any(ch.isspace() for ch in name_str)
+                and nl not in _SOURCE_FORMAT_NAMES
+            ):
+                idents.append(("name", nl))
         except Exception:
             pass
     try:  # LogicalRelation over HadoopFsRelation: real file location

@@ -230,33 +230,66 @@ def test_name_tokens_match_exactly_never_by_namespace_qualifier():
 
 
 def test_pathless_file_table_name_cannot_whitelist_via_format_token():
-    # round-14 ADVICE (low) regression: a FileTable over a relative
+    # round-14 ADVICE (low) regression, strengthened by the same
+    # round's review self-probe: a FileTable over a relative
     # single-segment path serializes name() = "parquet nation.parquet"
-    # — no '/' — so the old gate let BOTH tokens through and
+    # — no '/' — and the old gate let BOTH tokens through, so
     # bounded_tables=("parquet",) whitelisted every parquet read whose
-    # fileIndex() was unreadable. Format short names are now dropped
-    # unconditionally, and the filename token matches exact-only
-    # (fail-unbounded: an unreadable fileIndex never whitelists by
-    # parsed fragments).
+    # fileIndex() was unreadable. Token-level SPLITTING is itself
+    # unsound (space is both the separator and a legal filename
+    # character: "parquet big nation" would fragment-match bounded
+    # ("big",) or ("nation",)), so a name() containing ANY whitespace
+    # now contributes nothing at all — an unreadable fileIndex never
+    # whitelists, period (fail-unbounded).
     from security_master_spark.plan_audit import (
         _is_bounded_relation,
         _relation_identifiers,
     )
 
     node = _FakeV2Node(_FakeTable("parquet nation.parquet"))
-    assert _relation_identifiers(node) == [("name", "nation.parquet")]
-    assert not _is_bounded_relation(node, ("parquet",))
-    # exact-only for name() tokens: even the real table name does not
-    # match through a serialized-filename fragment — declare the
-    # literal token if the fileIndex is genuinely unreadable
-    assert not _is_bounded_relation(node, ("nation",))
-    assert _is_bounded_relation(node, ("nation.parquet",))
+    assert _relation_identifiers(node) == []
+    for declared in ("parquet", "nation", "nation.parquet"):
+        assert not _is_bounded_relation(node, (declared,))
+    # the space-in-filename fragmentation hazard, pinned directly
+    spaced = _FakeV2Node(_FakeTable("parquet big nation"))
+    assert _relation_identifiers(spaced) == []
+    for declared in ("big", "nation", "big nation"):
+        assert not _is_bounded_relation(spaced, (declared,))
+    # a bare single-token format name is dropped too
+    fmt_only = _FakeV2Node(_FakeTable("parquet"))
+    assert _relation_identifiers(fmt_only) == []
+    assert not _is_bounded_relation(fmt_only, ("parquet",))
+
+
+def test_catalog_backed_v2_table_is_declarable_by_its_name():
+    # round-14 review finding: a catalog-backed v2 table whose storage
+    # leaf is opaque (/warehouse/tbl_00042) was undeclarable once a
+    # path-bearing table's name() contributed nothing. A SINGLE-TOKEN
+    # name() cannot be a path serialization (FileTable names always
+    # contain a space), so it is safe to emit alongside the structural
+    # paths — the table stays declarable by its real name.
+    from security_master_spark.plan_audit import (
+        _is_bounded_relation,
+        _relation_identifiers,
+    )
+
+    node = _FakeV2Node(
+        _FakeTable("nation", paths=["file:/warehouse/tbl_00042"])
+    )
+    assert _relation_identifiers(node) == [
+        ("path", "tbl_00042"),
+        ("name", "nation"),
+    ]
+    assert _is_bounded_relation(node, ("nation",))
+    assert _is_bounded_relation(node, ("tbl_00042",))
+    assert not _is_bounded_relation(node, ("customer",))
 
 
 def test_path_bearing_table_name_contributes_nothing():
-    # when fileIndex() yields root paths, name() is ignored entirely
-    # — the paths arrive structurally, and any token parse of the
-    # serialized string fail-bounds under legal-but-odd filenames
+    # a path-SERIALIZING name() ("<format> <paths>" always carries a
+    # space, here a slash too) is ignored entirely — the paths arrive
+    # structurally, and any token parse of the serialized string
+    # fail-bounds under legal-but-odd filenames
     from security_master_spark.plan_audit import (
         _is_bounded_relation,
         _relation_identifiers,

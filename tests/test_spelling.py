@@ -120,14 +120,16 @@ def test_recommend_threshold_is_inclusive():
     assert recommend_spelling("distributed_percentile", below) == "window"
 
 
-def test_recommend_ffill_follows_the_rank_family_threshold():
-    # round-14 mid-skew arms: the window form holds parity through 70%
-    # share (0.92/0.95/1.00x), so forward_fill_bucketed's threshold
-    # moved to the rank family's 0.85 bracket midpoint — 70% share must
-    # now recommend the window form, 85%+ the distributed one
-    seventy = SkewStats(1000, 5, 0.7, ("hot",), None)
-    at = SkewStats(1000, 5, 0.85, ("hot",), None)
-    assert recommend_spelling("forward_fill_bucketed", seventy) == "window"
+def test_recommend_ffill_threshold_is_its_measured_parity_arm():
+    # round-14 mid-skew arms: forward_fill_bucketed measures
+    # 0.92/0.95/1.00x at 50/60/70% share — exact parity AT 0.70 — so
+    # its threshold is 0.70 by the carry family's parity-arm
+    # convention (0.98x at 0.5 -> threshold 0.5): 70% share
+    # recommends distributed (inclusive), just below recommends the
+    # window form
+    below = SkewStats(1000, 5, 0.69, ("hot",), None)
+    at = SkewStats(1000, 5, 0.7, ("hot",), None)
+    assert recommend_spelling("forward_fill_bucketed", below) == "window"
     assert recommend_spelling("forward_fill_bucketed", at) == "distributed"
     # percentile's 0.5 is a MEASURED crossover now (1.05x at 50%), and
     # cumsum's distributed form already wins at 0.5 (1.28x) — both keep

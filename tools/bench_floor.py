@@ -69,12 +69,18 @@ def main(argv: list[str]) -> None:
     )
 
     if "--compare" in argv:
-        target = argv[argv.index("--compare") + 1]
+        i = argv.index("--compare") + 1
+        if i >= len(argv):
+            sys.exit("--compare needs a minimums file, e.g. "
+                     "BENCH_DETAIL_min_r14.json")
+        target = argv[i]
         with open(os.path.join(_REPO, target), encoding="utf-8") as f:
             qs = json.load(f)["queries_min"]
         ratios = {
             n: qs[n] / best[n] for n in qs if n in best and best[n] > 0
         }
+        if not ratios:
+            sys.exit(f"{target} shares no queries with the floor ledger")
         med = statistics.median(ratios.values())
         print(f"median ratio vs best-ever: {med:.3f} (host-drift reference)")
         sus = sorted(

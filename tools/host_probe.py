@@ -24,8 +24,10 @@ seconds and can never be confounded by the thing it calibrates):
 - disk_warm_mbps: warm sequential read of the sf0.1 fixtures
   (~17.5 MB — at this size the battery is NOT disk-bound; the probe
   exists to falsify disk theories quickly).
-- steal_pct / iowait_pct: 5 s /proc/stat delta during the
-  multi-threaded probe — host CPU theft visible from the guest.
+- steal_pct / iowait_pct: /proc/stat delta over exactly the
+  all-cores-busy mt-probe window — host CPU theft visible from the
+  guest (a single-busy-core sample structurally under-reports steal:
+  idle vCPUs are never runnable-but-preempted).
 
 Usage:
     python tools/host_probe.py            # print one JSON line
@@ -61,14 +63,26 @@ def _mt_worker(_i: int) -> float:
     return _cpu_once()
 
 
-def cpu_mt_probe() -> float:
-    """Per-core time for the same loop with every core busy — the
-    MAX across workers (the straggler is what a barrier-shaped Spark
-    stage pays)."""
+def cpu_mt_probe() -> tuple[float, float, float]:
+    """Per-core time for the same loop with every core busy — the MAX
+    across workers (the straggler is what a barrier-shaped Spark stage
+    pays) — plus steal%/iowait% sampled over EXACTLY this all-cores-
+    busy window. Sampling steal while only one core is busy
+    under-reports it structurally: /proc/stat steal ticks accrue only
+    for vCPUs that are runnable-but-preempted, so 31 idle cores hide
+    the theft the battery would actually suffer (round-14 review
+    finding — the probe exists to see 'the host got slower', which is
+    exactly the signal a single-core sample misses)."""
     n = multiprocessing.cpu_count()
+    a = _stat_snap()
     with multiprocessing.Pool(n) as pool:
         times = pool.map(_mt_worker, range(n))
-    return round(max(times), 4)
+    b = _stat_snap()
+    d = [y - x for x, y in zip(a, b)]
+    tot = max(sum(d), 1)
+    steal = round(100 * d[7] / tot, 2)
+    iowait = round(100 * d[4] / tot, 2)
+    return round(max(times), 4), steal, iowait
 
 
 def disk_probe() -> tuple[float, float]:
@@ -96,29 +110,19 @@ def _stat_snap() -> list[int]:
         return [int(v) for v in f.readline().split()[1:]]
 
 
-def steal_sample(busy_seconds: float = 5.0) -> tuple[float, float]:
-    """steal%/iowait% over a window in which this process keeps one
-    core busy (an idle guest under-reports steal)."""
-    a = _stat_snap()
-    end = time.perf_counter() + busy_seconds
-    while time.perf_counter() < end:
-        _cpu_once(500_000)
-    b = _stat_snap()
-    d = [y - x for x, y in zip(a, b)]
-    tot = max(sum(d), 1)
-    return round(100 * d[7] / tot, 2), round(100 * d[4] / tot, 2)
-
-
 def main(argv: list[str]) -> None:
     record = "--record" in argv
     mb, mbps = disk_probe()
-    steal, iowait = steal_sample()
+    mt_sec, steal, iowait = cpu_mt_probe()
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "cpu_probe_sec": cpu_probe(),
-        "cpu_mt_probe_sec": cpu_mt_probe(),
+        "cpu_mt_probe_sec": mt_sec,
         "disk_warm_mb": mb,
         "disk_warm_mbps": mbps,
+        # steal/iowait sampled over the all-cores-busy mt window (the
+        # first three r14 ledger entries predate this and were sampled
+        # one-core-busy — treat their 0.01-0.04% as a lower bound)
         "steal_pct": steal,
         "iowait_pct": iowait,
         "nproc": multiprocessing.cpu_count(),

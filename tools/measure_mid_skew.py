@@ -37,10 +37,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CORPUS = "/tmp/stress_events"
 
 
+_FAMILIES = ("trailing", "rank", "cumsum", "percentile", "ffill")
+
+
 def main(
     reps: int = 3, k: int = 4, families: list[str] | None = None
 ) -> None:
     families = families or ["trailing", "rank"]
+    unknown = [f for f in families if f not in _FAMILIES]
+    if unknown:
+        # validate BEFORE the timed loop: a typo'd family silently
+        # dropping out of the arms would burn the exclusive-box run
+        # and then KeyError in the summary (round-14 review finding)
+        sys.exit(
+            f"unknown families {unknown!r} — choose from {_FAMILIES}"
+        )
     if not os.path.exists(f"{CORPUS}/events.parquet"):
         from tools.gen_stress import gen_events
 
@@ -67,18 +78,27 @@ def main(
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    base = load_table(spark, CORPUS, "events").select(
-        "event_id",
-        "event_type",
-        F.unix_micros(F.col("ts")).alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        "user_id",
-    )
-    mid = base.withColumn(
-        "event_type",
-        F.when(F.col("user_id") % 8 < k, F.lit("view")).otherwise(
-            F.col("event_type")
-        ),
+
+    # The ONE skew-rewrite definition every family's source goes
+    # through (round-14 review: a second copy of the F.when rewrite
+    # could drift from the probed share label)
+    def _family_src(cols):
+        src = load_table(spark, CORPUS, "events").select(*cols)
+        return src.withColumn(
+            "event_type",
+            F.when(F.col("user_id") % 8 < k, F.lit("view")).otherwise(
+                F.col("event_type")
+            ),
+        )
+
+    mid = _family_src(
+        [
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "user_id",
+        ]
     )
     stats = skew_probe(mid, ["event_type"])
     print(
@@ -128,20 +148,16 @@ def main(
     # cut used the carry family's low-cardinality `cents` long: Spark's
     # Percentile count-map collapses on ~10k distinct values and the
     # aggregate measured 11x faster than its own dominant cell — an
-    # artifact, not a regime.)
-    def _family_src(cols):
-        src = load_table(spark, CORPUS, "events").select(*cols)
-        return src.withColumn(
-            "event_type",
-            F.when(F.col("user_id") % 8 < k, F.lit("view")).otherwise(
-                F.col("event_type")
-            ),
-        )
+    # artifact, not a regime.) Sources built once, outside the arms.
+    cumsum_src = _family_src(
+        ["event_type", "user_id", "event_id", F.col("value").alias("v")]
+    )
+    pct_src = _family_src(
+        ["event_type", "user_id", F.col("value").alias("v")]
+    )
 
     def run_cumsum(distributed: bool) -> None:
-        src = _family_src(
-            ["event_type", "user_id", "event_id", F.col("value").alias("v")]
-        )
+        src = cumsum_src
         if distributed:
             reg: list = []
             distributed_cumsum(
@@ -163,9 +179,7 @@ def main(
     PS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 1.0]
 
     def run_percentile(distributed: bool) -> None:
-        src = _family_src(
-            ["event_type", "user_id", F.col("value").alias("v")]
-        )
+        src = pct_src
         if distributed:
             reg: list = []
             distributed_percentile(
