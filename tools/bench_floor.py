@@ -74,8 +74,15 @@ def main(argv: list[str]) -> None:
             sys.exit("--compare needs a minimums file, e.g. "
                      "BENCH_DETAIL_min_r14.json")
         target = argv[i]
-        with open(os.path.join(_REPO, target), encoding="utf-8") as f:
-            qs = json.load(f)["queries_min"]
+        if target.startswith("--"):
+            sys.exit(f"--compare needs a minimums file, got {target!r}")
+        try:
+            with open(os.path.join(_REPO, target), encoding="utf-8") as f:
+                qs = json.load(f)["queries_min"]
+        except FileNotFoundError:
+            sys.exit(f"no such minimums file: {target}")
+        except (KeyError, json.JSONDecodeError) as e:
+            sys.exit(f"{target} is not a minimums battery file ({e})")
         ratios = {
             n: qs[n] / best[n] for n in qs if n in best and best[n] > 0
         }

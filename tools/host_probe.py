@@ -24,10 +24,13 @@ seconds and can never be confounded by the thing it calibrates):
 - disk_warm_mbps: warm sequential read of the sf0.1 fixtures
   (~17.5 MB — at this size the battery is NOT disk-bound; the probe
   exists to falsify disk theories quickly).
-- steal_pct / iowait_pct: /proc/stat delta over exactly the
-  all-cores-busy mt-probe window — host CPU theft visible from the
-  guest (a single-busy-core sample structurally under-reports steal:
-  idle vCPUs are never runnable-but-preempted).
+- steal_pct: /proc/stat delta over a multi-rep all-cores-busy window
+  — host CPU theft visible from the guest (a single-busy-core sample
+  structurally under-reports steal: idle vCPUs are never
+  runnable-but-preempted; a single short window misses bursts).
+- iowait_pct: /proc/stat delta over a mostly-IDLE window — the
+  opposite accrual rule (iowait ticks only on idle CPUs, so a busy
+  window reads ~0 regardless of IO pressure).
 
 Usage:
     python tools/host_probe.py            # print one JSON line
@@ -63,26 +66,45 @@ def _mt_worker(_i: int) -> float:
     return _cpu_once()
 
 
-def cpu_mt_probe() -> tuple[float, float, float]:
+def cpu_mt_probe(reps: int = 4) -> tuple[float, float]:
     """Per-core time for the same loop with every core busy — the MAX
     across workers (the straggler is what a barrier-shaped Spark stage
-    pays) — plus steal%/iowait% sampled over EXACTLY this all-cores-
-    busy window. Sampling steal while only one core is busy
-    under-reports it structurally: /proc/stat steal ticks accrue only
-    for vCPUs that are runnable-but-preempted, so 31 idle cores hide
-    the theft the battery would actually suffer (round-14 review
-    finding — the probe exists to see 'the host got slower', which is
-    exactly the signal a single-core sample misses)."""
+    pays), minimum over ``reps`` — plus steal% sampled over the WHOLE
+    multi-rep all-cores-busy window. Two structural requirements met
+    here (both round-14 review findings): steal ticks accrue only for
+    runnable-but-preempted vCPUs, so the cores must be BUSY while
+    sampling (a single-busy-core sample hides the theft a 32-thread
+    battery suffers — same box read 0.04% one-core vs 3.6-5% all-core);
+    and one ~0.65 s window is a noisy point sample on a bursty host,
+    so the snapshot spans several reps (~2.5 s busy) with the pool
+    forked OUTSIDE the window (the fork's idle ramp inflates the
+    denominator). iowait deliberately NOT sampled here — it has the
+    OPPOSITE requirement (ticks accrue only on idle CPUs), see
+    :func:`iowait_sample`."""
     n = multiprocessing.cpu_count()
-    a = _stat_snap()
     with multiprocessing.Pool(n) as pool:
-        times = pool.map(_mt_worker, range(n))
+        pool.map(_mt_worker, range(n))  # warm the pool, outside window
+        a = _stat_snap()
+        per_rep = [
+            max(pool.map(_mt_worker, range(n))) for _ in range(reps)
+        ]
+        b = _stat_snap()
+    d = [y - x for x, y in zip(a, b)]
+    steal = round(100 * d[7] / max(sum(d), 1), 2)
+    return round(min(per_rep), 4), steal
+
+
+def iowait_sample(window_seconds: float = 2.0) -> float:
+    """iowait% over a mostly-IDLE window: Linux accrues iowait ticks
+    only on idle CPUs, so sampling it inside the all-cores-busy probe
+    structurally reads ~0 no matter how IO-starved the host is
+    (round-14 second-review finding). An idle window shows other
+    tenants'/processes' IO pressure on this guest's CPUs."""
+    a = _stat_snap()
+    time.sleep(window_seconds)
     b = _stat_snap()
     d = [y - x for x, y in zip(a, b)]
-    tot = max(sum(d), 1)
-    steal = round(100 * d[7] / tot, 2)
-    iowait = round(100 * d[4] / tot, 2)
-    return round(max(times), 4), steal, iowait
+    return round(100 * d[4] / max(sum(d), 1), 2)
 
 
 def disk_probe() -> tuple[float, float]:
@@ -113,18 +135,21 @@ def _stat_snap() -> list[int]:
 def main(argv: list[str]) -> None:
     record = "--record" in argv
     mb, mbps = disk_probe()
-    mt_sec, steal, iowait = cpu_mt_probe()
+    mt_sec, steal = cpu_mt_probe()
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "cpu_probe_sec": cpu_probe(),
         "cpu_mt_probe_sec": mt_sec,
         "disk_warm_mb": mb,
         "disk_warm_mbps": mbps,
-        # steal/iowait sampled over the all-cores-busy mt window (the
-        # first three r14 ledger entries predate this and were sampled
-        # one-core-busy — treat their 0.01-0.04% as a lower bound)
+        # steal: multi-rep all-cores-busy window; iowait: idle window
+        # (opposite accrual rules — see the two probes' docstrings).
+        # The first four r14 ledger entries predate the busy-window
+        # steal fix and were sampled one-core-busy — treat their
+        # 0.01-0.04% as a lower bound; the fifth used a single-rep
+        # busy window (3.58%).
         "steal_pct": steal,
-        "iowait_pct": iowait,
+        "iowait_pct": iowait_sample(),
         "nproc": multiprocessing.cpu_count(),
     }
     line = json.dumps(out, sort_keys=True)
