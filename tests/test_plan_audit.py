@@ -827,6 +827,45 @@ _BUFFER_PER_KEY_SITES: dict[str, int] = {
 }
 
 
+def test_advisory_opt_ins_only_append_advisory_kinds(spark, orders):
+    """The sweep fixture runs ONE audit with both opt-ins and derives
+    the default-rule state by filtering advisory kinds — valid only
+    while the opt-in flags never change default-rule output. Pin that
+    equivalence on representative shapes: a multi-finding documented
+    query's plan shape (forced broadcast + advisory-eligible
+    aggregate), a pure advisory shape, and a clean plan."""
+    from security_master_spark.datasets import load_table
+
+    customer = load_table(spark_of(orders), SF, "customer")
+    shapes = [
+        # forced broadcast (default finding) + collect_list buffer
+        # (advisory finding) in one plan
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        ).groupBy("o_orderstatus").agg(
+            F.collect_list("o_orderkey").alias("ids")
+        ),
+        # pure advisory shape: buffer-per-key aggregate, no default
+        # finding
+        orders.groupBy("o_custkey").agg(
+            F.expr("percentile(o_totalprice, 0.5D)").alias("med")
+        ),
+        # clean plan
+        orders.groupBy("o_orderstatus").count(),
+    ]
+    for df in shapes:
+        default_ks = kinds(df)
+        full_ks = kinds(
+            df, include_aggregates=True, include_unbounded_agg=True
+        )
+        assert [
+            k for k in full_ks if k not in _ADVISORY_KINDS
+        ] == default_ks
+        # and the flags never REMOVE anything
+        assert set(default_ks) <= set(full_ks)
+
+
 def test_advisory_inventories_are_pinned(full_sweep):
     got_bcast = {
         n: ks.count("forced-broadcast-aggregate")
