@@ -62,12 +62,19 @@ def main(argv: list[str]) -> None:
     if not argv or not argv[0].isdigit():
         sys.exit("usage: python tools/bench_battery.py <round> [--runs N]")
     rnd = int(argv[0])
+    if rnd < 1:
+        sys.exit("round must be >= 1")
     runs = 2
     if "--runs" in argv:
         i = argv.index("--runs") + 1
         if i >= len(argv) or not argv[i].isdigit():
             sys.exit("--runs needs a count")
         runs = int(argv[i])
+    # Validate BEFORE the first host_probe --record: isdigit() accepts
+    # "0", and a zero-run battery would record a stray ledger entry and
+    # then traceback in merge_minimums([]) (round-15 ADVICE, low).
+    if runs < 1:
+        sys.exit("--runs must be >= 1")
 
     py = sys.executable
     probe = [py, os.path.join(_REPO, "tools", "host_probe.py"), "--record"]

@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 
@@ -37,8 +38,20 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RATIO_FLAG = 1.3
 
 
+def _round_of(path: str) -> int:
+    """Numeric round from a minimums filename, so r100 sorts after
+    r11 in the sources list instead of lexicographically before it
+    (round-15 ADVICE, low — cosmetic for the mins themselves, which
+    are order-independent, but misleading in the committed payload)."""
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def best_floors() -> tuple[dict[str, float], list[str]]:
-    files = sorted(glob.glob(os.path.join(_REPO, "BENCH_DETAIL_min_r*.json")))
+    files = sorted(
+        glob.glob(os.path.join(_REPO, "BENCH_DETAIL_min_r*.json")),
+        key=_round_of,
+    )
     best: dict[str, float] = {}
     for path in files:
         with open(path, encoding="utf-8") as f:
@@ -86,18 +99,62 @@ def main(argv: list[str]) -> None:
         ratios = {
             n: qs[n] / best[n] for n in qs if n in best and best[n] > 0
         }
+        unanchored = sorted(n for n in qs if n not in ratios)
+        if unanchored:
+            # Report rather than silently drop: a renamed or brand-new
+            # query would otherwise vanish from the ratio set and never
+            # acquire a verdict (round-15 ADVICE, low).
+            print(
+                f"note: {len(unanchored)} target quer"
+                f"{'y has' if len(unanchored) == 1 else 'ies have'} no "
+                f"best-ever floor (excluded from ratios): "
+                f"{', '.join(unanchored)}"
+            )
         if not ratios:
             sys.exit(f"{target} shares no queries with the floor ledger")
         med = statistics.median(ratios.values())
         print(f"median ratio vs best-ever: {med:.3f} (host-drift reference)")
+        if med <= 0:
+            # A zero median means the target's times are themselves
+            # zero — nothing to normalize by (self-probe on the
+            # round-15 normalized column: r / med must not divide by
+            # zero on a degenerate battery file).
+            sys.exit("target battery median is 0 — not a real battery")
         sus = sorted(
             ((r, n) for n, r in ratios.items() if r > RATIO_FLAG),
             reverse=True,
         )
         for r, n in sus:
-            print(f"  {n:35s} {qs[n]:8.3f} vs best {best[n]:8.3f}  ({r:.2f}x)")
+            print(
+                f"  {n:35s} {qs[n]:8.3f} vs best {best[n]:8.3f}  "
+                f"({r:.2f}x raw, {r / med:.2f}x norm)"
+            )
         if not sus:
             print(f"  no query above {RATIO_FLAG}x its best-ever floor")
+        # Median-normalized outliers (round-14 verdict order #7): under
+        # a uniformly slow host every raw ratio rides the median, so a
+        # genuinely regressed query hides inside the uniform band. The
+        # normalized view divides the median back out; the raw SUSPECT
+        # rule above is unchanged — this column is advisory context.
+        norm_sus = sorted(
+            ((r / med, n) for n, r in ratios.items() if r / med > RATIO_FLAG),
+            reverse=True,
+        )
+        if norm_sus:
+            print(
+                f"median-normalized outliers (> {RATIO_FLAG}x the "
+                "battery's own median):"
+            )
+            for rn, n in norm_sus:
+                print(
+                    f"  {n:35s} {qs[n]:8.3f} vs best {best[n]:8.3f}  "
+                    f"({ratios[n]:.2f}x raw, {rn:.2f}x norm)"
+                )
+        else:
+            print(
+                f"  no query above {RATIO_FLAG}x the battery median "
+                "(normalized view)"
+            )
 
 
 if __name__ == "__main__":
