@@ -612,19 +612,18 @@ ROUND13_HEAD: tuple[str, ...] = (
 )
 
 
-#: ROUND-14 HEAD PIN (round-13 verdict order #1): evidence-freshness
-#: rotation, sixth window — the stager's output verbatim
-#: (``python tools/evidence_age.py --stage`` against the committed
-#: r01-r13 artifacts; tests/test_evidence_stage.py's exactness clause
-#: pins the reproduction while r13 is the newest artifact). ZERO
-#: queue-jumpers this round: round 13 changed no registered plan's
-#: text (the only plans/ diff was a q26 docstring), so the window is
-#: pure rule output. Composition: (1) the 38 remaining r07-evidence
-#: rows in age-then-registration order; (2) 12 backfill from the
-#: oldest r08 hash-greens (weak/``no_oracle`` rows skipped by the
-#: standing backfill rule — they rotate with their round's main
-#: body). After this window lands: no query's driver evidence
-#: predates r08 (verify: python tools/evidence_age.py --check).
+#: Historical round-14 window (superseded by ROUND15_HEAD; kept so
+#: the rotation ledger stays in code — all 50 rows landed in
+#: CORRECTNESS_r14.json: 50 hash-green, 0 ``no_oracle`` rows in this
+#: window). Original pin rationale (round-13 verdict order #1):
+#: evidence-freshness rotation, sixth window — the stager's output
+#: verbatim (``python tools/evidence_age.py --stage`` against the
+#: committed r01-r13 artifacts). ZERO queue-jumpers: round 13 changed
+#: no registered plan's text (the only plans/ diff was a q26
+#: docstring), so the window was pure rule output: (1) the 38
+#: remaining r07-evidence rows in age-then-registration order; (2) 12
+#: backfill from the oldest r08 hash-greens. After this window landed,
+#: no query's driver evidence predated r08.
 ROUND14_HEAD: tuple[str, ...] = (
     # (1) the 38 r07-evidence rows, age order
     "s23_map_higher_order",
@@ -679,6 +678,77 @@ ROUND14_HEAD: tuple[str, ...] = (
     "d81_portfolio_turnover",
     "d82_calendar_effects",
     "w12_streak_islands",
+)
+
+
+#: ROUND-15 HEAD PIN (round-14 verdict order #2): evidence-freshness
+#: rotation, seventh window — the stager's output verbatim
+#: (``python tools/evidence_age.py --stage`` against the committed
+#: r01-r14 artifacts; tests/test_evidence_stage.py's exactness clause
+#: pins the reproduction while r14 is the newest artifact). ZERO
+#: queue-jumpers this round: neither round 13 nor round 14 changed any
+#: registered plan's text (the round-14 package diffs are
+#: plan_audit.py / spelling.py / registry.py pins only), so the window
+#: is pure rule output. Composition: (1) the 36 remaining r08-evidence
+#: rows in age-then-registration order; (2) 14 backfill from the
+#: oldest r09 hash-greens (weak/``no_oracle`` rows skipped by the
+#: standing backfill rule — they rotate with their round's main
+#: body). After this window lands: no query's driver evidence
+#: predates r09 (verify: python tools/evidence_age.py --check).
+ROUND15_HEAD: tuple[str, ...] = (
+    # (1) the 36 r08-evidence rows, age order
+    "a29_moment_shape_stats",
+    "a30_bitmap_distinct",
+    "dq13_completeness_grid",
+    "dq14_staleness",
+    "l65_minhash_calibration",
+    "l66_ngram_coverage_curve",
+    "q27_bag_set_ops",
+    "q28_row_value_in_subquery",
+    "m7_image_tiling",
+    "d83_hurst_rs",
+    "s26_binary_encoding",
+    "io20_multiline_csv",
+    "u14_apply_in_arrow",
+    "d84_information_coefficient",
+    "g6_kcore_peel",
+    "io21_nested_json_roundtrip",
+    "a31_ordered_set_aggregates",
+    "l67_embedding_norm_audit",
+    "u15_pandas_udaf_window",
+    "d85_capture_ratios",
+    "m8_audio_framing",
+    "d86_volume_profile",
+    "dq15_near_duplicate_events",
+    "d87_cointegration_adf",
+    "d88_overnight_intraday",
+    "io22_tsv_dialect_roundtrip",
+    "l68_dedup_cluster_profile",
+    "d89_sign_autocorrelation",
+    "io23_parquet_merge_schema",
+    "l69_bpe_pair_stats",
+    "d90_cross_sectional_momentum",
+    "dq16_sequence_audit",
+    "l70_lsh_precision_recall",
+    "q29_not_in_null_trap",
+    "a8_approx_count_distinct",
+    "a12_freq_items_crosstab",
+    # (2) backfill: the 14 oldest r09 hash-greens (weak/no_oracle
+    # rows skipped — they rotate with their round's main body)
+    "l46_fuzzy_name_join",
+    "l47_embedding_covariance",
+    "a25_approx_top_k",
+    "l1_exact_dedup_groups",
+    "l2_fingerprint_dedup",
+    "l3_token_stats",
+    "l4_jaccard_pairs",
+    "l5_cosine_topk",
+    "l6_knn_per_label",
+    "l9_language_id",
+    "l10_quality_scores",
+    "l11_multimodal_join",
+    "l12_ngram_fingerprint",
+    "l13_ann_lsh_topk",
 )
 
 
@@ -804,11 +874,11 @@ ROUND7_HEAD: tuple[str, ...] = (
 
 
 def _rotated(d: dict) -> dict:
-    """Head-pinned order: ROUND14_HEAD names first (in tuple order),
+    """Head-pinned order: ROUND15_HEAD names first (in tuple order),
     everything else in registration order. Names in the pin that are
     absent from ``d`` (e.g. oracle-less queries when reordering
     ``_ORACLES``) are skipped."""
-    head = [n for n in ROUND14_HEAD if n in d]
+    head = [n for n in ROUND15_HEAD if n in d]
     head_set = set(head)
     return {
         n: d[n] for n in (*head, *(k for k in d if k not in head_set))

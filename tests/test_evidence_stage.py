@@ -155,6 +155,24 @@ def test_stage_reproduces_round14_head_while_r13_is_newest():
     assert tuple(main + backfill) == ROUND14_HEAD
 
 
+def test_stage_reproduces_round15_head_while_r14_is_newest():
+    """While CORRECTNESS_r14 is the newest committed artifact, the
+    plain stager (no queue-jumpers: rounds 13-14 changed no registered
+    plan text) must reproduce the pinned ROUND15_HEAD byte-for-byte
+    (the round-15 window was pasted from its output). Retires once
+    r15+ artifacts land; the structural clauses above keep guarding
+    the rules."""
+    tool = _load_tool()
+    from security_master_spark.plans.registry import ROUND15_HEAD, queries
+
+    rows = tool.latest_rows()
+    newest = max(rnd for rnd, _r in rows.values())
+    if newest != 14:
+        return  # exactness clause retired
+    main, backfill, _ = tool.stage_window(list(queries()), rows, 50)
+    assert tuple(main + backfill) == ROUND15_HEAD
+
+
 def test_round13_jumpers_are_declared_and_registered():
     # the four plans whose forced broadcasts were dropped in round 12
     # (PLANS.md broadcast-site audit) must be declared for round 13 —

@@ -173,35 +173,35 @@ def test_every_registered_callable_is_invocable():
     )
 
 
-#: the round-14 driver window: pinned explicitly in
-#: registry.ROUND14_HEAD (queries()/oracle_sql() reorder the dict so
+#: the round-15 driver window: pinned explicitly in
+#: registry.ROUND15_HEAD (queries()/oracle_sql() reorder the dict so
 #: these 50 are the first 50 the driver sees). ZERO queue-jumpers
-#: (round 13 changed no registered plan text): the 38 remaining
-#: r07-evidence rows + the 12 oldest r08 hash-greens — after this
-#: window no query's driver evidence predates r08.
-from security_master_spark.plans.registry import ROUND14_HEAD as _ROUND14_HEAD
+#: (rounds 13-14 changed no registered plan text): the 36 remaining
+#: r08-evidence rows + the 14 oldest r09 hash-greens — after this
+#: window no query's driver evidence predates r09.
+from security_master_spark.plans.registry import ROUND15_HEAD as _ROUND15_HEAD
 
-#: the guarded ROUND-15 wave: empty at rotation time — every
-#: registered name has driver evidence (CORRECTNESS_r01-r13 union
-#: covers all 333). Any round-14 addition must register its name here;
+#: the guarded ROUND-16 wave: empty at rotation time — every
+#: registered name has driver evidence (CORRECTNESS_r01-r14 union
+#: covers all 333). Any round-15 addition must register its name here;
 #: test_never_checked_queries_all_have_a_documented_wave enforces
-#: that no never-checked name lives outside ROUND14_HEAD ∪ this set.
-_ROUND15_REMAINDER: set[str] = set()
+#: that no never-checked name lives outside ROUND15_HEAD ∪ this set.
+_ROUND16_REMAINDER: set[str] = set()
 
 
 def test_registration_order_puts_unproven_queries_first():
     """The driver's correctness harness checks at most ~50 registry
-    entries per round in registration order (rounds 1-13 all stopped
-    at exactly 50). Round-14 rotation: the pinned ROUND14_HEAD must BE
+    entries per round in registration order (rounds 1-14 all stopped
+    at exactly 50). Round-15 rotation: the pinned ROUND15_HEAD must BE
     the first 50 entries of queries(), in pin order — nothing else may
     spend a cap slot."""
     names = list(_QUERIES)
-    assert len(_ROUND14_HEAD) == 50
-    assert len(set(_ROUND14_HEAD)) == 50
-    assert names[:50] == list(_ROUND14_HEAD), (
+    assert len(_ROUND15_HEAD) == 50
+    assert len(set(_ROUND15_HEAD)) == 50
+    assert names[:50] == list(_ROUND15_HEAD), (
         f"head-50 drift: missing="
-        f"{sorted(set(_ROUND14_HEAD) - set(names[:50]))} "
-        f"extra={sorted(set(names[:50]) - set(_ROUND14_HEAD))}"
+        f"{sorted(set(_ROUND15_HEAD) - set(names[:50]))} "
+        f"extra={sorted(set(names[:50]) - set(_ROUND15_HEAD))}"
     )
 
 
@@ -212,7 +212,7 @@ def test_never_checked_queries_all_have_a_documented_wave():
     m4_modality_accounting silently fell out of every wave. Recompute
     the never-driver-checked set from the committed CORRECTNESS_r*.json
     evidence files and assert every member is either in the current
-    head or in the literal round-14 remainder list."""
+    head or in the literal round-15 remainder list."""
     import glob
     import json
     import os
@@ -223,10 +223,10 @@ def test_never_checked_queries_all_have_a_documented_wave():
         with open(path, encoding="utf-8") as f:
             ever_checked.update(json.load(f).keys())
     never = set(_QUERIES) - ever_checked
-    orphans = never - set(_ROUND14_HEAD) - _ROUND15_REMAINDER
+    orphans = never - set(_ROUND15_HEAD) - _ROUND16_REMAINDER
     assert not orphans, (
         f"never-driver-checked queries outside every documented "
-        f"rotation wave: {sorted(orphans)} — add them to the round-15 "
+        f"rotation wave: {sorted(orphans)} — add them to the round-16 "
         f"remainder (tests/test_plans.py + registry.py comment)"
     )
 
