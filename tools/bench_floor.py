@@ -20,9 +20,18 @@ host drift can only add new minimums, never raise old ones).
 Regression rule (round-14 protocol): a query is SUSPECT when its
 battery minimum exceeds 1.3x its best-ever floor AND the battery's
 median ratio is under ~1.15 (i.e. the box itself is not uniformly
-slow). When the median ratio is high, compare cpu probes in
-HOST_PROBES.jsonl first — rounds 14's batteries measured median
-ratios tracking the probe's own 1.38x swing.
+slow). When the median ratio is high, compare the probes in
+HOST_PROBES.jsonl first — and read steal_pct and cpu_mt_probe_sec
+ALONGSIDE cpu_probe_sec: round 15 measured the single-thread probe
+UNDER-predicting battery walls by ~25 s while steal (sampled
+all-cores-busy) ran 3.6-5.8% around the batteries and up to 15%
+later the same session — the host factor is all-core CONTENTION,
+which a single-thread probe structurally underweights. The
+median-NORMALIZED section printed by --compare divides the battery's
+own median back out so a genuine regression surfaces even inside a
+uniformly slow era (round-15 isolation spot-checks are the model:
+re-run the top normalized outliers alone, min-of-3, before believing
+either verdict).
 """
 
 from __future__ import annotations
