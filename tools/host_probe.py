@@ -49,6 +49,24 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SF_DIR = "/root/testdata/sf0.1"
 
+#: /proc/stat cpu-line fields after the "cpu" label:
+#: user nice system idle iowait irq softirq steal guest guest_nice.
+#: The two indices below are the accrual-rule pair the round-14
+#: review findings turned on (steal ticks only on busy-preempted
+#: vCPUs, iowait only on idle ones) — pinned by
+#: tests/test_host_probe.py so a field-order slip can't silently
+#: zero a reading again.
+_FIELD_IOWAIT = 4
+_FIELD_STEAL = 7
+
+
+def _pct_of_delta(before: list[int], after: list[int], idx: int) -> float:
+    """Share of total jiffies spent in field ``idx`` between two
+    /proc/stat snapshots, as a percentage. Pure — the sampling windows
+    (busy for steal, idle for iowait) are the callers' contract."""
+    d = [y - x for x, y in zip(before, after)]
+    return round(100 * d[idx] / max(sum(d), 1), 2)
+
 
 def _cpu_once(n: int = 3_000_000) -> float:
     t0 = time.perf_counter()
@@ -89,9 +107,7 @@ def cpu_mt_probe(reps: int = 4) -> tuple[float, float]:
             max(pool.map(_mt_worker, range(n))) for _ in range(reps)
         ]
         b = _stat_snap()
-    d = [y - x for x, y in zip(a, b)]
-    steal = round(100 * d[7] / max(sum(d), 1), 2)
-    return round(min(per_rep), 4), steal
+    return round(min(per_rep), 4), _pct_of_delta(a, b, _FIELD_STEAL)
 
 
 def iowait_sample(window_seconds: float = 2.0) -> float:
@@ -103,8 +119,7 @@ def iowait_sample(window_seconds: float = 2.0) -> float:
     a = _stat_snap()
     time.sleep(window_seconds)
     b = _stat_snap()
-    d = [y - x for x, y in zip(a, b)]
-    return round(100 * d[4] / max(sum(d), 1), 2)
+    return _pct_of_delta(a, b, _FIELD_IOWAIT)
 
 
 def disk_probe() -> tuple[float, float]:
