@@ -158,6 +158,10 @@ def test_compare_prints_median_normalized_outliers(
     # raw rule unchanged: q_reg is also a raw suspect at 3.00x
     raw_section = out.split("median-normalized outliers")[0]
     assert "q_reg" in raw_section and "3.00x raw" in raw_section
+    # absolute excess printed for triage (round-15 finding: short-wall
+    # floors are biased-low order statistics — ratios over-flag them;
+    # a real regression moves seconds, and this column shows them)
+    assert "+2.00s" in raw_section
 
 
 def test_compare_zero_median_exits_instead_of_dividing(

@@ -32,6 +32,17 @@ own median back out so a genuine regression surfaces even inside a
 uniformly slow era (round-15 isolation spot-checks are the model:
 re-run the top normalized outliers alone, min-of-3, before believing
 either verdict).
+
+Triage suspects by the ABSOLUTE excess (the +N.NNs column), not the
+ratio: a best-ever floor is a per-query MINIMUM over every battery
+sample ever recorded, and for short walls that minimum is an extreme
+order statistic biased far below the typical quiet-box time —
+round-15's quiet-box battery (median 1.09) measured the bias
+directly: median ratio 1.19 for queries with sub-0.2 s floors,
+falling monotonically to 1.06 for 1-3 s floors, with 42 of 45 raw
+"suspects" carrying < 0.3 s of absolute excess. A real plan
+regression on a query that matters moves SECONDS, not a noisy
+tenth.
 """
 
 from __future__ import annotations
@@ -136,7 +147,8 @@ def main(argv: list[str]) -> None:
         for r, n in sus:
             print(
                 f"  {n:35s} {qs[n]:8.3f} vs best {best[n]:8.3f}  "
-                f"({r:.2f}x raw, {r / med:.2f}x norm)"
+                f"({r:.2f}x raw, {r / med:.2f}x norm, "
+                f"+{qs[n] - best[n]:.2f}s)"
             )
         if not sus:
             print(f"  no query above {RATIO_FLAG}x its best-ever floor")
@@ -157,7 +169,8 @@ def main(argv: list[str]) -> None:
             for rn, n in norm_sus:
                 print(
                     f"  {n:35s} {qs[n]:8.3f} vs best {best[n]:8.3f}  "
-                    f"({ratios[n]:.2f}x raw, {rn:.2f}x norm)"
+                    f"({ratios[n]:.2f}x raw, {rn:.2f}x norm, "
+                    f"+{qs[n] - best[n]:.2f}s)"
                 )
         else:
             print(
