@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import load_table
+from security_master_spark.datasets import fan_out, load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 
 from security_master_spark.plans.registry import register
@@ -67,7 +67,7 @@ def d47_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     line items collapse to DISTINCT (order, brand) before any pair
     work, and the quadratic stage runs per order over its distinct
     brands with a HARD breadth cap (orders with > 64 distinct brands
-    — ``_MAX_BASKET_BREADTH`` — are dropped before the pair join — the g4 hub-cap
+    — ``_MAX_BASKET_BREADTH`` — are dropped before the pair stage — the g4 hub-cap
     reasoning: the bound is a property of the PLAN, not a hope about
     the data; on TPC-H-shaped orders, ≤7 lines each, nothing is ever
     dropped, and at scale a pathological mega-basket can no longer
@@ -79,30 +79,57 @@ def d47_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin is the allowlisted a15 shape."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    ob = (
+    raw = (
         # no forced broadcast: part is SF-linear (round-12 audit)
         li.join(
             part.select("p_partkey", "p_brand"),
             li.l_partkey == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
     )
-    n = ob.agg(F.countDistinct("okey").cast("double").alias("n_orders"))
-    sup = ob.groupBy("brand").agg(F.count("*").cast("double").alias("n"))
-    capped = (
-        ob.groupBy("okey")
-        .count()
-        .filter(F.col("count") <= _MAX_BASKET_BREADTH)
-        .select("okey")
+    # Round-15 optimization: ONE exchange on okey replaces the old
+    # 5-branch relational shape (distinct + per-branch re-derivation +
+    # a 555k × 555k pair SMJ — 4 redundant scans of the fact join in
+    # the final plan, plans/r15/d47_*.txt). collect_set dedupes
+    # per-order brands IN the aggregate (subsuming the old global
+    # distinct), and every downstream statistic reads the persisted
+    # ~150k-row basket frame. The collect_set buffer is bounded by
+    # distinct brands per order — the brand DIMENSION'S cardinality
+    # class, and the breadth cap drops mega-baskets right after the
+    # aggregate (buffer-per-key advisory inventory site; adjudicated
+    # in plan_audit.py's inventory pin).
+    # fan_out: the fixture scan is one task (single row group), so the
+    # map-side partial collect_set would otherwise run serially; the
+    # round-robin exchange of the narrow (okey, brand) stream is cheap
+    # relative to the parallelism it restores (datasets.fan_out
+    # contract).
+    baskets = (
+        fan_out(raw)
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .persist()
     )
-    a = ob.join(capped, "okey").select(
-        "okey", F.col("brand").alias("brand_a")
+    n = baskets.agg(F.count("*").cast("double").alias("n_orders"))
+    sup = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("double").alias("n"))
     )
-    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    # Pair generation per order from its sorted distinct-brand array
+    # (a < b by construction), quadratic stage still hard-capped by
+    # _MAX_BASKET_BREADTH before any pair is emitted.
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.filter(F.size("brands") <= _MAX_BASKET_BREADTH)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").cast("double").alias("n_both"))
         .filter(F.col("n_both") >= 10)

@@ -88,6 +88,13 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Internal node ids are LONGS (customer 2k, supplier 2k+1): every
     # per-iteration shuffle hashes 8-byte keys instead of strings; the
     # final projection decodes back to the oracle's readable form.
+    # PERSIST the distinct trading-pair frame: edges (both union
+    # sides), deg, and the rank-init path all walk it — without the
+    # cache the fact-table join + distinct re-derives once per
+    # consumer (round-15 measurement: the init path re-ran it even
+    # with `weighted` persisted, because deg and nn sit OUTSIDE that
+    # cache boundary — plans/r15/g1_pagerank_before.txt shows the
+    # duplicated scan subtrees).
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -95,11 +102,19 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        .persist()
     )
     edges = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    # deg persisted too: it feeds the weighted annotation AND the
+    # rank-init vector (node set + the 1/N seed) — node-count-sized,
+    # the cheapest frame in the query.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("double").alias("d"))
+        .persist()
+    )
     nn = deg.agg(F.count("*").cast("double").alias("n"))
     # (src, dst, d): annotate the edge list with out-degrees ONCE and
     # PERSIST — without it, lazy lineage re-derives the fact-table
@@ -190,10 +205,18 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (triangle COUNT is orientation-invariant), so the hash check
     certifies the optimized plan against the naive one.
 
-    Scale: three shuffles on node keys (degree agg, two hash joins);
-    the wedge stream is the big intermediate and AQE's skew handling
-    splits any residual hot node. The final assembly is 1-row × 1-row
-    (allowlisted)."""
+    Scale: the triangle probe is ADJACENCY-INTERSECTION (round-15
+    optimization): each node's oriented out-neighborhood collapses to
+    ONE sorted array (bounded O(sqrt m) by the orientation), and the
+    count is Σ over directed edges (s,t) of |N+(s) ∩ N+(t)| — every
+    triangle counted exactly once at its unique 2-out-degree pivot.
+    This replaces the materialized wedge self-join + closing-edge
+    probe, whose intermediate was measured at 941 MiB / 41M rows
+    shuffled AND sorted at sf0.1 (plans/r15/g2_*.txt): the array form
+    moves the same wedge information as ~1.2M rows / ~330 MB of
+    neighbor-id payload through one exchange, no sort, and turns the
+    closing-edge probe into an in-task sorted-array intersection.
+    The final assembly is 1-row × 1-row (allowlisted)."""
     li = load_table(spark, sf_dir, "lineitem")
     a, b = li.alias("a"), li.alias("b")
     # PERSIST the edge list: it feeds four plan subtrees (degree agg,
@@ -235,20 +258,39 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("st")
         )
         .select(F.col("st.s").alias("s"), F.col("st.t").alias("t"))
+    )
+    # Oriented out-neighborhoods as ONE sorted array per node: the
+    # collect_list buffer is bounded O(sqrt m) BY CONSTRUCTION (the
+    # degree orientation above — the same bound that kept the old
+    # wedge join near-linear bounds this buffer). PERSIST: adj feeds
+    # both the exploded candidate stream and the probe side of the
+    # intersection join.
+    adj = (
+        ord_e.groupBy("s")
+        .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
         .persist()
     )
-    e1 = ord_e.select(F.col("s").alias("x"), F.col("t").alias("y1"))
-    e2 = ord_e.select(F.col("s").alias("x"), F.col("t").alias("y2"))
-    wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
-    # A wedge (x; y1, y2) with y1 < y2 closes iff {y1, y2} is an edge
-    # — and e already stores every edge in exactly that canonical
-    # (u < v) form, so the persisted e probes directly: no re-derived
-    # bidirectional closing frame, one less shuffle leg.
+    # Each directed edge (s, t) contributes |N+(s) ∩ N+(t)| triangles
+    # (the unique pivot s has out-edges to both t and the third node).
+    # Wedge information rides as the ns array alongside each exploded
+    # edge — one exchange on t, no 41M-row wedge materialization, no
+    # sort, and the closing-edge probe happens in-task on two sorted
+    # arrays.
+    cand = adj.select(
+        F.col("nbrs").alias("ns"), F.explode("nbrs").alias("t")
+    )
     tri = (
-        wedges.join(
-            e, (F.col("y1") == F.col("u")) & (F.col("y2") == F.col("v"))
+        cand.join(
+            adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")),
+            "t",
         )
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("ns", "nt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     wedge_tot = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
@@ -352,12 +394,29 @@ def g3_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         < _TRI_SAMPLE_PCT
     )
     e = e0.filter(keep).persist()
-    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y1"))
-    e2 = e.select(F.col("u").alias("x"), F.col("v").alias("y2"))
-    wedges = e1.join(e2, "x").filter(F.col("y1") < F.col("y2"))
-    tri = wedges.join(
-        e, (F.col("y1") == F.col("u")) & (F.col("y2") == F.col("v"))
-    ).agg(F.count("*").cast("bigint").alias("n_sampled_triangles"))
+    # Same adjacency-intersection rewrite as g2 (see its docstring),
+    # here under the id-orientation the canonical u < v edges already
+    # encode: every sampled triangle a < b < c is counted once at its
+    # pivot edge (a, b) as c ∈ N+(a) ∩ N+(b).
+    adj = e.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    )
+    cand = adj.select(
+        F.col("nbrs").alias("ns"), F.explode("nbrs").alias("t")
+    )
+    tri = (
+        cand.join(
+            adj.select(F.col("u").alias("t"), F.col("nbrs").alias("nt")),
+            "t",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("ns", "nt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_sampled_triangles")
+        )
+    )
     n_edges = e.agg(F.count("*").cast("bigint").alias("n_sampled_edges"))
     scale = (100.0 / _TRI_SAMPLE_PCT) ** 3
     return (

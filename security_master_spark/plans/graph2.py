@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import load_table
+from security_master_spark.datasets import fan_out, load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
@@ -68,13 +68,23 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from' recommender primitive (Liben-Nowell & Kleinberg 2003).
 
     Scale discipline, in order: (1) HUB FILTER — customers above
-    ``_HUB_CAP`` distinct suppliers are dropped before the wedge
-    join, because a hub customer contributes d² candidate pairs and
+    ``_HUB_CAP`` distinct suppliers are dropped before any pair is
+    emitted, because a hub customer contributes d² candidate pairs and
     ~zero signal (everybody shares it); this is the standard cap that
     keeps the wedge stream near-linear on power-law graphs, and it is
     applied identically in the oracle so the check certifies the
-    capped semantics. (2) The wedge self-join is an equi-join on
-    cust, partially aggregated map-side into (s1, s2) counts.
+    capped semantics. (2) Round-15 optimization (the d47 shape): ONE
+    exchange on cust collapses each customer to a sorted
+    distinct-supplier array (the collect_set buffer is the same
+    per-customer breadth the hub cap bounds — ≤ ``_HUB_CAP`` survives,
+    and the cap test runs ON the array before pairs are generated);
+    supplier degrees and wedge pairs both read the persisted basket
+    frame, replacing the old shape's hub-filter join + wedge
+    self-join (which re-derived the fact-join distinct in 4 plan
+    subtrees and shuffled the full ee⋈ee wedge stream — see
+    plans/r15/g4_link_prediction_before.txt). Pairs come from
+    per-array combination generation (s1 < s2 by sort order), still
+    partially aggregated map-side into (s1, s2) counts.
     (3) ``_MIN_COMMON`` prunes the long tail before the degree joins.
     (4) The final top-K is orderBy().limit() — TakeOrderedAndProject,
     a parallel per-partition top-K + driver merge, never a global
@@ -87,23 +97,33 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
-        .distinct()
     )
-    ok_cust = (
-        e.groupBy("cust").agg(F.count("*").alias("dc"))
-        .filter(F.col("dc") <= _HUB_CAP)
-        .select("cust")
+    # fan_out: single-row-group fixture scans are one task; the
+    # round-robin exchange of the narrow (cust, supp) stream restores
+    # map-side parallelism for the partial collect_set (its contract).
+    baskets = (
+        fan_out(e)
+        .groupBy("cust")
+        .agg(F.sort_array(F.collect_set("supp")).alias("supps"))
+        .filter(F.size("supps") <= _HUB_CAP)
+        .persist()
     )
-    ee = e.join(ok_cust, "cust")
-    deg = ee.groupBy("supp").agg(F.count("*").alias("d"))
-    a, b = ee.alias("a"), ee.alias("b")
+    deg = (
+        baskets.select(F.explode("supps").alias("supp"))
+        .groupBy("supp")
+        .agg(F.count("*").alias("d"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("b.cust") == F.col("a.cust"))
-            & (F.col("a.supp") < F.col("b.supp")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(supps, (x, i) -> "
+                    "transform(slice(supps, i + 2, size(supps)), "
+                    "y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= _MIN_COMMON)
     )
@@ -159,9 +179,20 @@ def g5_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the one-pass structural summary that sizes every
     downstream graph job (it is how you pick g4's hub cap and
     whether g2 needs the degree-ordered orientation). Shape: one
-    distinct-edge aggregate, one degree aggregate per side, one tiny
+    distinct-edge aggregate, one FUSED degree aggregate, one tiny
     bucket roll-up — shuffles carry (node, count) then (bucket,
-    count); nothing is ever quadratic."""
+    count); nothing is ever quadratic.
+
+    Round-15 optimization: the old per-side groupBy union re-derived
+    the fact-join distinct in BOTH union branches (two full scans +
+    two distinct exchanges — plans/r15/g5_degree_histogram_before.txt)
+    and shuffled two degree exchanges. Each distinct edge now explodes
+    to its two (side, node) endpoints and ONE groupBy(side, node)
+    computes both sides' degrees: one derivation of e, one degree
+    exchange, partial aggregation map-side — strictly fewer passes
+    and fewer shuffled bytes (the explode doubles narrow rows
+    PRE-aggregation, map-side combine collapses them before the
+    exchange)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     e = (
@@ -172,12 +203,23 @@ def g5_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = (
-        e.groupBy("cust").agg(F.count("*").alias("d"))
-        .select(F.lit("customer").alias("side"), F.col("d"))
-        .unionByName(
-            e.groupBy("supp").agg(F.count("*").alias("d"))
-            .select(F.lit("supplier").alias("side"), F.col("d"))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("customer").alias("side"),
+                        F.col("cust").alias("node"),
+                    ),
+                    F.struct(
+                        F.lit("supplier").alias("side"),
+                        F.col("supp").alias("node"),
+                    ),
+                )
+            ).alias("sn")
         )
+        .groupBy("sn.side", "sn.node")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("side"), F.col("d"))
     )
     bucket = F.floor(F.log2(F.col("d").cast("double"))).cast("bigint")
     return deg.groupBy("side", bucket.alias("log2_bucket")).agg(

@@ -16,12 +16,6 @@ from security_master_spark.datasets import load_table
 from security_master_spark.plans.registry import register
 
 
-# Shared register-free scratch helper (round-8 ADVICE: io_scratch
-# exists precisely so plan modules need not duplicate this; importing
-# it registers nothing). Iterative per-round frames use the
-# PID-namespaced variant so concurrent same-SF runs cannot clobber
-# each other's loop state.
-from security_master_spark.plans.io_scratch import _scratch_run
 
 #: core threshold (minimum degree inside the surviving subgraph).
 _CORE_K = 8
@@ -103,30 +97,30 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Loop-invariant materialization — to STORAGE, not a cache: every
-    # peel round's degree groupBy and both keep-joins re-probe the
-    # edge list, and the alternatives were both measured worse at
-    # sf0.01: raw lineage re-derives the lineitem⋈orders distinct
-    # ~12× (9-19 s), and .persist() is 10× WORSE still (96 s) because
-    # the cached InMemoryRelation loses parquet size stats and every
-    # keep-join falls back from broadcast to sort-merge. Writing the
-    # collapsed list once and scanning it keeps stats and kills the
-    # re-derivation; the residual cost (one degree shuffle + two
-    # keyed joins per round) is the honest iterative workload, the
-    # g1/g2 class. Same answer a 100 TB cluster uses for any
-    # iterated-over frame.
-    path = _scratch_run(sf_dir, "kcore_edges")
-    (
+    # Loop-invariant materialization — localCheckpoint, the l16
+    # (connected-components) per-round pattern: cuts lineage like the
+    # round-8 parquet-scratch spelling did but without 5 disk
+    # encode/decode roundtrips (round-15 measurement: 3.07 → 2.46 s
+    # isolated at sf0.1). The alternatives stay measured-worse: raw
+    # lineage re-derives the lineitem⋈orders distinct ~12× (9-19 s at
+    # sf0.01), and .persist() was 10× worse still (96 s) because the
+    # cached InMemoryRelation loses size stats and every keep-join
+    # fell back from broadcast to sort-merge — localCheckpoint's
+    # LogicalRDD instead lets AQE pick the join strategy from RUNTIME
+    # shuffle sizes each round. Caveat, same as l16: localCheckpoint
+    # is non-replicated executor storage (lineage is truncated, an
+    # executor loss fails the job); a 100 TB run on unreliable nodes
+    # swaps in reliable checkpoint / the scratch-parquet spelling —
+    # one line, same shape.
+    edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(
             pairs.select(
                 F.col("s").alias("src"), F.col("c").alias("dst")
             )
         )
-        .write.mode("overwrite")
-        .parquet(path)
+        .localCheckpoint()
     )
-    edges = spark.read.parquet(path)
     for i in range(_PEEL_ROUNDS):
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= _CORE_K).select("src")
@@ -138,9 +132,7 @@ def g6_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-executes all prior rounds multiple times each (the DAG
         # grows multiplicatively — the classic iterative-lineage trap;
         # same discipline as the base materialization above).
-        rpath = _scratch_run(sf_dir, f"kcore_edges_r{i + 1}")
-        nxt.write.mode("overwrite").parquet(rpath)
-        edges = spark.read.parquet(rpath)
+        edges = nxt.localCheckpoint()
     core_deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     return core_deg.groupBy(
         (F.col("src") % 2).cast("bigint").alias("side")

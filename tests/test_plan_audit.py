@@ -821,6 +821,7 @@ _BUFFER_PER_KEY_SITES: dict[str, int] = {
     "dq11_volume_anomaly": 2,
     "dq12_winsorized_stats": 1,
     "dq14_staleness": 1,
+    "g3_triangle_estimate": 2,
     "l26_length_filter": 1,
     "l36_label_cohesion": 1,
     "m4_modality_accounting": 1,
@@ -887,5 +888,5 @@ def test_advisory_inventories_are_pinned(full_sweep):
     )
     assert sum(_BROADCAST_AGG_SITES.values()) == 25
     assert len(_BROADCAST_AGG_SITES) == 22
-    assert sum(_BUFFER_PER_KEY_SITES.values()) == 20
-    assert len(_BUFFER_PER_KEY_SITES) == 17
+    assert sum(_BUFFER_PER_KEY_SITES.values()) == 22
+    assert len(_BUFFER_PER_KEY_SITES) == 18

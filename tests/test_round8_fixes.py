@@ -59,8 +59,11 @@ def test_scratch_conf_redirects_a_real_plan_write(
 
 
 def test_iterative_scratch_is_run_scoped():
-    # g6's per-round peel frames must not collide across concurrent
-    # runs at the same scale factor: the path embeds the PID.
+    # Iterative per-round scratch frames (the g6 shape before its
+    # round-15 localCheckpoint rewrite; the helper remains the
+    # lake-scratch spelling for iterative loops) must not collide
+    # across concurrent runs at the same scale factor: the path
+    # embeds the PID.
     p = _scratch_run("/data/sf0.01", "kcore_edges_r1")
     assert f"/run{os.getpid()}/" in p
     assert p.endswith("/sf0.01/kcore_edges_r1")
