@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import load_table
+from security_master_spark.datasets import fan_out, load_table
 from security_master_spark.plans.registry import register
 
 _DEPTH = 4  # independent hash rows
@@ -116,8 +116,15 @@ def a26_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 — one expression — at the price of the cross-engine
     oracle.)"""
     li = load_table(spark, sf_dir, "lineitem")
+    # fan_out on the single-column key stream: the fixture scan is one
+    # task (single row group), which serializes the per-row md5 —
+    # the query's dominant cost. The round-robin exchange ships ONLY
+    # l_partkey (8 bytes/row) and the per-task partial aggregate
+    # still collapses each task to ≤ depth·width counter rows
+    # (round-15; datasets.fan_out contract).
     sketch = (
-        li.select(
+        fan_out(li.select("l_partkey"))
+        .select(
             F.posexplode(_bucket_array(F.col("l_partkey"))).alias(
                 "i", "bucket"
             )

@@ -114,7 +114,13 @@ def g4_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     )
     pairs = (
-        baskets.select(
+        # fan_out again on the CACHED read: AQE (cache-AQE conf,
+        # session.py) rightly coalesces the persisted basket frame to
+        # ~1 partition by size, but the pair explode below is
+        # per-row-EXPENSIVE (up to C(|supps|, 2) structs per row) —
+        # exactly fan_out's contract.
+        fan_out(baskets)
+        .select(
             F.explode(
                 F.expr(
                     "flatten(transform(supps, (x, i) -> "

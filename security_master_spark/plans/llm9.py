@@ -60,13 +60,19 @@ def l44_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one OTHER document, aggregated per source — the screening
     measure behind exact-substring dedup (Lee et al. 2022 dedup at the
     50-gram level; the statistic here is the doc-level roll-up that
-    tells you WHERE to spend the dedup budget). Distinct-per-doc
-    shingles explode once (shingles_of on materialized tokens — the
-    measured no-CSE discipline), the document frequency is one hash
-    aggregate on the gram key, and the verdict join lands back on the
-    same key the aggregate hashed on. Shuffle volume is O(total
-    distinct grams), never pairwise; docs shorter than 8 tokens have
-    no grams and drop out (no division by zero)."""
+    tells you WHERE to spend the dedup budget). Round-15 shape:
+    distinct-per-doc shingles explode ONCE (the old aggregate-join
+    spelling re-ran the tokenize + shingle Generate in both join
+    subtrees — two full document scans,
+    plans/r15/l44_duplicate_ngram_fraction_before.txt — and broadcast
+    the corpus-sized gram-frequency table); the document frequency is
+    now a count over a gram-partitioned window on the SAME exploded
+    stream — one derivation, one exchange on gram, no join, no
+    gram-table broadcast. Shuffle volume is O(total distinct grams),
+    never pairwise; docs shorter than 8 tokens have no grams and drop
+    out (no division by zero)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         docs.select(
@@ -80,9 +86,10 @@ def l44_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    df_counts = sh.groupBy("gram").agg(F.count("*").alias("n_docs_gram"))
     per_doc = (
-        sh.join(df_counts, "gram")
+        sh.withColumn(
+            "n_docs_gram", F.count("*").over(Window.partitionBy("gram"))
+        )
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_grams"),
