@@ -92,7 +92,12 @@ def d78_parametric_portfolio_var(
     with K = #series, K ≪ days); every series-count division is a
     1-row broadcast. At 100 TB the daily collapse IS the operator —
     the risk math never touches fact-table scale."""
-    rets = daily_returns(daily_closes(spark, sf_dir))
+    # Persisted (round-15): rets feeds k_df / fulldays / aligned, and
+    # aligned feeds port, pervol, and BOTH sides of the covariance
+    # self-join — without the cuts the tick->daily collapse re-derived
+    # per consumer. Both frames are the collapsed O(series x days)
+    # daily panel, never tick-scale.
+    rets = daily_returns(daily_closes(spark, sf_dir)).persist()
     k_df = rets.select(F.countDistinct("event_type").alias("k"))
     fulldays = (
         rets.groupBy("day")
@@ -100,7 +105,7 @@ def d78_parametric_portfolio_var(
         .join(F.broadcast(k_df), F.col("c") == F.col("k"))
         .select("day")
     )
-    aligned = rets.join(F.broadcast(fulldays), "day")
+    aligned = rets.join(F.broadcast(fulldays), "day").persist()
     port = (
         aligned.groupBy("day")
         .agg(F.sum("r").alias("sr"))

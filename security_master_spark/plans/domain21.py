@@ -102,7 +102,11 @@ def d83_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-only rollup; the three scales union ~O(series) rows and the
     final REGR_SLOPE folds 3 points per series. Nothing here ever
     touches tick scale, and no scale requires a second shuffle."""
-    rets = daily_returns(daily_closes(spark, sf_dir))
+    # Persisted (round-15): the three R/S scales each re-derived the
+    # full tick->daily-close window collapse + returns lag; the cached
+    # frame is the collapsed O(series x days) daily-returns panel,
+    # never tick-scale (1.25 -> measured below, same-era A/B).
+    rets = daily_returns(daily_closes(spark, sf_dir)).persist()
     panels = []
     for s in _RS_SIZES:
         widx = Window.partitionBy("event_type").orderBy("day")

@@ -348,12 +348,13 @@ def l8_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # The fingerprint subtree feeds both the corpus-min ref and the
-    # output side; measured at sf0.1, recomputation costs less than a
-    # persist round-trip here (the dominant cost was py4j plan
-    # CONSTRUCTION, fixed in simhash_md5_agg — see its docstring). At
-    # corpus scale, persist() the collapsed (id, simhash) frame before
-    # fanning it into multiple consumers.
-    sh = simhash_md5_agg(docs)
+    # output side: persist the collapsed (id, simhash) frame — two
+    # longs per document, node-count-sized at any corpus scale — so
+    # the explode → md5-per-token → 64-vote aggregate runs ONCE. The
+    # round-12 measurement that favored recomputation predates the
+    # cache-AQE conf (session.py canChangeCachedPlanOutputPartitioning);
+    # re-measured r15: 1.73 → 0.41 s isolated (same-era A/B minimums).
+    sh = simhash_md5_agg(docs).persist()
     ref = sh.agg(F.min("simhash").alias("ref")).withColumn("__one", F.lit(1))
     return (
         sh.withColumn("__one", F.lit(1))

@@ -753,6 +753,14 @@ def full_sweep(spark):
 
     out: dict[str, list[str]] = {}
     for name, build in registry.queries().items():
+        # Plan-construction-time persist() in one query registers its
+        # subtree with the session CacheManager; a later query built
+        # over the same subtree would be audited against the
+        # substituted InMemoryRelation instead of its own plan. Clear
+        # between queries so each plan is audited as the driver would
+        # run it standalone (the persists are lazy — nothing was
+        # materialized, so this is a registry wipe, not a recompute).
+        spark.catalog.clearCache()
         out[name] = kinds(
             build(spark, SF),
             include_aggregates=True,

@@ -100,6 +100,13 @@ def main(argv: list[str]) -> None:
     n_soft = 0
     failed: list[str] = []
     for name, build in registry.queries().items():
+        # Isolate each plan from CacheManager substitution: a persist()
+        # registered while CONSTRUCTING an earlier query's plan would
+        # otherwise replace matching subtrees here with
+        # InMemoryRelation and hide that subtree's findings. The
+        # persists are lazy (never materialized by the sweep), so this
+        # only wipes the registry.
+        spark.catalog.clearCache()
         try:
             df = build(spark, sf_dir)
         except Exception as e:  # plan construction must never fail
