@@ -79,6 +79,19 @@ def main() -> None:
             # — measured as 2-4x inflation of late-alphabet queries
             # relative to the same query run in a fresh session.
             spark.sparkContext._jvm.System.gc()
+            # Drop every cached frame between timed queries (round-15
+            # measurement fix, guide §1.4): plans that .persist() a
+            # multi-consumer intermediate never get to unpersist it
+            # (the frame outlives the query function), and Spark's
+            # CacheManager substitutes cached plans by canonicalized
+            # subtree — so without this, pass 2 of the SAME query and
+            # any later query sharing the subtree (the daily-closes
+            # panel feeds five d-queries) read pass 1's materialized
+            # cache and the min-of-2 records a warm-cache number
+            # instead of compute-from-parquet. Outside the timed
+            # region on purpose: each query now pays its own
+            # materialization inside its own wall time.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     # Round-1 lesson: the full ~100-query timing map (~3 KB) defeated

@@ -89,6 +89,11 @@ def main(argv: list[str]) -> None:
     if explain_dir:
         os.makedirs(explain_dir, exist_ok=True)
         for n in names:
+            # Standalone-plan capture: an earlier query's persist()
+            # would otherwise substitute an InMemoryRelation into this
+            # query's explain (the audit_plans.py cache-substitution
+            # hazard, same fix).
+            spark.catalog.clearCache()
             df = qs[n](spark, sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
@@ -128,6 +133,10 @@ def main(argv: list[str]) -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # The explain phase above registers (lazy) cache entries while
+    # constructing persist-carrying plans; start the timed passes from
+    # an empty cache.
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for _p in range(passes):
         for n in names:
@@ -140,6 +149,12 @@ def main(argv: list[str]) -> None:
                 timings[n] = el
             spark.sparkContext.setJobDescription(None)
             spark.sparkContext._jvm.System.gc()
+            # Match bench.py's round-15 measurement fix: drop cached
+            # frames between timed queries so a persist-carrying plan
+            # pays its own materialization every pass (CacheManager
+            # substitutes by canonicalized plan, so pass 2 would
+            # otherwise read pass 1's cache and report a warm number).
+            spark.catalog.clearCache()
     print(json.dumps({"sf": sf_dir, "passes": passes, "min": timings},
                      sort_keys=True))
 
