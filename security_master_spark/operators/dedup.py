@@ -173,15 +173,6 @@ def lsh_candidate_pairs(
             for i, (a, b) in enumerate(consts)
         ]
     )
-    # Persisted (round-15): the banded frame feeds BOTH sides of the
-    # bucket self-join below, and without the cut each side re-derived
-    # the ENTIRE signature subtree — scan → shingle explode → md5 per
-    # shingle → 32-way min aggregate — twice (the measured dominant
-    # cost; plans/r15/l7_minhash_lsh_candidates_before.txt shows the
-    # duplicated subtree). The cached frame is O(docs · bands) rows of
-    # (id, tiny int, 32-hex) — the signature collapse's OUTPUT, never
-    # the shingle stream — so the cache stays node-count-sized at any
-    # corpus scale.
     banded = sig.select(
         "doc",
         F.posexplode(
@@ -200,7 +191,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band_idx", "band_hash"),
-    ).persist()
+    )
     other = banded.select(
         F.col("doc").alias("doc_b"),
         F.col("band_idx").alias("band_idx_b"),

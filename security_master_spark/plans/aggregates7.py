@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import fan_out, load_table
+from security_master_spark.datasets import load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 from security_master_spark.plans.registry import register
 
@@ -52,11 +52,7 @@ def a28_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash possible). One hash aggregate + one bounded window + one
     final aggregate; never a full sort of the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    # fan_out (round-15): the single-row-group fixture scan is one
-    # task, serializing the partial aggregate over the near-unique
-    # (flag, price) keys; round-robin on the three projected columns
-    # restores map-side width (1.50 -> 1.29 s isolated A/B).
-    pw = fan_out(li.select("l_returnflag", "l_extendedprice", "l_quantity")).groupBy(
+    pw = li.groupBy(
         "l_returnflag",
         F.col("l_extendedprice").cast("double").alias("p"),
     ).agg(F.sum(F.col("l_quantity").cast("double")).alias("w"))

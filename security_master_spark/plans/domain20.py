@@ -63,7 +63,11 @@ def d81_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and sums only. try_divide on the Spark side (the sf0.1
     fixture has zero prices; a zero day-total would THROW under ANSI —
     hash-neutral at the oracle SFs where totals are positive)."""
-    daily = daily_closes(spark, sf_dir)
+    # Persisted (round-15): daily feeds k_df / fulldays / al, and al
+    # feeds tot AND wts — without the cuts the tick->daily collapse
+    # re-derived per consumer (the d78 shape). Both frames are the
+    # collapsed O(series x days) daily panel, never tick-scale.
+    daily = daily_closes(spark, sf_dir).persist()
     k_df = daily.select(F.countDistinct("event_type").alias("k"))
     fulldays = (
         daily.groupBy("day")
@@ -71,7 +75,7 @@ def d81_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(k_df), F.col("c") == F.col("k"))
         .select("day")
     )
-    al = daily.join(F.broadcast(fulldays), "day")
+    al = daily.join(F.broadcast(fulldays), "day").persist()
     tot = al.groupBy("day").agg(F.sum("close").alias("tc"))
     wts = al.join(tot, "day").select(
         "event_type",

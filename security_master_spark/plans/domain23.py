@@ -73,9 +73,7 @@ def d85_capture_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy per series. try_divide/NULLIF guards a
     one-sided fixture (no up or no down days) identically on both
     engines."""
-    # Persisted (round-15): rets feeds the market collapse AND the
-    # join-back; the cached frame is the O(series x days) daily panel.
-    rets = daily_returns(daily_closes(spark, sf_dir)).persist()
+    rets = daily_returns(daily_closes(spark, sf_dir))
     mkt = rets.groupBy("day").agg(F.avg("r").alias("mr"))
     side = (
         F.when(F.col("mr") > 0, 1)

@@ -44,17 +44,19 @@ def l22_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus df asc, then tf desc, then token) and report the smoothed
     TF-IDF score. Ranking is integer-only on purpose — ln() is not
     bit-identical across libms, so the float score is an output, never
-    the sort key. Two shuffles (tf, df) with map-side partials; df and
-    the corpus size broadcast back onto tf (df is |vocab| rows — tiny
-    relative to the token stream at any scale)."""
+    the sort key. One tf shuffle with map-side partials, then df as a
+    token-keyed window count on the same stream (round-15; no join, no
+    second token-stream derivation); only the 1-row corpus size
+    broadcasts."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # df from tf, not from a second explode: tf already holds one row
-    # per (doc, token), so doc-frequency is a plain COUNT — one token
-    # stream scan instead of two, and the df shuffle moves |distinct
-    # (doc,token)| rows instead of the raw token stream.
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # df as a window count on the SAME tf stream (round-15, the l44
+    # shape): tf already holds one row per (doc, token), so
+    # doc-frequency is COUNT(*) OVER (PARTITION BY token) — one
+    # derivation, one token-keyed exchange, no join and no second
+    # token-stream subtree. The window carries |distinct (doc,token)|
+    # rows, identical to what the join spelling shuffled.
     n = docs.agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.asc("df"), F.desc("tf"), F.asc("token")
@@ -64,12 +66,9 @@ def l22_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1.0)
     )
     return (
-        # no forced broadcast on df: |vocab| grows with the corpus
-        # (Heap's law — sublinear but unbounded, ~1e9 tokens at the
-        # 100 TB web-text target), so the directive is an eventual
-        # OOM; AQE converts from the actual shuffle size while it
-        # fits (round-12 broadcast-site audit, PLANS.md)
-        tf.join(df, "token")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", dround(tfidf, 6))
         .withColumn("__rn", F.row_number().over(w))

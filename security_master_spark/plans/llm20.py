@@ -106,15 +106,7 @@ def l70_lsh_precision_recall(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _EVAL_DOCS
     )
-    # Persisted (round-15): ``cand`` feeds both the n_candidates count
-    # and the hit join; ``hashed`` feeds sizes AND both sides of the
-    # intersection self-join (3 derivations of the shingle-hash
-    # distinct before); ``truth`` feeds the n_true count and the hit
-    # join. All three are id/pair-sized frames on the bounded eval
-    # slice — the before plan re-derived the full banding and shingle
-    # DAGs per consumer (plans/r15/l70_lsh_precision_recall_before.txt,
-    # an 88 KB plan for a one-row scorecard).
-    cand = lsh_candidate_pairs(docs, num_hashes=32, bands=8).persist()
+    cand = lsh_candidate_pairs(docs, num_hashes=32, bands=8)
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
@@ -129,17 +121,13 @@ def l70_lsh_precision_recall(
             )
         ).alias("gram"),
     )
-    hashed = (
-        grams.select(
-            "doc_id",
-            F.expr(
-                f"PMOD(CAST(CONV(SUBSTRING(MD5(gram), 1, 8), 16, 10) "
-                f"AS BIGINT), {_MERSENNE31})"
-            ).alias("h"),
-        )
-        .distinct()
-        .persist()
-    )
+    hashed = grams.select(
+        "doc_id",
+        F.expr(
+            f"PMOD(CAST(CONV(SUBSTRING(MD5(gram), 1, 8), 16, 10) "
+            f"AS BIGINT), {_MERSENNE31})"
+        ).alias("h"),
+    ).distinct()
     sizes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"))
     ha, hb = hashed.alias("a"), hashed.alias("b")
     inter = (
@@ -173,7 +161,6 @@ def l70_lsh_precision_recall(
             >= _TAU
         )
         .select("id_a", "id_b")
-        .persist()
     )
     stats = (
         cand.agg(F.count("*").alias("n_candidates"))
