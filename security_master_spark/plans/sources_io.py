@@ -138,7 +138,17 @@ def io4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key (8 buckets), so the join itself plans with NO shuffle
     on either side (asserted in tests/test_operators.py) — the layout
     investment that amortizes across every downstream join at scale.
-    The oracle joins the original unbucketed tables."""
+    The oracle joins the original unbucketed tables.
+
+    The bucketed scratch tables carry only the columns this query's
+    join + aggregate read (guide §2.3/§6: project before the
+    write-side exchange — the bucketed WRITE is the query's dominant
+    cost, and serializing the 7 unused orders/customer columns was
+    pure overhead; measured r15: 1.44 → 1.35 s min-of-brackets at
+    sf0.1, and the saving grows with table width at scale). A
+    production layout investment would write the full table once for
+    ALL downstream consumers — amortized across them, not billed to
+    one query, so the projected write is the honest per-query cost."""
     from security_master_spark.sources.io import write_bucketed_table
 
     tag = "".join(
@@ -147,14 +157,14 @@ def io4_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders_t, cust_t = f"sms_orders_b_{tag}", f"sms_customer_b_{tag}"
     write_bucketed_table(
-        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
         orders_t,
         "o_custkey",
         8,
         path=_scratch(sf_dir, "orders_bucketed"),
     )
     write_bucketed_table(
-        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
         cust_t,
         "c_custkey",
         8,
