@@ -363,17 +363,6 @@ def g3_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific sketches (a8's HLL) are stuck with."""
     li = load_table(spark, sf_dir, "lineitem")
     a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
     keep = (
         F.conv(
             F.substring(
@@ -393,14 +382,33 @@ def g3_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
         < _TRI_SAMPLE_PCT
     )
-    e = e0.filter(keep).persist()
+    # The sample filter runs BEFORE the distinct (they commute — the
+    # md5 keep-decision is a deterministic function of the distinct
+    # key itself), so the dedup exchange carries only the ~p sampled
+    # pairs instead of the full pair set. Written explicitly rather
+    # than left to predicate pushdown: the filter must not stay above
+    # the aggregate when the subtree sits under a cache boundary.
+    e = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .filter(keep)
+        .distinct()
+        .persist()
+    )
     # Same adjacency-intersection rewrite as g2 (see its docstring),
     # here under the id-orientation the canonical u < v edges already
     # encode: every sampled triangle a < b < c is counted once at its
-    # pivot edge (a, b) as c ∈ N+(a) ∩ N+(b).
+    # pivot edge (a, b) as c ∈ N+(a) ∩ N+(b). adj persisted like g2's:
+    # it feeds both the exploded candidate stream and the probe side.
     adj = e.groupBy("u").agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
-    )
+    ).persist()
     cand = adj.select(
         F.col("nbrs").alias("ns"), F.explode("nbrs").alias("t")
     )
