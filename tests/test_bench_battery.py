@@ -101,7 +101,7 @@ def test_floor_sources_sort_by_numeric_round(tmp_path, monkeypatch):
         _write_mins(
             tmp_path / f"BENCH_DETAIL_min_r{rnd}.json", {"q1": 1.0 / rnd}
         )
-    best, sources = floor.best_floors()
+    best, honest, sources = floor.best_floors()
     assert sources == [
         "BENCH_DETAIL_min_r9.json",
         "BENCH_DETAIL_min_r11.json",
@@ -109,6 +109,57 @@ def test_floor_sources_sort_by_numeric_round(tmp_path, monkeypatch):
         "BENCH_DETAIL_min_r100.json",
     ]
     assert best == {"q1": 1.0 / 100}
+    # r11/r12 are frozen pre-clearCache names; r9/r100 are not, so the
+    # honest-era map keeps their minimum only.
+    assert honest == {"q1": 1.0 / 100}
+
+
+def test_compare_tags_pre_clearcache_floors(tmp_path, monkeypatch, capsys):
+    """A suspect anchored by a warm-cache-era floor must say so — the
+    legacy minimum can sit structurally below every honest
+    compute-from-parquet measurement (the round-15 g3 case: 0.86 s
+    cached vs ~4.5 s honest), so the raw ratio alone would convict a
+    methodology artifact. The honest-era ratio is printed when a
+    post-fix battery has floored the query; queries anchored only by
+    honest sources get NO tag."""
+    floor = _load("bench_floor")
+    monkeypatch.setattr(floor, "_REPO", str(tmp_path))
+    # r11 = frozen pre-fix source; r16 = honest era
+    _write_mins(
+        tmp_path / "BENCH_DETAIL_min_r11.json",
+        {"q_cached": 1.0, "q_pre_only": 1.0},
+    )
+    _write_mins(tmp_path / "BENCH_DETAIL_min_r16.json", {"q_cached": 4.0})
+    _write_mins(
+        tmp_path / "target.json", {"q_cached": 4.4, "q_pre_only": 1.05}
+    )
+    floor.main(["--compare", "target.json"])
+    out = capsys.readouterr().out
+    cached_line = next(l for l in out.splitlines() if "q_cached" in l)
+    assert "pre-fix floor; honest-era 1.10x vs 4.000" in cached_line
+    # honest-only anchors are untagged: make q_cached's floor honest
+    _write_mins(tmp_path / "BENCH_DETAIL_min_r11.json", {"q_pre_only": 1.0})
+    _write_mins(
+        tmp_path / "target.json", {"q_cached": 6.0, "q_pre_only": 1.05}
+    )
+    floor.main(["--compare", "target.json"])
+    out = capsys.readouterr().out
+    cached_line = next(l for l in out.splitlines() if "q_cached" in l)
+    assert "pre-fix" not in cached_line
+
+
+def test_compare_tags_pre_fix_floor_without_honest_anchor(
+    tmp_path, monkeypatch, capsys
+):
+    """No honest-era battery has floored the query yet: the tag must
+    say there is no honest anchor rather than print a bogus ratio."""
+    floor = _load("bench_floor")
+    monkeypatch.setattr(floor, "_REPO", str(tmp_path))
+    _write_mins(tmp_path / "BENCH_DETAIL_min_r11.json", {"q_cached": 1.0})
+    _write_mins(tmp_path / "target.json", {"q_cached": 4.4})
+    floor.main(["--compare", "target.json"])
+    out = capsys.readouterr().out
+    assert "pre-fix floor, no honest-era anchor yet" in out
 
 
 def test_compare_reports_unanchored_queries(tmp_path, monkeypatch, capsys):
