@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from security_master_spark.datasets import fan_out, load_table
+from security_master_spark.datasets import load_table
 from security_master_spark.functions.rounding import dround, sql_dround
 
 from security_master_spark.plans.registry import register
@@ -98,13 +98,17 @@ def d47_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class, and the breadth cap drops mega-baskets right after the
     # aggregate (buffer-per-key advisory inventory site; adjudicated
     # in plan_audit.py's inventory pin).
-    # fan_out: the fixture scan is one task (single row group), so the
-    # map-side partial collect_set would otherwise run serially; the
-    # round-robin exchange of the narrow (okey, brand) stream is cheap
-    # relative to the parallelism it restores (datasets.fan_out
-    # contract).
+    # No fan_out before the aggregate (round-16 re-adjudication, the
+    # a28/d49 near-unique-key lesson): okey is ~150k distinct keys over
+    # ~600k rows, so the map-side partial collect_set barely collapses
+    # anything and the round-robin exchange fan_out adds is pure cost —
+    # the groupBy's own hash exchange already provides the reduce-side
+    # parallelism. Fresh-JVM min-of-5 brackets (4 interleaved): persist
+    # without fan_out won 3/4 brackets and the min (1.90 vs 2.01 s);
+    # it was also the only driver-confirmed regression of round 15
+    # (2.97 → 3.53 s), resolved by this removal.
     baskets = (
-        fan_out(raw)
+        raw
         .groupBy("okey")
         .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
         .persist()
